@@ -1,0 +1,39 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The same configuration is used by tests, ``bench.py`` and the driver's
+smoke checks. On a real cluster the identical settings apply — nothing
+here is local-mode specific except the master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs applied everywhere. AQE handles runtime skew/coalesce; Arrow batches
+#: bound the memory of the (few) pandas kernels; shuffle partition count is
+#: sized for the sandbox and overridden per-cluster in production.
+ENGINE_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "sroie-spark", master: str | None = None,
+              extra_confs: dict | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    for key, value in {**ENGINE_CONFS, **(extra_confs or {})}.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
