@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction pipeline (SURVEY.md §3.2 recast)
+on a deterministic synthetic transcripts table of the exact
+``input_hint`` shape. ``queries``/``oracle_sql`` expose the operator
+battery from SURVEY.md §2 for the DuckDB cross-check.
 """
 
 from __future__ import annotations
@@ -13,26 +12,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from icdar_2019_rrc_sroie_spark import queries as q
+from icdar_2019_rrc_sroie_spark.fixtures import transcripts_df
+from icdar_2019_rrc_sroie_spark.plans.extraction import extract_spans, ordered_spans
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthetic transcripts → boilerplate strip → span
+    classification → entity rules → spans table."""
+    transcripts = transcripts_df(spark, n_convs=60, seed=42)
+    return ordered_spans(extract_spans(transcripts))
+
+
+def _transcript_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline as a queries() entry (rows-only check: the
+    transcripts input is synthesized, not one of the DuckDB views)."""
+    transcripts = transcripts_df(spark, n_convs=60, seed=42)
+    return ordered_spans(extract_spans(transcripts))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(q.queries())
+    out["transcript_spans"] = _transcript_spans
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(q.oracle_sql())

@@ -1,0 +1,526 @@
+"""Driver-facing query battery.
+
+Each entry pairs a PySpark DataFrame program with a semantically identical
+ANSI-SQL oracle that DuckDB runs on the same parquet tables
+(``CORRECTNESS_r{N}.json`` gate). Column names/aliases match exactly on
+both sides; float outputs are fixed-point encoded as
+``floor(x*1e6 + 0.5)`` BIGINT to dodge engine formatting/rounding drift.
+
+Operator ids in the names refer to SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .constants import (
+    DATE_PATTERN_1,
+    DATE_PATTERN_2,
+    TOTAL_PATTERN,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _micro(col):
+    """Fixed-point encode a double for engine-independent comparison."""
+    return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
+
+
+_MONTHS_SQL = "['JAN','FEB','MAR','APR','MAY','JUN','JUL','AUG','SEP','OCT','NOV','DEC']"
+
+# ---------------------------------------------------------------------------
+# X1 date extraction over synthesized receipt lines (3 formats, keyed by id)
+# ---------------------------------------------------------------------------
+
+
+def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    day = F.col("doc_id") % 28 + 1
+    month = F.col("doc_id") % 12 + 1
+    year = F.col("doc_id") % 4 + 2016
+    months = F.array(*[F.lit(m) for m in
+                       ("JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+                        "JUL", "AUG", "SEP", "OCT", "NOV", "DEC")])
+    d2 = F.lpad(day.cast("string"), 2, "0")
+    m2 = F.lpad(month.cast("string"), 2, "0")
+    y2 = F.lpad((year % 100).cast("string"), 2, "0")
+    style = F.col("doc_id") % 3
+    datestr = (
+        F.when(style == 0, F.concat(d2, F.lit("/"), m2, F.lit("/"), year))
+        .when(style == 1, F.concat(year, F.lit("-"), m2, F.lit("-"), d2))
+        .otherwise(F.concat(d2, F.lit(" "), F.element_at(months, month.cast("int")),
+                            F.lit(" "), y2))
+    )
+    line = F.concat(F.lit("REG "), F.col("doc_id"), F.lit(" DATE: "),
+                    datestr, F.lit(" POS 3"))
+    m_1 = F.regexp_extract(line, DATE_PATTERN_1, 0)
+    m_2 = F.regexp_extract(line, DATE_PATTERN_2, 0)
+    date = F.trim(F.when(m_1 != "", m_1).otherwise(m_2))
+    return docs.select(F.col("doc_id"), date.alias("date")).orderBy("doc_id")
+
+
+SQL_DATE_EXTRACT = rf"""
+WITH src AS (
+  SELECT doc_id,
+         doc_id % 28 + 1 AS day, doc_id % 12 + 1 AS month,
+         doc_id % 4 + 2016 AS year, doc_id % 3 AS style
+  FROM documents
+), built AS (
+  SELECT doc_id,
+    'REG ' || doc_id || ' DATE: ' ||
+    CASE WHEN style = 0 THEN lpad(CAST(day AS VARCHAR),2,'0') || '/' || lpad(CAST(month AS VARCHAR),2,'0') || '/' || year
+         WHEN style = 1 THEN year || '-' || lpad(CAST(month AS VARCHAR),2,'0') || '-' || lpad(CAST(day AS VARCHAR),2,'0')
+         ELSE lpad(CAST(day AS VARCHAR),2,'0') || ' ' || {_MONTHS_SQL}[month] || ' ' || lpad(CAST(year % 100 AS VARCHAR),2,'0')
+    END || ' POS 3' AS line
+  FROM src
+)
+SELECT doc_id,
+  trim(CASE WHEN regexp_extract(line, '{DATE_PATTERN_1}', 0) <> ''
+            THEN regexp_extract(line, '{DATE_PATTERN_1}', 0)
+            ELSE regexp_extract(line, '{DATE_PATTERN_2}', 0) END) AS date
+FROM built ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# X2 total extraction (TOTAL_PATTERN) over synthesized amount lines
+# ---------------------------------------------------------------------------
+
+
+def q_total_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    whole = F.col("doc_id") % 300 + 1
+    cents = F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")
+    amount = F.concat(whole.cast("string"), F.lit("."), cents)
+    style = F.col("doc_id") % 4
+    line = (
+        F.when(style == 0, F.concat(F.lit("TOTAL RM"), amount))
+        .when(style == 1, F.concat(F.lit("AMOUNT DUE "), amount))
+        .when(style == 2, F.concat(F.lit("- "), amount))
+        .otherwise(F.concat(F.lit("$"), amount, F.lit(" NETT")))
+    )
+    total = F.trim(F.regexp_extract(F.trim(line), TOTAL_PATTERN, 0))
+    return docs.select("doc_id", total.alias("total")).orderBy("doc_id")
+
+
+SQL_TOTAL_EXTRACT = rf"""
+WITH built AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'TOTAL RM' || (doc_id % 300 + 1) || '.' || lpad(CAST(doc_id % 100 AS VARCHAR),2,'0')
+      WHEN 1 THEN 'AMOUNT DUE ' || (doc_id % 300 + 1) || '.' || lpad(CAST(doc_id % 100 AS VARCHAR),2,'0')
+      WHEN 2 THEN '- ' || (doc_id % 300 + 1) || '.' || lpad(CAST(doc_id % 100 AS VARCHAR),2,'0')
+      ELSE '$' || (doc_id % 300 + 1) || '.' || lpad(CAST(doc_id % 100 AS VARCHAR),2,'0') || ' NETT'
+    END AS line
+  FROM documents
+)
+SELECT doc_id, trim(regexp_extract(trim(line), '{TOTAL_PATTERN}', 0)) AS total
+FROM built ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# W1 reading-order sort (tolerance-bucketed y, then x)
+# ---------------------------------------------------------------------------
+
+
+def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    x = (F.col("event_id") * 37 % 997).cast("long")
+    y = (F.col("event_id") * 61 % 613).cast("long")
+    w = Window.partitionBy("user_id").orderBy(
+        F.floor(y / 14), x, F.col("event_id")
+    )
+    return (
+        events.select("user_id", "event_id", x.alias("x"), y.alias("y"))
+        .withColumn("rn", F.row_number().over(w))
+        .orderBy("user_id", "rn")
+    )
+
+
+SQL_READING_ORDER = """
+WITH pts AS (
+  SELECT user_id, event_id,
+         CAST(event_id * 37 % 997 AS BIGINT) AS x,
+         CAST(event_id * 61 % 613 AS BIGINT) AS y
+  FROM events
+)
+SELECT user_id, event_id, x, y,
+       CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY CAST(floor(y / 14.0) AS BIGINT), x, event_id) AS INT) AS rn
+FROM pts ORDER BY user_id, rn
+"""
+
+# ---------------------------------------------------------------------------
+# W3 run-length segmentation (gaps and islands) over event_type sequences
+# ---------------------------------------------------------------------------
+
+
+def q_runs_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    change = (
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w))
+    ).cast("int")
+    runs = events.withColumn(
+        "run_id",
+        F.sum(change).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return (
+        runs.groupBy("user_id", "run_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.first("event_type").alias("event_type"),
+            F.min("event_id").alias("first_event"),
+        )
+        .orderBy("user_id", "run_id")
+    )
+
+
+SQL_RUNS_ISLANDS = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+    CASE WHEN lag(event_type) OVER w IS NULL
+              OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, event_id, event_type,
+    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS INT) AS run_id
+  FROM flagged
+)
+SELECT user_id, run_id, CAST(COUNT(*) AS BIGINT) AS run_len,
+       min(event_type) AS event_type, min(event_id) AS first_event
+FROM runs GROUP BY user_id, run_id ORDER BY user_id, run_id
+"""
+
+# ---------------------------------------------------------------------------
+# A8 top-k per group (hard-negative mining shape)
+# ---------------------------------------------------------------------------
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_orderkey", "l_linenumber", "rk",
+                _micro(F.col("l_extendedprice")).alias("price_micro"))
+        .orderBy("l_orderkey", "rk")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT l_orderkey, l_linenumber, rk,
+       CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS price_micro
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         CAST(row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY l_extendedprice DESC, l_linenumber ASC) AS INT) AS rk
+  FROM lineitem
+) WHERE rk <= 3 ORDER BY l_orderkey, rk
+"""
+
+# ---------------------------------------------------------------------------
+# A2 dataset mean/std (Welford by Catalyst)
+# ---------------------------------------------------------------------------
+
+
+def q_mean_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _micro(F.avg("l_quantity")).alias("mean_qty_micro"),
+            _micro(F.stddev_pop("l_quantity")).alias("std_qty_micro"),
+            _micro(F.avg("l_discount")).alias("mean_disc_micro"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_MEAN_STD = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(floor(avg(l_quantity) * 1e6 + 0.5) AS BIGINT) AS mean_qty_micro,
+  CAST(floor(stddev_pop(l_quantity) * 1e6 + 0.5) AS BIGINT) AS std_qty_micro,
+  CAST(floor(avg(l_discount) * 1e6 + 0.5) AS BIGINT) AS mean_disc_micro
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+# ---------------------------------------------------------------------------
+# A3 class weights: max(1, log(mu * total / count))
+# ---------------------------------------------------------------------------
+
+
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    total = docs.count()
+    weight = F.greatest(
+        F.lit(1.0), F.log(F.lit(1.02) * F.lit(float(total)) / F.col("cnt"))
+    )
+    return (
+        counts.select("lang", F.col("cnt").cast("long").alias("cnt"),
+                      _micro(weight).alias("weight_micro"))
+        .orderBy("lang")
+    )
+
+
+SQL_CLASS_WEIGHTS = """
+WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+     t AS (SELECT COUNT(*) AS total FROM documents)
+SELECT lang, CAST(cnt AS BIGINT) AS cnt,
+  CAST(floor(greatest(1.0, ln(1.02 * total / cnt)) * 1e6 + 0.5) AS BIGINT) AS weight_micro
+FROM c, t ORDER BY lang
+"""
+
+# ---------------------------------------------------------------------------
+# S6/J7 equi-join + projection: labeled-line generator shape
+# ---------------------------------------------------------------------------
+
+
+def q_join_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+            # sum exact integer cents: FP addition order differs per engine
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_JOIN_INTERSECTION = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+# ---------------------------------------------------------------------------
+# A11 anti-join validation ("sample not present in GT")
+# ---------------------------------------------------------------------------
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    missing = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    )
+    return missing.select(F.col("o_orderkey")).orderBy("o_orderkey")
+
+
+SQL_ANTI_JOIN = """
+SELECT o_orderkey FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+ORDER BY o_orderkey
+"""
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting + quality scoring (training-data ops)
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(tokens).cast("long")
+    n_uniq = F.size(F.array_distinct(tokens)).cast("long")
+    n_chars = F.length("text").cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_uniq.alias("n_uniq"),
+        n_chars.alias("n_chars_actual"),
+        _micro(n_uniq / n_tokens).alias("ttr_micro"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_STATS = r"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS tokens
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(tokens) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq,
+  CAST(length(text) AS BIGINT) AS n_chars_actual,
+  CAST(floor(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) * 1e6 + 0.5) AS BIGINT) AS ttr_micro
+FROM toks ORDER BY doc_id
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text)
+    tokens = F.split(F.trim(text), r"\s+")
+    n_tokens = F.size(tokens)
+    stop_hits = F.size(
+        F.filter(tokens, lambda t: t.isin("the", "a", "of", "and", "is"))
+    )
+    mean_tok_len = (n_chars - n_tokens + 1) / n_tokens
+    quality = (
+        (F.col("n_chars") >= 100)
+        & (stop_hits / n_tokens >= 0.05)
+        & (mean_tok_len >= 2.0)
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        stop_hits.cast("long").alias("stop_hits"),
+        _micro(stop_hits / n_tokens).alias("stop_ratio_micro"),
+        quality.alias("is_quality"),
+    ).orderBy("doc_id")
+
+
+SQL_QUALITY_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, n_chars, length(text) AS len_chars,
+         regexp_split_to_array(trim(text), '\s+') AS tokens
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_chars, len_chars,
+         len(tokens) AS n_tokens,
+         len(list_filter(tokens, t -> t IN ('the','a','of','and','is'))) AS stop_hits
+  FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(stop_hits AS BIGINT) AS stop_hits,
+  CAST(floor(CAST(stop_hits AS DOUBLE) / n_tokens * 1e6 + 0.5) AS BIGINT) AS stop_ratio_micro,
+  CAST(CASE WHEN n_chars >= 100
+             AND CAST(stop_hits AS DOUBLE)/n_tokens >= 0.05
+             AND CAST(len_chars - n_tokens + 1 AS DOUBLE)/n_tokens >= 2.0
+        THEN 1 ELSE 0 END AS INT) AS is_quality
+FROM feat ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (n-gram/stopword evidence)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    en_hits = F.size(F.filter(tokens, lambda t: t.isin("the", "a", "of", "and")))
+    n_tokens = F.size(tokens)
+    pred = F.when(en_hits / n_tokens >= 0.02, F.lit("en")).otherwise(F.lit("other"))
+    agree = (pred == F.col("lang")).cast("int")
+    return docs.select(
+        "doc_id", "lang", pred.alias("pred_lang"), agree.alias("agree")
+    ).orderBy("doc_id")
+
+
+SQL_LANG_ID = r"""
+WITH feat AS (
+  SELECT doc_id, lang,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        t -> t IN ('the','a','of','and'))) AS en_hits,
+    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN CAST(en_hits AS DOUBLE)/n_tokens >= 0.02 THEN 'en' ELSE 'other' END AS pred_lang,
+  CAST(CASE WHEN (CASE WHEN CAST(en_hits AS DOUBLE)/n_tokens >= 0.02 THEN 'en' ELSE 'other' END) = lang
+        THEN 1 ELSE 0 END AS INT) AS agree
+FROM feat ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting + exact dedup
+# ---------------------------------------------------------------------------
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id", F.md5(normalized).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # duplicate the corpus with shifted ids to guarantee dup groups exist
+    shifted = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    both = docs.select("doc_id", "text").unionByName(shifted)
+    key = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    return (
+        both.withColumn("fp", key)
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_cnt"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+SQL_DEDUP_EXACT = r"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_doc_id, CAST(COUNT(*) AS BIGINT) AS dup_cnt
+FROM unioned GROUP BY fp ORDER BY keep_doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "date_extract": (q_date_extract, SQL_DATE_EXTRACT),
+    "total_extract": (q_total_extract, SQL_TOTAL_EXTRACT),
+    "reading_order": (q_reading_order, SQL_READING_ORDER),
+    "runs_islands": (q_runs_islands, SQL_RUNS_ISLANDS),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "mean_std": (q_mean_std, SQL_MEAN_STD),
+    "class_weights": (q_class_weights, SQL_CLASS_WEIGHTS),
+    "join_intersection": (q_join_intersection, SQL_JOIN_INTERSECTION),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in SQL_QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: sql for name, (_, sql) in SQL_QUERIES.items() if sql is not None
+    }

@@ -1,0 +1,84 @@
+"""Local stand-in for the driver's correctness gate: runs every
+queries() entry on Spark and its oracle_sql() on DuckDB at sf0.01,
+compares row count, schema-width and order-insensitive values."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from icdar_2019_rrc_sroie_spark.session import get_spark  # noqa: E402
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = df.copy()
+    for c in out.columns:
+        out[c] = out[c].map(
+            lambda v: str(sorted(v)) if isinstance(v, (list, tuple)) else str(v)
+        )
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("oracle-check", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and only not in name:
+            continue
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(spark_pdf)} rows)")
+            continue
+        try:
+            duck_pdf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL {name}: duckdb error {str(e)[:300]}")
+            continue
+        a, b = normalize(spark_pdf), normalize(duck_pdf)
+        if len(a) != len(b):
+            failures.append((name, f"rows {len(a)} vs {len(b)}"))
+            print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
+        elif list(a.columns) != list(b.columns):
+            failures.append((name, f"cols {list(a.columns)} vs {list(b.columns)}"))
+            print(f"FAIL {name}: cols {list(a.columns)} vs {list(b.columns)}")
+        elif not a.equals(b):
+            neq = (a != b).any(axis=1)
+            idx = a.index[neq][:3]
+            failures.append((name, "values"))
+            print(f"FAIL {name}: {int(neq.sum())} rows differ; e.g.")
+            for i in idx:
+                print("  spark:", a.loc[i].to_dict())
+                print("  duck :", b.loc[i].to_dict())
+        else:
+            print(f"PASS {name} ({len(a)} rows)")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(only=sys.argv[1] if len(sys.argv) > 1 else None))
