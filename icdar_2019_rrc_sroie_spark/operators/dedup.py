@@ -1,0 +1,186 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → per-seed min-hash → band →
+bucket equi-join), SimHash, and n-gram Jaccard verification. All hash
+material is md5-based so results are engine-portable (the DuckDB oracle
+computes identical signatures) and independent of Spark's murmur seed.
+
+Scale notes: candidate generation is a self-equi-join on (band_idx,
+band_hash) — a shuffle join whose key cardinality grows with corpus
+size, so no skew concentrator; the expensive Jaccard verification runs
+only on candidates. Never a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(text: Column) -> Column:
+    """Lowercase, whitespace-collapsed content (dedup canonical form)."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of the canonical form."""
+    return F.md5(normalized_text(text))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per identical canonical text."""
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_" + id_col),
+            F.count(F.lit(1)).cast("long").alias("dup_cnt"),
+        )
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the canonical text."""
+    toks = F.split(normalized_text(text), r"\s+")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(empty)
+
+
+def shingle_rows(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle) rows — the exploded form used by MinHash/Jaccard."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 8,
+                       k: int = 3) -> DataFrame:
+    """Per-document MinHash signature: sig_i = min(md5('<i>|' shingle)).
+
+    Lexicographic min over md5 hex strings — deterministic, portable,
+    and a valid min-wise hash family for Jaccard estimation.
+    """
+    sh = shingle_rows(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"sig{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
+              num_hashes: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """(id, band_idx, band_hash) rows for bucket-join candidate gen."""
+    assert num_hashes % rows_per_band == 0
+    bands = []
+    for b in range(num_hashes // rows_per_band):
+        cols = [F.col(f"sig{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"),
+                     F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 8,
+                       rows_per_band: int = 2, k: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
+    left = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    right = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3,
+                  threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard over shingle rows (verification stage).
+
+    Relational formulation (identical in any SQL engine): common-shingle
+    counts from a self equi-join on the shingle, set sizes from a
+    groupBy, |A∪B| = |A|+|B|-|A∩B|.
+    """
+    sh = shingle_rows(df, id_col, text_col, k).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        common.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("id_a", "id_b", "common", "sz_a", "sz_b", "jaccard")
+
+
+def simhash64(text: Column, num_bits: int = 48) -> Column:
+    """SimHash of the token set, as a bigint (48 bits).
+
+    Per token: a 48-bit hash from the md5 hex prefix (via conv); bit j is
+    recovered with exact power-of-two floating division (48-bit values
+    are exact doubles), then ±1 bit-weighted sums decide each output
+    bit. Pure Catalyst array algebra — no UDF.
+    """
+    toks = F.array_distinct(F.split(normalized_text(text), r"\s+"))
+    tok_hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, num_bits // 4), 16, 10)
+        .cast("double"),
+    )
+    bit_idx = F.sequence(F.lit(0), F.lit(num_bits - 1))
+    bit_sums = F.transform(
+        bit_idx,
+        lambda j: F.aggregate(
+            tok_hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.pmod(F.floor(h / F.pow(F.lit(2.0), j)), 2) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ),
+    )
+    weighted = F.zip_with(
+        bit_sums,
+        bit_idx,
+        lambda s, j: F.when(s > 0, F.pow(F.lit(2.0), j)).otherwise(F.lit(0.0)),
+    )
+    return F.aggregate(
+        weighted, F.lit(0.0), lambda acc, v: acc + v
+    ).cast("long")
+
+
+def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(id, simhash) — near-dup buckets collide on identical simhash."""
+    return df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))

@@ -516,11 +516,22 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
 }
 
 
+def _all_batches() -> dict:
+    from .queries_dedup import SQL_QUERIES_DEDUP
+    from .queries_geo import SQL_QUERIES_GEO
+
+    merged = dict(SQL_QUERIES)
+    merged.update(SQL_QUERIES_GEO)
+    merged.update(SQL_QUERIES_DEDUP)
+    return merged
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in SQL_QUERIES.items()}
+    return {name: fn for name, (fn, _) in _all_batches().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: sql for name, (_, sql) in SQL_QUERIES.items() if sql is not None
+        name: sql for name, (_, sql) in _all_batches().items()
+        if sql is not None
     }

@@ -1,0 +1,231 @@
+"""Query battery, batch 3: dedup + similarity search (training-data ops).
+
+The Spark side calls the real engine operators
+(operators/dedup.py, operators/similarity.py); the DuckDB oracle
+recomputes the identical md5-based signatures in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    jaccard_pairs,
+    lsh_bands,
+    minhash_candidates,
+    minhash_signatures,
+    simhash_dedup,
+)
+from .operators.similarity import ann_topk_bucketed, cosine_topk
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _micro(col):
+    return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
+
+
+def _with_dups(docs: DataFrame) -> DataFrame:
+    """Corpus ∪ shifted copy — guarantees duplicate pairs exist."""
+    shifted = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return docs.select("doc_id", "text").unionByName(shifted)
+
+
+_WITH_DUPS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+"""
+
+_SHINGLES_SQL = r"""
+  SELECT doc_id, unnest(list_distinct(
+    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+     for i in generate_series(1, greatest(len(t)-2, 0))])) AS shingle
+  FROM (SELECT doc_id,
+          regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+') AS t
+        FROM corpus)
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, num_hashes=4).orderBy("doc_id")
+
+
+SQL_MINHASH_SIGNATURES = rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+sh AS ({_SHINGLES_SQL})
+SELECT doc_id,
+  min(md5('0|' || shingle)) AS sig0,
+  min(md5('1|' || shingle)) AS sig1,
+  min(md5('2|' || shingle)) AS sig2,
+  min(md5('3|' || shingle)) AS sig3
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_dups(_t(spark, sf_dir, "documents"))
+    return minhash_candidates(
+        corpus, num_hashes=4, rows_per_band=2
+    ).orderBy("id_a", "id_b")
+
+
+SQL_MINHASH_CANDIDATES = rf"""
+WITH corpus AS ({_WITH_DUPS_SQL}),
+sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+    min(md5('0|' || shingle)) AS sig0, min(md5('1|' || shingle)) AS sig1,
+    min(md5('2|' || shingle)) AS sig2, min(md5('3|' || shingle)) AS sig3
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(sig0 || '|' || sig1) AS band_hash FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, md5(sig2 || '|' || sig3) AS band_hash FROM sigs
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_dups(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60))
+    out = jaccard_pairs(corpus, threshold=0.6)
+    return out.select(
+        "id_a", "id_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("sz_a").cast("long").alias("sz_a"),
+        F.col("sz_b").cast("long").alias("sz_b"),
+        _micro(F.col("jaccard")).alias("jaccard_micro"),
+    ).orderBy("id_a", "id_b")
+
+
+SQL_JACCARD_PAIRS = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 60
+),
+sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_a, c.id_b, CAST(c.common AS BIGINT) AS common,
+  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+  CAST(floor(c.common * 1.0 / (sa.sz + sb.sz - c.common) * 1e6 + 0.5) AS BIGINT) AS jaccard_micro
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE c.common * 1.0 / (sa.sz + sb.sz - c.common) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = cosine_topk(emb, list(query), k=25)
+    return out.select("vec_id", _micro(F.col("cosine")).alias("cosine_micro"))
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+              for i in generate_series(1, len(e.embedding))]) /
+    (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+              for i in generate_series(1, len(e.embedding))])) *
+     sqrt(list_sum([CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)
+              for i in generate_series(1, len(q.qv))]))) AS cosine
+  FROM embeddings e, q
+)
+SELECT vec_id, CAST(floor(cosine*1e6+0.5) AS BIGINT) AS cosine_micro
+FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 25
+"""
+
+
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    out = ann_topk_bucketed(emb, list(query), k=25, n_bits=3)
+    return out.select("vec_id", "bucket",
+                      _micro(F.col("cosine")).alias("cosine_micro"))
+
+
+SQL_ANN_BUCKETED = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (
+  SELECT (CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END
+        + CASE WHEN qv[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END) AS qbucket, qv FROM q
+),
+scored AS (
+  SELECT e.vec_id,
+    (CASE WHEN e.embedding[1] > 0 THEN 1 ELSE 0 END
+   + CASE WHEN e.embedding[2] > 0 THEN 2 ELSE 0 END
+   + CASE WHEN e.embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket,
+    qb.qbucket,
+    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(qb.qv[i] AS DOUBLE)
+              for i in generate_series(1, len(e.embedding))]) /
+    (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+              for i in generate_series(1, len(e.embedding))])) *
+     sqrt(list_sum([CAST(qb.qv[i] AS DOUBLE) * CAST(qb.qv[i] AS DOUBLE)
+              for i in generate_series(1, len(qb.qv))]))) AS cosine
+  FROM embeddings e, qb
+)
+SELECT vec_id, CAST(bucket AS INT) AS bucket,
+       CAST(floor(cosine*1e6+0.5) AS BIGINT) AS cosine_micro
+FROM scored WHERE bucket = qbucket
+ORDER BY cosine DESC, vec_id ASC LIMIT 25
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (rows-only oracle: hex→int conv is not
+    portable SQL; correctness covered by tests/test_dedup.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup(docs).orderBy("doc_id")
+
+
+def q_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=4)
+    return lsh_bands(sigs, num_hashes=4, rows_per_band=2) \
+        .orderBy("doc_id", "band_idx")
+
+
+SQL_LSH_BANDS = rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+    min(md5('0|' || shingle)) AS sig0, min(md5('1|' || shingle)) AS sig1,
+    min(md5('2|' || shingle)) AS sig2, min(md5('3|' || shingle)) AS sig3
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, band_idx, band_hash FROM (
+  SELECT doc_id, 0 AS band_idx, md5(sig0 || '|' || sig1) AS band_hash FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, md5(sig2 || '|' || sig3) AS band_hash FROM sigs
+) ORDER BY doc_id, band_idx
+"""
+
+
+SQL_QUERIES_DEDUP = {
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "minhash_candidates": (q_minhash_candidates, SQL_MINHASH_CANDIDATES),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "lsh_bands": (q_lsh_bands, SQL_LSH_BANDS),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
+    "simhash": (q_simhash, None),
+}

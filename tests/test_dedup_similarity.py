@@ -1,0 +1,116 @@
+"""Tests for dedup + similarity operators against pure-Python oracles."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from icdar_2019_rrc_sroie_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_candidates,
+    minhash_signatures,
+    simhash_dedup,
+    word_shingles,
+)
+from icdar_2019_rrc_sroie_spark.operators.encode import encode_chars
+from icdar_2019_rrc_sroie_spark.operators.similarity import (
+    ann_topk_bucketed,
+    cosine_topk,
+)
+from icdar_2019_rrc_sroie_spark.constants import MAXIMUM_LENGTH, VOCAB
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "completely different text about spark engines"),
+    (3, "The  Quick   Brown fox jumps over the lazy dog"),  # dup of 0 modulo ws/case
+]
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _shingles(text, k=3):
+    toks = " ".join(text.lower().strip().split()).split(" ")
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_word_shingles(docs_df):
+    got = docs_df.select("doc_id", word_shingles(F.col("text")).alias("s")) \
+        .collect()
+    for row in got:
+        assert set(row["s"]) == _shingles(DOCS[row["doc_id"]][1])
+
+
+def test_exact_dedup(docs_df):
+    got = exact_dedup(docs_df).collect()
+    groups = {r["keep_doc_id"]: r["dup_cnt"] for r in got}
+    assert groups[0] == 2  # docs 0 and 3 identical after normalization
+    assert groups[1] == 1 and groups[2] == 1
+
+
+def test_minhash_signatures_oracle(docs_df):
+    got = {r["doc_id"]: [r[f"sig{i}"] for i in range(4)]
+           for r in minhash_signatures(docs_df, num_hashes=4).collect()}
+    for doc_id, text in DOCS:
+        expected = [
+            min(hashlib.md5(f"{i}|{s}".encode()).hexdigest()
+                for s in _shingles(text))
+            for i in range(4)
+        ]
+        assert got[doc_id] == expected
+
+
+def test_minhash_candidates_find_near_dups(docs_df):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_candidates(docs_df, num_hashes=4,
+                                         rows_per_band=2).collect()}
+    assert (0, 3) in pairs           # exact dup always collides
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_jaccard_pairs(docs_df):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_pairs(docs_df, threshold=0.5).collect()}
+    assert got[(0, 3)] == pytest.approx(1.0)
+    s0, s1 = _shingles(DOCS[0][1]), _shingles(DOCS[1][1])
+    expected = len(s0 & s1) / len(s0 | s1)
+    if expected >= 0.5:
+        assert got[(0, 1)] == pytest.approx(expected)
+
+
+def test_simhash_identical_docs_collide(docs_df):
+    got = {r["doc_id"]: r["simhash"] for r in simhash_dedup(docs_df).collect()}
+    assert got[0] == got[3]
+    assert got[0] != got[2]
+    assert 0 <= got[0] < 2 ** 48
+
+
+def test_cosine_topk(spark):
+    vecs = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0]),
+            (4, [0.7, 0.7, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = cosine_topk(df, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 4]
+    assert got[0]["cosine"] == pytest.approx(1.0)
+    assert got[1]["cosine"] == pytest.approx(0.9 / math.hypot(0.9, 0.1))
+
+    ann = ann_topk_bucketed(df, [1.0, 0.0, 0.0], k=3, n_bits=2).collect()
+    # bucket of query = bit0 only → vecs with x>0, y<=0: ids 0 (1 in bucket 3? no)
+    ids = [r["vec_id"] for r in ann]
+    assert 3 not in ids and 2 not in ids
+
+
+def test_encode_chars(spark):
+    df = spark.createDataFrame([("Ab9·x",)], "t string")
+    got = df.select(encode_chars(F.col("t")).alias("e")).collect()[0]["e"]
+    assert len(got) == MAXIMUM_LENGTH
+    up = "AB9·X"
+    for i, c in enumerate(up):
+        assert got[i] == VOCAB.index(c) + 1
+    assert all(v == 0 for v in got[len(up):])
