@@ -1,0 +1,87 @@
+"""Benchmark harness (driver-invoked, one JSON line to stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; the flagship
+transcript-extraction pipeline runs on a deterministic synthetic corpus
+sized to the scale factor. Every query is fully materialized via a
+noop sink (no collect bottleneck on the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from icdar_2019_rrc_sroie_spark import queries as q  # noqa: E402
+from icdar_2019_rrc_sroie_spark.fixtures import transcripts_df  # noqa: E402
+from icdar_2019_rrc_sroie_spark.plans.extraction import extract_spans  # noqa: E402
+from icdar_2019_rrc_sroie_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = (
+    "date_extract",
+    "reading_order",
+    "runs_islands",
+    "topk_per_group",
+    "mean_std",
+    "join_intersection",
+    "token_stats",
+    "dedup_exact",
+    "minhash_candidates",
+    "jaccard_pairs",
+    "cosine_topk",
+    "iou_pairs",
+    "box_encode_decode",
+    "total_lookback",
+    "charlm_encode",
+)
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total_start = time.perf_counter()
+
+    # Flagship: transcript span extraction. Corpus size scales with sf
+    # (~11 turns/conv average → sf0.1 ≈ 66k turns).
+    n_convs = max(200, int(60_000 * sf))
+    transcripts = transcripts_df(spark, n_convs=n_convs).cache()
+    n_turns = transcripts.count()
+
+    t0 = time.perf_counter()
+    materialize(extract_spans(transcripts))
+    flagship_sec = time.perf_counter() - t0
+    timings["transcript_spans"] = round(flagship_sec, 3)
+    transcripts.unpersist()
+
+    registry = q.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        materialize(registry[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = time.perf_counter() - total_start
+    print(json.dumps({
+        "metric": "bench_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "flagship_turns": n_turns,
+        "flagship_turns_per_sec": round(n_turns / flagship_sec, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
