@@ -1,0 +1,78 @@
+"""Sinks (S10/S11): submission-format encoders + partitioned writers.
+
+The reference writes per-image ``.txt`` files and zips them
+(text_localization/ctpn/evaluation.py:161-183 detection;
+keyword_information_extraction/evaluation.py:129-136 entities). The
+engine keeps everything tabular: one row per document with the exact
+serialized payload the reference would put in the file, written as
+partitioned parquet (or streamed to any object store) — file-per-record
+does not survive 10^12 rows, the *bytes* per record do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def detection_submission(lines: DataFrame) -> DataFrame:
+    """Detections → SROIE task-1 submission payload per doc:
+    ``xmin,ymin,xmax,ymax`` per line, newline-joined, ordered by line_id
+    (demo.py:196-201 semantics, integer coords)."""
+    row_txt = F.concat_ws(
+        ",",
+        F.col("xmin").cast("int"), F.col("ymin").cast("int"),
+        F.col("xmax").cast("int"), F.col("ymax").cast("int"),
+    )
+    return (
+        lines.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_id", row_txt.alias("txt")))
+                    ),
+                    lambda s: s["txt"],
+                ),
+                "\n",
+            ).alias("submission")
+        )
+    )
+
+
+def entity_submission(spans: DataFrame) -> DataFrame:
+    """Entity spans → per-turn JSON payload with fixed key order
+    (company, date, address, total — evaluation.py:129-136).
+
+    Null entities are already dropped upstream (F8); to_json omits
+    missing keys via a map built from present labels only.
+    """
+    ordered = ["company", "date", "address", "total"]
+    per_turn = spans.groupBy("conv_id", "turn_idx").agg(
+        F.map_from_entries(F.collect_list(F.struct("label", "text"))).alias("m")
+    )
+    entries = [
+        F.when(
+            F.map_contains_key(F.col("m"), F.lit(k)),
+            F.struct(F.lit(k).alias("key"),
+                     F.element_at(F.col("m"), F.lit(k)).alias("value")),
+        )
+        for k in ordered
+    ]
+    payload = F.to_json(
+        F.map_from_entries(
+            F.filter(F.array(*entries), lambda e: e.isNotNull())
+        )
+    )
+    return per_turn.select("conv_id", "turn_idx", payload.alias("submission"))
+
+
+def write_partitioned(df: DataFrame, path: str, *, by=("conv_id",),
+                      mode: str = "overwrite") -> None:
+    """Range-partitioned, sorted, clustered write (W2 stable ordering)."""
+    (
+        df.repartitionByRange(*by)
+        .sortWithinPartitions(*by)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1,0 +1,98 @@
+"""Multimodal plumbing + sink encoders + end-to-end detection plan."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from icdar_2019_rrc_sroie_spark.operators.geometry import anchor_grid
+from icdar_2019_rrc_sroie_spark.operators.multimodal import (
+    decode_and_featurize,
+    resize_meta,
+    sample_frames,
+)
+from icdar_2019_rrc_sroie_spark.operators.sinks import (
+    detection_submission,
+    entity_submission,
+)
+from icdar_2019_rrc_sroie_spark.plans.detection import detect_text_lines
+
+
+def _media_df(spark):
+    rows = [
+        ("img1", "image", b"\x01\x02\x03", (4, 3, 3, None, None)),
+        ("img2", "image", b"\xff\xee", (8, 2, 1, None, None)),
+        ("vid1", "video", b"0123456789abcdef", (4, 4, 3, None, 25)),
+        ("aud1", "audio", b"\x00\x01", (None, None, 1, 16000, None)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary,"
+        " meta struct<width:int,height:int,channels:int,"
+        "sample_rate:int,n_frames:int>",
+    )
+
+
+def test_decode_and_featurize(spark):
+    out = {r["media_id"]: r
+           for r in decode_and_featurize(_media_df(spark)).collect()}
+    assert out["img1"]["decoded_bytes"] == 4 * 3 * 3
+    assert len(out["img1"]["feature"]) == 8
+    assert 0.0 <= out["img1"]["mean_intensity"] <= 255.0
+    # determinism
+    again = {r["media_id"]: r
+             for r in decode_and_featurize(_media_df(spark)).collect()}
+    assert out["img1"]["feature"] == again["img1"]["feature"]
+
+
+def test_sample_frames(spark):
+    frames = sample_frames(_media_df(spark), every_n=10).collect()
+    assert {r["media_id"] for r in frames} == {"vid1"}
+    assert sorted(r["frame_idx"] for r in frames) == [0, 10, 20]
+
+
+def test_resize_meta(spark):
+    got = {r["media_id"]: r for r in
+           resize_meta(_media_df(spark).filter("kind = 'image'"),
+                       1024, 2048).collect()}
+    assert got["img1"]["ratio_w"] == 1024 / 4
+    assert got["img1"]["ratio_h"] == 2048 / 3
+
+
+def test_detection_submission(spark):
+    lines = spark.createDataFrame(
+        [("d0", 1, 10.9, 5.2, 99.9, 25.0, 0.9),
+         ("d0", 0, 0.0, 0.0, 50.0, 20.0, 0.8)],
+        "doc_id string, line_id int, xmin double, ymin double,"
+        " xmax double, ymax double, score double")
+    got = detection_submission(lines).collect()[0]["submission"]
+    assert got == "0,0,50,20\n10,5,99,25"
+
+
+def test_entity_submission(spark):
+    spans = spark.createDataFrame(
+        [("c0", 3, "total", "RM12.34"), ("c0", 3, "company", "ACME")],
+        "conv_id string, turn_idx int, label string, text string")
+    got = entity_submission(spans).collect()[0]["submission"]
+    assert json.loads(got) == {"company": "ACME", "total": "RM12.34"}
+    # fixed key order: company before total
+    assert got.index("company") < got.index("total")
+
+
+def test_detection_plan_end_to_end(spark):
+    anchors = anchor_grid(spark, feat_h=4, feat_w=8, heights=(11, 15, 22))
+    # one strong horizontal band of proposals at y≈16..27 across x cells
+    a_pdf = anchors.toPandas()
+    preds = []
+    for r in a_pdf.itertuples(index=False):
+        on_band = abs((r.ymin + r.ymax) / 2 - 23.5) < 3 and (r.ymax - r.ymin) < 14
+        score = 0.97 if on_band else 0.05
+        preds.append(("doc0", int(r.anchor_id), 0.0, 0.0, score))
+    pred_df = spark.createDataFrame(
+        preds, "doc_id string, anchor_id long, vc double, vh double,"
+        " score double")
+    lines = detect_text_lines(pred_df, anchors, img_w=128.0, img_h=64.0)
+    got = lines.collect()
+    assert len(got) == 1
+    line = got[0]
+    assert line["score"] > 0.9
+    assert line["xmax"] - line["xmin"] > 60  # spans several 16px strips
