@@ -14,7 +14,7 @@ none=0 company=1 date=2 address=3 total=4.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..constants import (
@@ -22,7 +22,12 @@ from ..constants import (
     TOTAL_CONTEXT_PATTERN,
     UNWANTED_COMPANY_CORE,
 )
-from .entities import extract_date_expr, extract_total_expr, is_number_expr
+from .entities import (
+    extract_date_expr,
+    extract_total_expr,
+    is_number_expr,
+    total_context_expr,
+)
 
 #: Deterministic confidences per class (fixed, so runs are reproducible).
 CLASS_PROBS = {"company": 0.85, "date": 0.95, "address": 0.75, "total": 0.90}
@@ -33,15 +38,22 @@ def classify_lines(lines_df: DataFrame,
                    line_idx_col: str = "line_idx") -> DataFrame:
     """Attach ``cls`` (int) and ``prob`` (double) to each line row.
 
-    ``lines_df`` must carry (conv_id, turn_idx, line_idx, text). A turn is
-    only eligible for entity classes when it *looks like a receipt* (has
-    both a money line with context and an extractable date) — the reference
-    only ever sees receipts, this gate reproduces that precondition on
-    mixed transcript data.
+    ``lines_df`` must carry (conv_id, turn_idx, line_idx, text). Pure
+    per-line features — no shuffle. The receipt-turn gate (the reference
+    precondition that every processed document IS a receipt) is applied
+    later in span assembly, on the already-grouped turn, so this stage
+    stays embarrassingly parallel and fuses into the scan.
     """
     t = F.trim(F.col(text_col))
-    is_date = extract_date_expr(t) != ""
-    is_total = (extract_total_expr(t) != "") & t.rlike(TOTAL_CONTEXT_PATTERN)
+    with_features = lines_df.select(
+        "*",
+        extract_date_expr(t).alias("date_ex"),
+        extract_total_expr(t).alias("total_ex"),
+        total_context_expr(t).alias("ctx_ok"),
+    )
+
+    is_date = F.col("date_ex") != ""
+    is_total = (F.col("total_ex") != "") & t.rlike(TOTAL_CONTEXT_PATTERN)
     is_address = (~is_date) & t.rlike(r"\d{5}") & F.contains(t, F.lit(","))
     is_company = (
         (F.col(line_idx_col) == 0)
@@ -49,15 +61,8 @@ def classify_lines(lines_df: DataFrame,
         & ~is_number_expr(t)
     )
 
-    turn = Window.partitionBy("conv_id", "turn_idx")
-    receipt_turn = (
-        (F.max(is_total.cast("int")).over(turn) == 1)
-        & (F.max(is_date.cast("int")).over(turn) == 1)
-    )
-
     cls = (
-        F.when(~receipt_turn, F.lit(LABELS_CLASSES["none"]))
-        .when(is_date, F.lit(LABELS_CLASSES["date"]))
+        F.when(is_date, F.lit(LABELS_CLASSES["date"]))
         .when(is_total, F.lit(LABELS_CLASSES["total"]))
         .when(is_address, F.lit(LABELS_CLASSES["address"]))
         .when(is_company, F.lit(LABELS_CLASSES["company"]))
@@ -70,4 +75,4 @@ def classify_lines(lines_df: DataFrame,
         .when(cls == LABELS_CLASSES["company"], F.lit(CLASS_PROBS["company"]))
         .otherwise(F.lit(0.99))
     )
-    return lines_df.withColumn("cls", cls).withColumn("prob", prob_expr)
+    return with_features.withColumn("cls", cls).withColumn("prob", prob_expr)

@@ -33,16 +33,26 @@ def extract_date_expr(text: Column) -> Column:
     """First DATE_PATTERN_1 match, else first DATE_PATTERN_2 match, else ''.
 
     Mirrors entity_matching.py:70-93 (two-pattern coalesce, group 0).
+    A cheap ``\\d`` guard short-circuits lines that cannot match (both
+    patterns require digits) before the backtracking-heavy alternation.
     """
     t = F.trim(text)
     m1 = F.regexp_extract(t, DATE_PATTERN_1, 0)
     m2 = F.regexp_extract(t, DATE_PATTERN_2, 0)
-    return F.trim(F.when(m1 != "", m1).otherwise(m2))
+    matched = F.trim(F.when(m1 != "", m1).otherwise(m2))
+    return F.when(t.rlike(r"\d"), matched).otherwise(F.lit(""))
 
 
 def extract_total_expr(text: Column) -> Column:
-    """First TOTAL_PATTERN match (entity_matching.py:96-115)."""
-    return F.trim(F.regexp_extract(F.trim(text), TOTAL_PATTERN, 0))
+    """First TOTAL_PATTERN match (entity_matching.py:96-115).
+
+    Guarded by a linear ``\\d\\.\\d`` scan — a necessary condition for
+    TOTAL_PATTERN's mandatory decimal — so the nested-quantifier prefix
+    only ever backtracks on money-like lines.
+    """
+    t = F.trim(text)
+    matched = F.trim(F.regexp_extract(t, TOTAL_PATTERN, 0))
+    return F.when(t.rlike(r"\d\.\d"), matched).otherwise(F.lit(""))
 
 
 def clean_company_expr(text: Column) -> Column:
@@ -115,12 +125,24 @@ def company_fallback_expr(lines: Column) -> Column:
     )
 
 
+def total_context_expr(text: Column) -> Column:
+    """Valid lookback-context line: has TOTAL|AMOUNT, lacks EX|SUB
+    (entity_matching.py:223-225)."""
+    t = F.trim(text)
+    return t.rlike(TOTAL_INFER_CONTEXT_PATTERN) & ~t.rlike(
+        TOTAL_INFER_BLOCK_PATTERN
+    )
+
+
 def date_fallback_expr(lines: Column) -> Column:
     """First line with an extractable date (entity_matching.py:205-210)."""
-    dates = F.filter(
-        F.transform(lines, extract_date_expr), lambda d: d != ""
-    )
-    return F.coalesce(F.element_at(dates, 1), F.lit(""))
+    return date_fallback_from(F.transform(lines, extract_date_expr))
+
+
+def date_fallback_from(dates: Column) -> Column:
+    """Same rule over precomputed per-line date extractions."""
+    hits = F.filter(dates, lambda d: d != "")
+    return F.coalesce(F.element_at(hits, 1), F.lit(""))
 
 
 def total_fallback_expr(lines: Column) -> Column:
@@ -135,11 +157,15 @@ def total_fallback_expr(lines: Column) -> Column:
     added numerically.
     """
     totals = F.transform(lines, extract_total_expr)
-    ctx = F.transform(
-        lines,
-        lambda l: F.trim(l).rlike(TOTAL_INFER_CONTEXT_PATTERN)
-        & ~F.trim(l).rlike(TOTAL_INFER_BLOCK_PATTERN),
-    )
+    ctx = F.transform(lines, total_context_expr)
+    return total_fallback_from(totals, ctx, lines)
+
+
+def total_fallback_from(totals: Column, ctx: Column,
+                        lines: Column) -> Column:
+    """Same rule over precomputed per-line totals and context flags —
+    the shuffle-side path recomputes no regex except the per-turn
+    RND/ROUNDING scan."""
     n = F.size(lines)
     idx = F.sequence(F.lit(0), n - 1)
     # first 0-based index j >= 1 whose line carries valid context
@@ -157,7 +183,10 @@ def total_fallback_expr(lines: Column) -> Column:
     # Rounding adjustment over the separator-less text space
     # (entity_matching.py:167-171,230-244).
     text_space = F.trim(F.array_join(lines, ""))
-    rnd_note = F.regexp_extract(text_space, r"(RND|ROUNDING).*(\d+.\d+)", 0)
+    rnd_note = F.when(
+        text_space.rlike("RND|ROUNDING"),
+        F.regexp_extract(text_space, r"(RND|ROUNDING).*(\d+.\d+)", 0),
+    ).otherwise(F.lit(""))
     rnd_val = F.trim(F.regexp_extract(rnd_note, TOTAL_PATTERN, 0))
     total_num = raw.cast("double")
     rnd_num = rnd_val.cast("double")

@@ -1,26 +1,25 @@
-"""Run-length span assembly + entity selection (W3, A10, F8).
+"""Run-length span assembly + entity selection (W3, A10, F8) — single
+shuffle.
 
 Re-expresses the reference's ``convert_predictions_to_dict``
 (keyword_information_extraction/data/postprocessing/entity_matching.py:
-118-256) as relational algebra:
+118-256) as ONE aggregation: classified line rows are grouped per turn
+into a sorted struct array, then run segmentation (entity_matching.py:
+143), per-entity best-run selection with the strictly-greater/earliest
+rule (:146-163), date/total first-max-line vs company/address
+space-join (:153-163), cleaning, fallback rules and null drop
+(:165-254) all happen as Catalyst array algebra on that one row per
+turn.
 
-* run-length segmentation of the per-line class sequence
-  (entity_matching.py:143) → gaps-and-islands window,
-* per-entity best-run selection with earliest-run tie-break
-  (entity_matching.py:146-163) → row_number over (prob desc, run asc),
-* date/total keep the first max-probability line of the run, company/
-  address join the run's lines with spaces (entity_matching.py:153-163),
-* cleaning + fallback rules (entity_matching.py:165-244) → expressions
-  from ``operators.entities``,
-* null-entity drop (entity_matching.py:246-254) → filter.
-
-Two shuffles total, both hash-partitioned on (conv_id, turn_idx); Catalyst
-reuses the exchange between the window and the aggregations.
+Scale rationale: turns are small (10-500 lines) so the collected array
+is bounded; the plan has exactly one exchange — hash(conv_id, turn_idx)
+— and the classifier chain upstream is evaluated exactly once (the
+previous window/pivot/join formulation recomputed it three times).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..constants import LABELS_CLASSES
@@ -28,104 +27,154 @@ from .entities import (
     clean_address_expr,
     clean_company_expr,
     company_fallback_expr,
-    date_fallback_expr,
-    extract_date_expr,
-    extract_total_expr,
-    total_fallback_expr,
+    date_fallback_from,
+    total_fallback_from,
 )
 
 _TURN_KEYS = ("conv_id", "turn_idx")
 
+_DATE = LABELS_CLASSES["date"]
+_TOTAL = LABELS_CLASSES["total"]
+_COMPANY = LABELS_CLASSES["company"]
+_ADDRESS = LABELS_CLASSES["address"]
+_NONE = LABELS_CLASSES["none"]
 
-def segment_runs(classified: DataFrame) -> DataFrame:
-    """Gaps-and-islands: contiguous same-class line groups → one row/run."""
-    w = Window.partitionBy(*_TURN_KEYS).orderBy("line_idx")
-    change = (
-        F.lag("cls").over(w).isNull() | (F.col("cls") != F.lag("cls").over(w))
-    ).cast("int")
-    with_run = classified.withColumn(
-        "run_id",
-        F.sum(change).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+
+def _best_run(entity_cls: int, runs: Column) -> Column:
+    """Winning run struct for one entity class (null if none).
+
+    ``runs``: array<struct<cls,s,e,run_max>> in line order. The winner
+    is the run with the strictly greatest max-probability (ties keep the
+    earliest run — reference iterates runs in order and only replaces on
+    ``>``, entity_matching.py:150-152)."""
+    null_run = F.lit(None).cast(
+        "struct<cls:int,s:int,e:int,run_max:double>"
     )
-    return with_run.groupBy(*_TURN_KEYS, "run_id").agg(
-        F.max("cls").alias("cls"),
-        F.max("prob").alias("run_prob"),
-        F.min("line_idx").alias("run_start"),
-        # first line reaching the run's max probability (reference uses
-        # probabilities.index(max, start, stop) — earliest wins)
-        F.expr(
-            "min_by(text, struct(-prob as neg_prob, line_idx as li))"
-        ).alias("argmax_text"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_idx", "text"))),
-                lambda s: s["text"],
-            ),
-            " ",
-        ).alias("joined_text"),
+    return F.aggregate(
+        F.filter(runs, lambda r: r["cls"] == entity_cls),
+        null_run,
+        lambda acc, r: F.when(
+            acc.isNull() | (r["run_max"] > acc["run_max"]), r
+        ).otherwise(acc),
     )
 
 
-def best_entity_runs(runs: DataFrame) -> DataFrame:
-    """Per (turn, entity): the run with max probability, earliest first."""
-    w = Window.partitionBy(*_TURN_KEYS, "cls").orderBy(
-        F.desc("run_prob"), F.asc("run_start")
+def _best_run_value(entity_cls: int, runs: Column, values: Column,
+                    probs: Column) -> Column:
+    """date/total winner: the precomputed value of the first line inside
+    the winning run that reaches the run's max probability
+    (probabilities.index(max, start, stop) — earliest wins)."""
+    best = _best_run(entity_cls, runs)
+    s, e, run_max = best["s"], best["e"], best["run_max"]
+    idx = F.element_at(
+        F.filter(
+            F.sequence(s, e),
+            lambda i: F.element_at(probs, i + 1) == run_max,
+        ),
+        1,
     )
-    date_cls = LABELS_CLASSES["date"]
-    total_cls = LABELS_CLASSES["total"]
-    raw = F.when(
-        F.col("cls").isin(date_cls, total_cls), F.col("argmax_text")
-    ).otherwise(F.col("joined_text"))
-    return (
-        runs.filter(F.col("cls") != LABELS_CLASSES["none"])
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(*_TURN_KEYS, "cls", raw.alias("raw_text"),
-                F.col("run_prob").alias("score"))
+    value = F.element_at(values, idx + 1)
+    return F.when(best.isNull(), F.lit("")).otherwise(
+        F.coalesce(value, F.lit(""))
+    )
+
+
+def _best_run_joined(entity_cls: int, runs: Column, texts: Column) -> Column:
+    """company/address winner: run lines joined with spaces
+    (entity_matching.py:161-163)."""
+    best = _best_run(entity_cls, runs)
+    s, e = best["s"], best["e"]
+    raw = F.array_join(F.slice(texts, s + 1, e - s + 1), " ")
+    return F.when(best.isNull(), F.lit("")).otherwise(
+        F.coalesce(raw, F.lit(""))
+    )
+
+
+def turns_with_lines(classified: DataFrame) -> DataFrame:
+    """One row per turn: sorted arrays of per-line features.
+
+    Every regex-derived feature (date/total extraction, context flag)
+    was computed once on the map side; the reduce side only rearranges
+    arrays — no pattern matching after the shuffle except the per-turn
+    RND note scan and the winner-line cleanups."""
+    grouped = classified.groupBy(*_TURN_KEYS).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("line_idx", "text", "cls", "prob",
+                         "date_ex", "total_ex", "ctx_ok")
+            )
+        ).alias("L")
+    )
+    return grouped.select(
+        *_TURN_KEYS,
+        F.transform("L", lambda x: x["text"]).alias("texts"),
+        F.transform("L", lambda x: x["cls"]).alias("classes"),
+        F.transform("L", lambda x: x["prob"]).alias("probs"),
+        F.transform("L", lambda x: x["date_ex"]).alias("dates"),
+        F.transform("L", lambda x: x["total_ex"]).alias("totals"),
+        F.transform("L", lambda x: x["ctx_ok"]).alias("ctxs"),
     )
 
 
 def assemble_spans(classified: DataFrame) -> DataFrame:
-    """classified line rows → spans table (conv_id, turn_idx, label, text).
+    """classified line rows → spans (conv_id, turn_idx, label, text).
 
-    ``classified`` needs columns (conv_id, turn_idx, line_idx, text, cls,
-    prob). Only turns with at least one entity run emit spans (the
-    reference precondition: every processed document is a receipt).
+    Only *receipt turns* (a date line AND a contextual total line
+    present — the reference precondition) emit spans.
     """
-    runs = segment_runs(classified)
-    best = best_entity_runs(runs)
+    turns = turns_with_lines(classified)
 
-    wide = (
-        best.groupBy(*_TURN_KEYS)
-        .pivot("cls", [LABELS_CLASSES[k] for k in
-                       ("company", "date", "address", "total")])
-        .agg(F.first("raw_text"))
-        .withColumnRenamed(str(LABELS_CLASSES["company"]), "raw_company")
-        .withColumnRenamed(str(LABELS_CLASSES["date"]), "raw_date")
-        .withColumnRenamed(str(LABELS_CLASSES["address"]), "raw_address")
-        .withColumnRenamed(str(LABELS_CLASSES["total"]), "raw_total")
+    C, P, texts = F.col("classes"), F.col("probs"), F.col("texts")
+    n = F.size(C)
+
+    receipt = F.array_contains(C, _DATE) & F.array_contains(C, _TOTAL)
+    turns = turns.filter(receipt)
+
+    # run starts: i == 0 or class change (W3 gaps-and-islands, in-array)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == 0)
+        | (F.element_at(C, i + 1) != F.element_at(C, i)),
+    )
+    m = F.size(starts)
+    runs = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda j: F.struct(
+            F.element_at(C, F.element_at(starts, j + 1) + 1).alias("cls"),
+            F.element_at(starts, j + 1).alias("s"),
+            F.when(
+                j < m - 1, F.element_at(starts, j + 2) - 1
+            ).otherwise(n - 1).alias("e"),
+        ),
+    )
+    runs = F.transform(
+        runs,
+        lambda r: F.struct(
+            r["cls"].alias("cls"),
+            r["s"].alias("s"),
+            r["e"].alias("e"),
+            F.array_max(
+                F.slice(P, r["s"] + 1, r["e"] - r["s"] + 1)
+            ).alias("run_max"),
+        ),
     )
 
-    turn_lines = classified.groupBy(*_TURN_KEYS).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("line_idx", "text"))),
-            lambda s: s["text"],
-        ).alias("lines")
-    )
+    with_runs = turns.withColumn("runs", runs)
+    R = F.col("runs")
 
-    joined = wide.join(turn_lines, list(_TURN_KEYS))
+    company_p = clean_company_expr(_best_run_joined(_COMPANY, R, texts))
+    address_p = clean_address_expr(_best_run_joined(_ADDRESS, R, texts))
+    date_p = _best_run_value(_DATE, R, F.col("dates"), F.col("probs"))
+    total_p = _best_run_value(_TOTAL, R, F.col("totals"), F.col("probs"))
 
-    company_p = clean_company_expr(F.coalesce("raw_company", F.lit("")))
-    address_p = clean_address_expr(F.coalesce("raw_address", F.lit("")))
-    date_p = extract_date_expr(F.coalesce("raw_date", F.lit("")))
-    total_p = extract_total_expr(F.coalesce("raw_total", F.lit("")))
+    company = F.when(company_p == "", company_fallback_expr(texts)).otherwise(company_p)
+    date = F.when(date_p == "", date_fallback_from(F.col("dates"))).otherwise(date_p)
+    total = F.when(
+        total_p == "",
+        total_fallback_from(F.col("totals"), F.col("ctxs"), texts),
+    ).otherwise(total_p)
 
-    lines = F.col("lines")
-    company = F.when(company_p == "", company_fallback_expr(lines)).otherwise(company_p)
-    date = F.when(date_p == "", date_fallback_expr(lines)).otherwise(date_p)
-    total = F.when(total_p == "", total_fallback_expr(lines)).otherwise(total_p)
-
-    resolved = joined.select(
+    resolved = with_runs.select(
         *_TURN_KEYS,
         company.alias("company"),
         date.alias("date"),
@@ -133,11 +182,10 @@ def assemble_spans(classified: DataFrame) -> DataFrame:
         total.alias("total"),
     )
 
-    spans = resolved.select(
+    return resolved.select(
         *_TURN_KEYS,
         F.expr(
             "stack(4, 'company', company, 'date', date, "
             "'address', address, 'total', total) as (label, text)"
         ),
     ).filter(F.col("text") != "")
-    return spans

@@ -1,0 +1,127 @@
+"""Query battery, batch 4: pipeline-level operators whose kernels are
+sequential per-document (applyInPandas) — recorded as rows-only checks
+by the driver; their exact semantics are pytest-verified against NumPy
+oracles (tests/test_detection.py, tests/test_deteval.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.detection_kernels import nms_per_doc
+from .operators.geometry import anchor_grid
+from .operators.sinks import detection_submission, entity_submission
+from .eval.deteval import deteval_corpus, deteval_per_doc
+from .plans.detection import detect_text_lines
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic per-doc proposals from lineitem keys (deterministic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("doc"), (F.col("l_orderkey") % 200)).alias("doc_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("proposal_id"),
+        ((F.col("l_partkey") % 30) * 16.0).alias("xmin"),
+        ((F.col("l_suppkey") % 25) * 16.0).alias("ymin"),
+        ((F.col("l_partkey") % 30) * 16.0 + 15.0).alias("xmax"),
+        ((F.col("l_suppkey") % 25) * 16.0 + 12.0
+         + (F.col("l_orderkey") % 7).cast("double")).alias("ymax"),
+        ((F.col("l_extendedprice") % 1000) / 1000.0).alias("score"),
+    )
+
+
+def q_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nms_per_doc(_proposals(spark, sf_dir), 0.3) \
+        .orderBy("doc_id", "pick_order")
+
+
+def q_detection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    anchors = anchor_grid(spark, feat_h=8, feat_w=16, heights=(11, 15, 22))
+    preds = li.crossJoin(F.broadcast(anchors.select("anchor_id"))).select(
+        F.concat(F.lit("doc"), (F.col("l_orderkey") % 40)).alias("doc_id"),
+        "anchor_id",
+        F.lit(0.0).alias("vc"),
+        F.lit(0.0).alias("vh"),
+        F.when(
+            F.pmod(F.xxhash64("l_orderkey", "anchor_id"), 100) < 4,
+            F.lit(0.95),
+        ).otherwise(F.lit(0.1)).alias("score"),
+    ).groupBy("doc_id", "anchor_id").agg(
+        F.max("vc").alias("vc"), F.max("vh").alias("vh"),
+        F.max("score").alias("score"),
+    )
+    return detect_text_lines(preds, anchors, img_w=256.0, img_h=128.0) \
+        .orderBy("doc_id", "line_id")
+
+
+def q_deteval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    gt = li.filter(F.col("l_linenumber") <= 3).select(
+        F.concat(F.lit("doc"), (F.col("l_orderkey") % 300)).alias("doc_id"),
+        F.col("l_linenumber").alias("gt_id"),
+        ((F.col("l_partkey") % 20) * 20.0).alias("xmin"),
+        ((F.col("l_linenumber") % 6) * 25.0).alias("ymin"),
+        ((F.col("l_partkey") % 20) * 20.0 + 90.0).alias("xmax"),
+        ((F.col("l_linenumber") % 6) * 25.0 + 18.0).alias("ymax"),
+        (F.col("l_partkey") % 17 == 0).alias("dontcare"),
+    ).dropDuplicates(["doc_id", "gt_id"])
+    det = gt.filter(~F.col("dontcare") | (F.col("gt_id") % 2 == 0)).select(
+        "doc_id", F.col("gt_id").alias("det_id"),
+        (F.col("xmin") + 2.0).alias("xmin"), (F.col("ymin") + 1.0).alias("ymin"),
+        (F.col("xmax") + 2.0).alias("xmax"), (F.col("ymax") + 1.0).alias("ymax"),
+    )
+    per_doc = deteval_per_doc(gt, det)
+    return deteval_corpus(per_doc).select(
+        F.floor(F.col("recall") * 1e6 + 0.5).cast("long").alias("recall_micro"),
+        F.floor(F.col("precision") * 1e6 + 0.5).cast("long").alias("precision_micro"),
+        F.floor(F.col("hmean") * 1e6 + 0.5).cast("long").alias("hmean_micro"),
+    )
+
+
+def q_detection_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    survivors = nms_per_doc(_proposals(spark, sf_dir), 0.3)
+    lines = survivors.select(
+        "doc_id", F.col("pick_order").alias("line_id"),
+        "xmin", "ymin", "xmax", "ymax", "score")
+    return detection_submission(lines).orderBy("doc_id")
+
+
+def q_entity_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fixtures import transcripts_df
+    from .plans.extraction import extract_spans
+
+    spans = extract_spans(transcripts_df(spark, n_convs=40, seed=42))
+    return entity_submission(spans).orderBy("conv_id", "turn_idx")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_and_featurize
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.substring("text", 1, 64), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(16).alias("width"), F.lit(8).alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    return decode_and_featurize(media).orderBy("media_id")
+
+
+ROWS_ONLY_QUERIES = {
+    "nms": (q_nms, None),
+    "detection_pipeline": (q_detection_pipeline, None),
+    "deteval_corpus": (q_deteval, None),
+    "detection_sink": (q_detection_sink, None),
+    "entity_sink": (q_entity_sink, None),
+    "multimodal_features": (q_multimodal_features, None),
+}
