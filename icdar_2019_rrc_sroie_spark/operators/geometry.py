@@ -94,6 +94,46 @@ def xy_min_max(coords: Column) -> Column:
     )
 
 
+def order_clockwise(points: Column) -> Column:
+    """Order 4 corner points clockwise from top-left (X12 —
+    functional/utils/box.py:36-72): sort by x; the two left-most sorted
+    by y give (tl, bl), the two right-most give (tr, br); result is
+    [tl, tr, br, bl]. ``points``: array<struct<x,y>> of length 4."""
+    by_x = F.array_sort(
+        points,
+        lambda a, b: F.when(a["x"] < b["x"], F.lit(-1))
+        .when(a["x"] > b["x"], F.lit(1)).otherwise(F.lit(0)),
+    )
+    left = F.array_sort(
+        F.slice(by_x, 1, 2),
+        lambda a, b: F.when(a["y"] < b["y"], F.lit(-1))
+        .when(a["y"] > b["y"], F.lit(1)).otherwise(F.lit(0)),
+    )
+    right = F.array_sort(
+        F.slice(by_x, 3, 2),
+        lambda a, b: F.when(a["y"] < b["y"], F.lit(-1))
+        .when(a["y"] > b["y"], F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.array(
+        F.element_at(left, 1), F.element_at(right, 1),
+        F.element_at(right, 2), F.element_at(left, 2),
+    )
+
+
+def parse_annotation_line(line: Column) -> Column:
+    """SROIE annotation line → struct(coords array<double>, transcript)
+    (S3/S4 — functional/utils/dataset.py:134-157, utils/misc.py:135-168):
+    split on ',' with at most 8 coordinate parts, remainder is the
+    transcript (which may itself contain commas)."""
+    parts = F.split(F.regexp_replace(F.trim(line), "^﻿", ""), ",", 9)
+    coords = F.transform(
+        F.slice(parts, 1, 8), lambda p: p.cast("double")
+    )
+    transcript = F.when(F.size(parts) >= 9, F.element_at(parts, 9)) \
+        .otherwise(F.lit(""))
+    return F.struct(coords.alias("coords"), transcript.alias("transcript"))
+
+
 def split_strips(xmin: Column, xmax: Column,
                  shift: int = ANCHOR_SHIFT) -> Column:
     """Strip ids covering [xmin, xmax) at the anchor width (X16):

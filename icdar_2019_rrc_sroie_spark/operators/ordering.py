@@ -1,0 +1,78 @@
+"""Reading-order restoration (W1/W2).
+
+The reference sorts OCR boxes with a pairwise comparator: boxes on the
+same visual row (|Δy| ≤ 14) order by x, otherwise by y
+(keyword_information_extraction/utils/misc.py:115-132). That comparator
+is not transitive, so it has no exact relational equivalent; the engine
+offers:
+
+* ``reading_order`` — the scale path: tolerance-bucketed
+  ``(floor(y/14), x)`` window ordering, pure Catalyst;
+* ``reading_order_exact`` — per-doc ``applyInPandas`` running the exact
+  comparator via a stable insertion-order sort (Python ``sorted`` with
+  ``cmp_to_key``), for parity testing on small groups.
+
+Turn-order restore (W2) is a plain window over ``turn_idx``.
+"""
+
+from __future__ import annotations
+
+from functools import cmp_to_key
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..constants import READING_ORDER_TOLERANCE
+
+
+def reading_order(boxes: DataFrame, doc_col: str = "doc_id",
+                  tolerance: int = READING_ORDER_TOLERANCE) -> DataFrame:
+    """Bucketed y-then-x ordering — the distributed analog of the
+    reference comparator; identical on layouts whose rows are separated
+    by more than the tolerance."""
+    w = Window.partitionBy(doc_col).orderBy(
+        F.floor(F.col("y") / tolerance), F.col("x"), F.col("box_id")
+    )
+    return boxes.withColumn("reading_pos", F.row_number().over(w))
+
+
+def reading_order_exact(boxes: DataFrame,
+                        doc_col: str = "doc_id",
+                        tolerance: int = READING_ORDER_TOLERANCE) -> DataFrame:
+    """Exact comparator semantics per document (misc.py:115-132)."""
+    schema = T.StructType(
+        boxes.schema.fields
+        + [T.StructField("reading_pos", T.IntegerType())]
+    )
+
+    def cmp(a, b):
+        if abs(a[1] - b[1]) <= tolerance:
+            return a[0] - b[0]
+        return a[1] - b[1]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("box_id").reset_index(drop=True)
+        order = sorted(
+            range(len(pdf)),
+            key=cmp_to_key(
+                lambda i, j: cmp(
+                    (pdf.x.iloc[i], pdf.y.iloc[i]),
+                    (pdf.x.iloc[j], pdf.y.iloc[j]),
+                )
+            ),
+        )
+        pos = [0] * len(pdf)
+        for rank, idx in enumerate(order):
+            pos[idx] = rank + 1
+        pdf["reading_pos"] = pos
+        return pdf
+
+    return boxes.groupBy(doc_col).applyInPandas(kernel, schema)
+
+
+def restore_turn_order(df: DataFrame) -> DataFrame:
+    """W2: stable per-conversation ordering over turn_idx."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return df.withColumn("turn_pos", F.row_number().over(w))

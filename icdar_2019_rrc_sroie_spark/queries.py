@@ -519,11 +519,13 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
 def _all_batches() -> dict:
     from .queries_dedup import SQL_QUERIES_DEDUP
     from .queries_geo import SQL_QUERIES_GEO
+    from .queries_parse import SQL_QUERIES_PARSE
     from .queries_pipeline import ROWS_ONLY_QUERIES
 
     merged = dict(SQL_QUERIES)
     merged.update(SQL_QUERIES_GEO)
     merged.update(SQL_QUERIES_DEDUP)
+    merged.update(SQL_QUERIES_PARSE)
     merged.update(ROWS_ONLY_QUERIES)
     return merged
 
