@@ -58,10 +58,10 @@ SQL_MINHASH_SIGNATURES = rf"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
 sh AS ({_SHINGLES_SQL})
 SELECT doc_id,
-  min(md5('0|' || shingle)) AS sig0,
-  min(md5('1|' || shingle)) AS sig1,
-  min(md5('2|' || shingle)) AS sig2,
-  min(md5('3|' || shingle)) AS sig3
+  min(substr(md5(shingle), 1, 8)) AS sig0,
+  min(substr(md5(shingle), 9, 8)) AS sig1,
+  min(substr(md5(shingle), 17, 8)) AS sig2,
+  min(substr(md5(shingle), 25, 8)) AS sig3
 FROM sh GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -78,8 +78,8 @@ WITH corpus AS ({_WITH_DUPS_SQL}),
 sh AS ({_SHINGLES_SQL}),
 sigs AS (
   SELECT doc_id,
-    min(md5('0|' || shingle)) AS sig0, min(md5('1|' || shingle)) AS sig1,
-    min(md5('2|' || shingle)) AS sig2, min(md5('3|' || shingle)) AS sig3
+    min(substr(md5(shingle), 1, 8)) AS sig0, min(substr(md5(shingle), 9, 8)) AS sig1,
+    min(substr(md5(shingle), 17, 8)) AS sig2, min(substr(md5(shingle), 25, 8)) AS sig3
   FROM sh GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band_idx, md5(sig0 || '|' || sig1) AS band_hash FROM sigs
@@ -208,8 +208,8 @@ WITH corpus AS (SELECT doc_id, text FROM documents),
 sh AS ({_SHINGLES_SQL}),
 sigs AS (
   SELECT doc_id,
-    min(md5('0|' || shingle)) AS sig0, min(md5('1|' || shingle)) AS sig1,
-    min(md5('2|' || shingle)) AS sig2, min(md5('3|' || shingle)) AS sig3
+    min(substr(md5(shingle), 1, 8)) AS sig0, min(substr(md5(shingle), 9, 8)) AS sig1,
+    min(substr(md5(shingle), 17, 8)) AS sig2, min(substr(md5(shingle), 25, 8)) AS sig3
   FROM sh GROUP BY doc_id
 )
 SELECT doc_id, band_idx, band_hash FROM (

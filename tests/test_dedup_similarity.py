@@ -58,7 +58,7 @@ def test_minhash_signatures_oracle(docs_df):
            for r in minhash_signatures(docs_df, num_hashes=4).collect()}
     for doc_id, text in DOCS:
         expected = [
-            min(hashlib.md5(f"{i}|{s}".encode()).hexdigest()
+            min(hashlib.md5(s.encode()).hexdigest()[8 * i:8 * i + 8]
                 for s in _shingles(text))
             for i in range(4)
         ]
