@@ -51,28 +51,39 @@ def classify_lines(lines_df: DataFrame,
         extract_total_expr(t).alias("total_ex"),
         total_context_expr(t).alias("ctx_ok"),
     )
+    cls = class_expr(t, F.col(line_idx_col),
+                     F.col("date_ex"), F.col("total_ex"))
+    return with_features.withColumn("cls", cls) \
+        .withColumn("prob", prob_expr(cls))
 
-    is_date = F.col("date_ex") != ""
-    is_total = (F.col("total_ex") != "") & t.rlike(TOTAL_CONTEXT_PATTERN)
+
+def class_expr(t: Column, line_idx: Column,
+               date_ex: Column, total_ex: Column) -> Column:
+    """Class id from precomputed date/total extractions (shared by the
+    line-row path and the no-shuffle turn-array path)."""
+    is_date = date_ex != ""
+    is_total = (total_ex != "") & t.rlike(TOTAL_CONTEXT_PATTERN)
     is_address = (~is_date) & t.rlike(r"\d{5}") & F.contains(t, F.lit(","))
     is_company = (
-        (F.col(line_idx_col) == 0)
+        (line_idx == 0)
         & ~t.rlike(UNWANTED_COMPANY_CORE)
         & ~is_number_expr(t)
     )
-
-    cls = (
+    return (
         F.when(is_date, F.lit(LABELS_CLASSES["date"]))
         .when(is_total, F.lit(LABELS_CLASSES["total"]))
         .when(is_address, F.lit(LABELS_CLASSES["address"]))
         .when(is_company, F.lit(LABELS_CLASSES["company"]))
         .otherwise(F.lit(LABELS_CLASSES["none"]))
     )
-    prob_expr: Column = (
+
+
+def prob_expr(cls: Column) -> Column:
+    """Deterministic confidence for a class id."""
+    return (
         F.when(cls == LABELS_CLASSES["date"], F.lit(CLASS_PROBS["date"]))
         .when(cls == LABELS_CLASSES["total"], F.lit(CLASS_PROBS["total"]))
         .when(cls == LABELS_CLASSES["address"], F.lit(CLASS_PROBS["address"]))
         .when(cls == LABELS_CLASSES["company"], F.lit(CLASS_PROBS["company"]))
         .otherwise(F.lit(0.99))
     )
-    return with_features.withColumn("cls", cls).withColumn("prob", prob_expr)

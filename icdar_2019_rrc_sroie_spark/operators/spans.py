@@ -119,11 +119,22 @@ def turns_with_lines(classified: DataFrame) -> DataFrame:
 def assemble_spans(classified: DataFrame) -> DataFrame:
     """classified line rows → spans (conv_id, turn_idx, label, text).
 
-    Only *receipt turns* (a date line AND a contextual total line
-    present — the reference precondition) emit spans.
+    Line-row entry point (task-3 CSV shape): one shuffle to regroup
+    lines per turn, then the array-algebra assembly.
     """
-    turns = turns_with_lines(classified)
+    return spans_from_turns(turns_with_lines(classified))
 
+
+def spans_from_turns(turns: DataFrame) -> DataFrame:
+    """Turn-array rows → spans (conv_id, turn_idx, label, text).
+
+    ``turns`` carries per-turn arrays (texts, classes, probs, dates,
+    totals, ctxs) in line order. Pure projection — callers that already
+    have one row per turn (the transcripts flagship) get a
+    shuffle-free plan. Only *receipt turns* (a date line AND a
+    contextual total line present — the reference precondition) emit
+    spans.
+    """
     C, P, texts = F.col("classes"), F.col("probs"), F.col("texts")
     n = F.size(C)
 

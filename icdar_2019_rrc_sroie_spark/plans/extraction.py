@@ -2,17 +2,17 @@
 
 transcripts (conv_id, turn_idx, role, text, tool, ts)
   → boilerplate strip (pure Catalyst)
-  → line explode
-  → deterministic span classifier (Catalyst)
+  → per-line features + classification, as array algebra on the turn row
   → run segmentation + entity rules (Catalyst)
   → spans (conv_id, turn_idx, label, text)
 
-Scale notes: the unit of parallelism is the *turn*, not the conversation —
-partitioning on (conv_id, turn_idx) makes long-conversation skew a
-non-issue for this stage (a 5,000-turn conversation spreads over all
-executors). The single exchange introduced by the window/groupBys is
-hash(conv_id, turn_idx); Catalyst reuses it across the window, both
-aggregations and the join (verified via explain in tests).
+Scale notes: a turn's payload is ONE input row, so the whole pipeline
+is a shuffle-free projection — every stage fuses into the scan; there
+is no exchange, no skew surface, and throughput scales with cores/
+executors linearly (asserted in tests/test_plan_hygiene.py). The
+line-row entry point (``turn_lines`` + ``classify_lines`` +
+``assemble_spans``) remains for inputs that arrive already exploded
+(the reference's task-3 CSV shape) and costs exactly one shuffle.
 """
 
 from __future__ import annotations
@@ -21,8 +21,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.boilerplate import to_clean_lines
-from ..operators.classify import classify_lines
-from ..operators.spans import assemble_spans
+from ..operators.classify import class_expr, prob_expr
+from ..operators.entities import (
+    extract_date_expr,
+    extract_total_expr,
+    total_context_expr,
+)
+from ..operators.spans import spans_from_turns
 
 SPAN_COLUMNS = ("conv_id", "turn_idx", "label", "text")
 
@@ -36,11 +41,35 @@ def turn_lines(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def turns_with_features(transcripts: DataFrame) -> DataFrame:
+    """One row per turn with per-line feature arrays — no shuffle."""
+    lines = to_clean_lines(F.col("text"))
+    with_lines = transcripts.select("conv_id", "turn_idx",
+                                    lines.alias("texts"))
+    texts = F.col("texts")
+    dates = F.transform(texts, lambda t: extract_date_expr(t))
+    totals = F.transform(texts, lambda t: extract_total_expr(t))
+    ctxs = F.transform(texts, lambda t: total_context_expr(t))
+    with_feat = with_lines.select(
+        "conv_id", "turn_idx", "texts",
+        dates.alias("dates"), totals.alias("totals"), ctxs.alias("ctxs"),
+    )
+    classes = F.transform(
+        F.col("texts"),
+        lambda t, i: class_expr(
+            F.trim(t), i,
+            F.element_at(F.col("dates"), i + 1),
+            F.element_at(F.col("totals"), i + 1),
+        ),
+    )
+    with_cls = with_feat.withColumn("classes", classes)
+    probs = F.transform(F.col("classes"), lambda c: prob_expr(c))
+    return with_cls.withColumn("probs", probs)
+
+
 def extract_spans(transcripts: DataFrame) -> DataFrame:
     """Full pipeline: transcripts → labeled entity spans per turn."""
-    lines = turn_lines(transcripts)
-    classified = classify_lines(lines)
-    return assemble_spans(classified)
+    return spans_from_turns(turns_with_features(transcripts))
 
 
 def ordered_spans(spans: DataFrame) -> DataFrame:
