@@ -125,7 +125,8 @@ def assemble_spans(classified: DataFrame) -> DataFrame:
     return spans_from_turns(turns_with_lines(classified))
 
 
-def spans_from_turns(turns: DataFrame) -> DataFrame:
+def spans_from_turns(turns: DataFrame,
+                     passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Turn-array rows → spans (conv_id, turn_idx, label, text).
 
     ``turns`` carries per-turn arrays (texts, classes, probs, dates,
@@ -187,6 +188,7 @@ def spans_from_turns(turns: DataFrame) -> DataFrame:
 
     resolved = with_runs.select(
         *_TURN_KEYS,
+        *passthrough,
         company.alias("company"),
         date.alias("date"),
         address_p.alias("address"),
@@ -195,6 +197,7 @@ def spans_from_turns(turns: DataFrame) -> DataFrame:
 
     return resolved.select(
         *_TURN_KEYS,
+        *passthrough,
         F.expr(
             "stack(4, 'company', company, 'date', date, "
             "'address', address, 'total', total) as (label, text)"

@@ -41,17 +41,21 @@ def turn_lines(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def turns_with_features(transcripts: DataFrame) -> DataFrame:
-    """One row per turn with per-line feature arrays — no shuffle."""
+def turns_with_features(transcripts: DataFrame,
+                        passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """One row per turn with per-line feature arrays — no shuffle.
+
+    ``passthrough`` columns (e.g. ``ts`` for streaming windows) survive
+    onto the span rows."""
     lines = to_clean_lines(F.col("text"))
     with_lines = transcripts.select("conv_id", "turn_idx",
-                                    lines.alias("texts"))
+                                    *passthrough, lines.alias("texts"))
     texts = F.col("texts")
     dates = F.transform(texts, lambda t: extract_date_expr(t))
     totals = F.transform(texts, lambda t: extract_total_expr(t))
     ctxs = F.transform(texts, lambda t: total_context_expr(t))
     with_feat = with_lines.select(
-        "conv_id", "turn_idx", "texts",
+        "conv_id", "turn_idx", *passthrough, "texts",
         dates.alias("dates"), totals.alias("totals"), ctxs.alias("ctxs"),
     )
     classes = F.transform(
@@ -67,9 +71,13 @@ def turns_with_features(transcripts: DataFrame) -> DataFrame:
     return with_cls.withColumn("probs", probs)
 
 
-def extract_spans(transcripts: DataFrame) -> DataFrame:
+def extract_spans(transcripts: DataFrame,
+                  passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Full pipeline: transcripts → labeled entity spans per turn."""
-    return spans_from_turns(turns_with_features(transcripts))
+    return spans_from_turns(
+        turns_with_features(transcripts, passthrough),
+        passthrough=passthrough,
+    )
 
 
 def ordered_spans(spans: DataFrame) -> DataFrame:

@@ -1,0 +1,99 @@
+"""Streaming face, skew salting, model-UDF classifier."""
+
+import time
+
+from pyspark.sql import functions as F
+
+from icdar_2019_rrc_sroie_spark.fixtures import transcripts_df
+from icdar_2019_rrc_sroie_spark.operators.model_udf import classify_lines_model
+from icdar_2019_rrc_sroie_spark.operators.skew import salted_count, salted_sum
+from icdar_2019_rrc_sroie_spark.plans.extraction import extract_spans, turn_lines
+
+
+def test_streaming_spans_matches_batch(spark, tmp_path):
+    """The flagship plan is stateless → identical results under
+    Structured Streaming micro-batches."""
+    src = str(tmp_path / "src")
+    t = transcripts_df(spark, n_convs=12)
+    t.write.parquet(src)
+    batch_rows = sorted(map(tuple, extract_spans(
+        spark.read.parquet(src)).collect()))
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = (
+        extract_spans(stream)
+        .writeStream.format("memory")
+        .queryName("spans_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(
+        "select * from spans_stream").collect()))
+    assert got == batch_rows
+
+
+def test_windowed_span_counts_stream(spark, tmp_path):
+    from icdar_2019_rrc_sroie_spark.streaming.stream_extract import (
+        windowed_span_counts,
+    )
+
+    src = str(tmp_path / "src2")
+    transcripts_df(spark, n_convs=8).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = (
+        windowed_span_counts(stream, window="10 minutes",
+                             watermark="5 minutes")
+        .writeStream.format("memory")
+        .queryName("span_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits closed windows; just assert the query ran
+    # and the schema is right
+    cols = spark.sql("select * from span_counts").columns
+    assert cols == ["window", "label", "n_spans"]
+
+
+def test_salted_agg_matches_plain(spark):
+    t = transcripts_df(spark, n_convs=30)
+    plain = {r["conv_id"]: r["n"] for r in
+             t.groupBy("conv_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+             .collect()}
+    salted = {r["conv_id"]: r["n"] for r in
+              salted_count(t, "conv_id").collect()}
+    assert salted == plain
+
+    plain_sum = {r["conv_id"]: r["s"] for r in
+                 t.groupBy("conv_id").agg(F.sum("turn_idx").alias("s"))
+                 .collect()}
+    got_sum = {r["conv_id"]: r["total"] for r in
+               salted_sum(t, "conv_id", "turn_idx").collect()}
+    assert got_sum == plain_sum
+
+
+def test_model_udf_classifier(spark):
+    lines = turn_lines(transcripts_df(spark, n_convs=6))
+    out = classify_lines_model(lines)
+    rows = out.collect()
+    assert len(rows) == lines.count()
+    assert all(0 <= r["cls"] <= 4 for r in rows)
+    assert all(0.0 < r["prob"] <= 1.0 for r in rows)
+    # deterministic across runs (broadcast params are pure)
+    again = classify_lines_model(lines).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # total lines get labeled total by the keyword model
+    by_line = {(r["conv_id"], r["turn_idx"], r["line_idx"]): r["cls"]
+               for r in rows}
+    texts = {(r["conv_id"], r["turn_idx"], r["line_idx"]): r["text"]
+             for r in lines.collect()}
+    total_lines = [k for k, v in texts.items() if v.startswith("TOTAL RM")]
+    assert total_lines
+    from icdar_2019_rrc_sroie_spark.constants import LABELS_CLASSES
+    hits = sum(by_line[k] == LABELS_CLASSES["total"] for k in total_lines)
+    assert hits / len(total_lines) > 0.9
