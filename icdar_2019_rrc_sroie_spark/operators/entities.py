@@ -142,7 +142,7 @@ def date_fallback_expr(lines: Column) -> Column:
 def date_fallback_from(dates: Column) -> Column:
     """Same rule over precomputed per-line date extractions."""
     hits = F.filter(dates, lambda d: d != "")
-    return F.coalesce(F.element_at(hits, 1), F.lit(""))
+    return F.coalesce(F.try_element_at(hits, F.lit(1)), F.lit(""))
 
 
 def total_fallback_expr(lines: Column) -> Column:
@@ -170,12 +170,12 @@ def total_fallback_from(totals: Column, ctx: Column,
     idx = F.sequence(F.lit(0), n - 1)
     # first 0-based index j >= 1 whose line carries valid context
     ctx_hits = F.filter(idx, lambda j: (j >= 1) & F.element_at(ctx, j + 1))
-    p0 = F.element_at(ctx_hits, 1)  # null when no context line exists
+    p0 = F.try_element_at(ctx_hits, F.lit(1))  # null when no context line
     tot_hits = F.filter(
         idx,
         lambda i: (F.element_at(totals, i + 1) != "") & (i >= p0),
     )
-    i_star = F.element_at(tot_hits, 1)
+    i_star = F.try_element_at(tot_hits, F.lit(1))
     raw = F.when(
         i_star.isNotNull(), F.element_at(totals, i_star + 1)
     ).otherwise(F.lit(""))

@@ -66,12 +66,12 @@ def _best_run_value(entity_cls: int, runs: Column, values: Column,
     (probabilities.index(max, start, stop) — earliest wins)."""
     best = _best_run(entity_cls, runs)
     s, e, run_max = best["s"], best["e"], best["run_max"]
-    idx = F.element_at(
+    idx = F.try_element_at(
         F.filter(
             F.sequence(s, e),
             lambda i: F.element_at(probs, i + 1) == run_max,
         ),
-        1,
+        F.lit(1),
     )
     value = F.element_at(values, idx + 1)
     return F.when(best.isNull(), F.lit("")).otherwise(
