@@ -20,12 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.extraction import extract_spans
+from ..plans.extraction import extract_spans_stateless
 
 
 def streaming_spans(transcript_stream: DataFrame) -> DataFrame:
-    """Same plan as batch — stateless, so streaming-legal as-is."""
-    return extract_spans(transcript_stream)
+    """Stateless strategy of the same plan — streaming-legal as-is."""
+    return extract_spans_stateless(transcript_stream)
 
 
 def windowed_span_counts(transcript_stream: DataFrame,
@@ -36,7 +36,7 @@ def windowed_span_counts(transcript_stream: DataFrame,
     ``transcript_stream`` must carry the ``ts`` column; the span rows
     inherit it via a join-free pass-through projection.
     """
-    spans = extract_spans(transcript_stream, passthrough=("ts",))
+    spans = extract_spans_stateless(transcript_stream, passthrough=("ts",))
     return (
         spans.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "label")

@@ -12,27 +12,26 @@ def _formatted_plan(df) -> str:
         df._jdf.queryExecution(), "formatted")
 
 
-def test_flagship_shuffle_free(spark):
-    """The flagship pipeline is a pure projection: zero data-dependency
-    shuffles (the generator's own repartition is a REPARTITION_BY_NUM
-    round-robin, not an ENSURE_REQUIREMENTS exchange)."""
+def test_flagship_single_skew_free_exchange(spark):
+    """The batch flagship costs exactly one hash exchange, keyed by
+    (conv_id, turn_idx) — fine-grained, so long conversations cannot
+    concentrate on one task."""
     t = transcripts_df(spark, n_convs=64)
     plan = _formatted_plan(extract_spans(t))
-    assert plan.count("ENSURE_REQUIREMENTS") == 0, plan
-
-
-def test_line_row_path_single_exchange(spark):
-    """The already-exploded (CSV-shape) entry point costs exactly one
-    hash exchange on (conv_id, turn_idx)."""
-    from icdar_2019_rrc_sroie_spark.operators.classify import classify_lines
-    from icdar_2019_rrc_sroie_spark.operators.spans import assemble_spans
-    from icdar_2019_rrc_sroie_spark.plans.extraction import turn_lines
-
-    t = transcripts_df(spark, n_convs=64)
-    spans = assemble_spans(classify_lines(turn_lines(t)))
-    plan = _formatted_plan(spans)
     assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
     assert "hashpartitioning(conv_id" in plan
+
+
+def test_streaming_strategy_shuffle_free(spark):
+    """The stateless strategy used under readStream has zero
+    data-dependency shuffles."""
+    from icdar_2019_rrc_sroie_spark.plans.extraction import (
+        extract_spans_stateless,
+    )
+
+    t = transcripts_df(spark, n_convs=64)
+    plan = _formatted_plan(extract_spans_stateless(t))
+    assert plan.count("ENSURE_REQUIREMENTS") == 0, plan
 
 
 def test_flagship_no_python_after_generation(spark):

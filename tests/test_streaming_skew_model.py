@@ -19,10 +19,14 @@ def test_streaming_spans_matches_batch(spark, tmp_path):
     batch_rows = sorted(map(tuple, extract_spans(
         spark.read.parquet(src)).collect()))
 
+    from icdar_2019_rrc_sroie_spark.streaming.stream_extract import (
+        streaming_spans,
+    )
+
     stream = spark.readStream.schema(
         spark.read.parquet(src).schema).parquet(src)
     q = (
-        extract_spans(stream)
+        streaming_spans(stream)
         .writeStream.format("memory")
         .queryName("spans_stream")
         .outputMode("append")

@@ -2,15 +2,16 @@
 flagship extraction job at N and 4N local cores on the same input and
 report throughput at both plus efficiency = tps_{4N} / (4 * tps_N).
 
-Primary pair: local[2] → local[8] (within the sandbox's physical-core
-budget). Secondary pair: local[8] → local[32] (the box exposes 32
-hardware threads, but a pure-CPU calibration shows 32 concurrent
-processes only reach ~2.9× the throughput of 8 — SMT/hypervisor
-ceiling ≈ 0.72 — so the secondary pair is reported with that ceiling
-alongside).
+Methodology: the synthetic corpus is materialized ONCE to parquet (all
+cores), then each cluster size runs in its own subprocess (fresh JVM)
+reading the identical files; timing is best-of-3 after a warm-up run
+and covers the extraction job only.
 
-Each run is a separate subprocess (fresh JVM); timing is best-of-3 on a
-warmed JVM and covers the extraction job only.
+Pairs reported: local[2] → local[8] (within the sandbox's physical-core
+budget) and local[8] → local[32]. The box exposes 32 hardware threads
+but a pure-CPU calibration (32 spin processes vs 8) tops out at ~0.84
+of ideal 4× — that ceiling is printed alongside so the 8→32 number can
+be read against what the hardware permits.
 """
 
 from __future__ import annotations
@@ -20,20 +21,37 @@ import os
 import subprocess
 import sys
 
-RUN_SNIPPET = r"""
+CORPUS = "/dev/shm/scaling_corpus"
+
+GEN_SNIPPET = rf"""
+import sys
+sys.path.insert(0, "/root/repo")
+import os
+from icdar_2019_rrc_sroie_spark.session import get_spark
+from icdar_2019_rrc_sroie_spark.fixtures import transcripts_df
+spark = get_spark("gen", master="local[32]")
+spark.sparkContext.setLogLevel("ERROR")
+n = int(os.environ.get("SCALING_N_CONVS", "24000"))
+transcripts_df(spark, n_convs=n).write.mode("overwrite").parquet("{CORPUS}")
+print("generated")
+"""
+
+RUN_SNIPPET = rf"""
 import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 from icdar_2019_rrc_sroie_spark.session import get_spark
-from icdar_2019_rrc_sroie_spark.fixtures import transcripts_df
 from icdar_2019_rrc_sroie_spark.plans.extraction import extract_spans
 
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
-n_convs = int(os.environ.get("SCALING_N_CONVS", "24000"))
-spark = get_spark("scaling", extra_confs={
+spark = get_spark("scaling", extra_confs={{
     "spark.sql.shuffle.partitions": str(4 * cpus),
-})
+    # size input splits so the small local corpus still yields >= 4
+    # tasks per core — the local-mode analog of a many-file 100TB scan
+    "spark.sql.files.maxPartitionBytes": "2m",
+    "spark.sql.files.openCostInBytes": "0",
+}})
 spark.sparkContext.setLogLevel("ERROR")
-t = transcripts_df(spark, n_convs=n_convs).cache()
+t = spark.read.parquet("{CORPUS}").cache()
 n_turns = t.count()
 extract_spans(t).write.format("noop").mode("overwrite").save()  # warm-up
 best = 1e9
@@ -41,8 +59,8 @@ for _ in range(3):
     t0 = time.perf_counter()
     extract_spans(t).write.format("noop").mode("overwrite").save()
     best = min(best, time.perf_counter() - t0)
-print(json.dumps({"cpus": cpus, "turns": n_turns, "sec": round(best, 3),
-                  "tps": round(n_turns / best, 1)}))
+print(json.dumps({{"cpus": cpus, "turns": n_turns, "sec": round(best, 3),
+                  "tps": round(n_turns / best, 1)}}))
 """
 
 CPU_CALIBRATION = r"""
@@ -59,22 +77,19 @@ print(round(out[32] / (4 * out[8]), 3))
 """
 
 
-def run(cpus: int, n_convs: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               SCALING_N_CONVS=str(n_convs))
-    out = subprocess.run([sys.executable, "-c", RUN_SNIPPET], env=env,
+def _sub(snippet: str, **env_extra) -> str:
+    env = dict(os.environ, **{k: str(v) for k, v in env_extra.items()})
+    out = subprocess.run([sys.executable, "-c", snippet], env=env,
                          capture_output=True, text=True, check=True)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    return out.stdout.strip().splitlines()[-1]
 
 
 def main() -> None:
-    n_convs = int(os.environ.get("SCALING_N_CONVS", "24000"))
-    r2 = run(2, n_convs)
-    r8 = run(8, n_convs)
-    r32 = run(32, n_convs)
-    cal = subprocess.run([sys.executable, "-c", CPU_CALIBRATION],
-                         capture_output=True, text=True, check=True)
-    hw_ceiling = float(cal.stdout.strip().splitlines()[-1])
+    _sub(GEN_SNIPPET)
+    r2 = json.loads(_sub(RUN_SNIPPET, SPARK_GRAFT_CPUS=2))
+    r8 = json.loads(_sub(RUN_SNIPPET, SPARK_GRAFT_CPUS=8))
+    r32 = json.loads(_sub(RUN_SNIPPET, SPARK_GRAFT_CPUS=32))
+    hw_ceiling = float(_sub(CPU_CALIBRATION))
     print(json.dumps({
         "local2": r2, "local8": r8, "local32": r32,
         "efficiency_2_to_8": round(r8["tps"] / (4 * r2["tps"]), 3),
