@@ -97,10 +97,14 @@ def turns_with_lines(classified: DataFrame) -> DataFrame:
     was computed once on the map side; the reduce side only rearranges
     arrays — no pattern matching after the shuffle except the per-turn
     RND note scan and the winner-line cleanups."""
+    from .classify import prob_expr
+
     grouped = classified.groupBy(*_TURN_KEYS).agg(
         F.array_sort(
             F.collect_list(
-                F.struct("line_idx", "text", "cls", "prob",
+                # prob is a pure function of cls — recomputed after the
+                # shuffle instead of shipping 8 bytes/line through it
+                F.struct("line_idx", "text", "cls",
                          "date_ex", "total_ex", "ctx_ok")
             )
         ).alias("L")
@@ -109,7 +113,7 @@ def turns_with_lines(classified: DataFrame) -> DataFrame:
         *_TURN_KEYS,
         F.transform("L", lambda x: x["text"]).alias("texts"),
         F.transform("L", lambda x: x["cls"]).alias("classes"),
-        F.transform("L", lambda x: x["prob"]).alias("probs"),
+        F.transform("L", lambda x: prob_expr(x["cls"])).alias("probs"),
         F.transform("L", lambda x: x["date_ex"]).alias("dates"),
         F.transform("L", lambda x: x["total_ex"]).alias("totals"),
         F.transform("L", lambda x: x["ctx_ok"]).alias("ctxs"),

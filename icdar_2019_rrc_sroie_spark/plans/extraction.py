@@ -78,13 +78,31 @@ def turns_with_features(transcripts: DataFrame,
     return with_cls.withColumn("probs", probs)
 
 
+def receipt_prefilter(transcripts: DataFrame) -> DataFrame:
+    """Drop turns that cannot be receipts before exploding/shuffling.
+
+    Necessary conditions for the exact receipt gate (a DATE-pattern line
+    AND a contextual money line): the raw payload must contain a digit,
+    a ``d.d`` decimal and a total-context word. One linear regex pass
+    per turn removes the chat majority from the expensive path; false
+    positives are eliminated by the exact gate after grouping.
+    """
+    from ..constants import TOTAL_CONTEXT_PATTERN
+
+    t = F.col("text")
+    return transcripts.filter(
+        t.rlike(r"\d\.\d") & t.rlike(TOTAL_CONTEXT_PATTERN) & t.rlike(r"\d")
+    )
+
+
 def extract_spans(transcripts: DataFrame) -> DataFrame:
     """Full pipeline: transcripts → labeled entity spans per turn
     (batch strategy: codegen line rows + one skew-free exchange)."""
     from ..operators.classify import classify_lines
     from ..operators.spans import assemble_spans
 
-    return assemble_spans(classify_lines(turn_lines(transcripts)))
+    gated = receipt_prefilter(transcripts)
+    return assemble_spans(classify_lines(turn_lines(gated)))
 
 
 def extract_spans_stateless(transcripts: DataFrame,
