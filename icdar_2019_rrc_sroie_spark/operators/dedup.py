@@ -51,7 +51,9 @@ def word_shingles(text: Column, k: int = 3) -> Column:
         ),
     )
     empty = F.array().cast("array<string>")
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(empty)
+    # duplicates are kept: min-hash is dup-insensitive and array_distinct
+    # is O(n²) per doc; the Jaccard path dedups at row level instead
+    return F.when(n >= k, grams).otherwise(empty)
 
 
 def shingle_rows(df: DataFrame, id_col: str = "doc_id",
@@ -110,9 +112,14 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
 def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 8,
                        rows_per_band: int = 2, k: int = 3) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding."""
+    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
+
+    The bands table is persisted before the self-join — otherwise both
+    join sides re-evaluate the full shingle+hash pipeline. At scale the
+    bands table is the (small) index you would materialize anyway.
+    """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
-    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
+    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band).persist()
     left = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
