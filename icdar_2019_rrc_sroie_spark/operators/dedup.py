@@ -41,18 +41,23 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of the canonical text."""
+    """k-word shingles of the canonical text (duplicates kept: min-hash
+    is dup-insensitive; the Jaccard path dedups at row level).
+
+    Built with ``slice``+``zip_with`` so the expensive token split sits
+    in HOF *argument* position (evaluated once per row) — placing it in
+    a lambda body re-evaluates it per element (profiled: 17s → <1s for
+    260k shingles).
+    """
     toks = F.split(normalized_text(text), r"\s+")
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
+    m = F.greatest(n - (k - 1), F.lit(0))
+    shifted = [F.slice(toks, i + 1, m) for i in range(k)]
+    grams = shifted[0]
+    for nxt in shifted[1:]:
+        grams = F.zip_with(grams, nxt,
+                           lambda a, b: F.concat_ws(" ", a, b))
     empty = F.array().cast("array<string>")
-    # duplicates are kept: min-hash is dup-insensitive and array_distinct
-    # is O(n²) per doc; the Jaccard path dedups at row level instead
     return F.when(n >= k, grams).otherwise(empty)
 
 
@@ -172,18 +177,22 @@ def simhash64(text: Column, num_bits: int = 48) -> Column:
     bit. Pure Catalyst array algebra — no UDF.
     """
     toks = F.array_distinct(F.split(normalized_text(text), r"\s+"))
+    # token hashes in HOF argument position: evaluated once per row
     tok_hashes = F.transform(
         toks,
         lambda t: F.conv(F.substring(F.md5(t), 1, num_bits // 4), 16, 10)
         .cast("double"),
     )
-    bit_idx = F.sequence(F.lit(0), F.lit(num_bits - 1))
-    bit_sums = F.transform(
-        bit_idx,
-        lambda j: F.aggregate(
-            tok_hashes,
-            F.lit(0),
-            lambda acc, h: acc
+    bit_idx = F.array(*[F.lit(j) for j in range(num_bits)])
+    init = F.array_repeat(F.lit(0), num_bits)
+    # single pass over tokens, updating all bit counters per token
+    bit_sums = F.aggregate(
+        tok_hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda s, j: s
             + F.when(
                 F.pmod(F.floor(h / F.pow(F.lit(2.0), j)), 2) == 1, F.lit(1)
             ).otherwise(F.lit(-1)),
