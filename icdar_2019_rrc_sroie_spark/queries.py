@@ -519,6 +519,7 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
 def _all_batches() -> dict:
     from .queries_dedup import SQL_QUERIES_DEDUP
     from .queries_geo import SQL_QUERIES_GEO
+    from .queries_clean import SQL_QUERIES_CLEAN
     from .queries_parse import SQL_QUERIES_PARSE
     from .queries_pipeline import ROWS_ONLY_QUERIES
 
@@ -526,6 +527,7 @@ def _all_batches() -> dict:
     merged.update(SQL_QUERIES_GEO)
     merged.update(SQL_QUERIES_DEDUP)
     merged.update(SQL_QUERIES_PARSE)
+    merged.update(SQL_QUERIES_CLEAN)
     merged.update(ROWS_ONLY_QUERIES)
     return merged
 

@@ -1,0 +1,130 @@
+"""Query battery, batch 6: X4/X5 cleanup expressions and the S11 JSON
+sink, all DuckDB-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.entities import clean_address_expr, clean_company_expr
+
+_COMPANY_CASES = [
+    "GOLDEN KEY MAKER",
+    "99 SPEED MART S/B",
+    "MR. D.I.Y. (M) SDN BHD",
+    "SYARIKAT ABC (A123456-X) BRANCH 7",
+    "SANYU TRADING (MALAYSIA",
+    "TAX SERVICES CENTER",
+    "  PADDED NAME CO  ",
+    "12 STORE FRONT9X",
+]
+
+_ADDRESS_CASES = [
+    "NO 5, JALAN X, 81750 MASAI TEL 03-1234567",
+    "LOT 1, TAMAN Y 012-345678-",
+    "PLAIN ADDRESS LINE",
+    "STREET 9 TEL",
+    "ROAD 55 99-",
+    "JALAN 3-",
+]
+
+
+def _cases_sql(cases: list[str]) -> str:
+    quoted = ", ".join("'" + c.replace("'", "''") + "'" for c in cases)
+    return f"[{quoted}]"
+
+
+def q_company_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arr = F.array(*[F.lit(c) for c in _COMPANY_CASES])
+    line = F.element_at(arr, (F.col("doc_id") % len(_COMPANY_CASES) + 1).cast("int"))
+    return docs.select(
+        "doc_id", line.alias("line"),
+        clean_company_expr(line).alias("cleaned"),
+    ).orderBy("doc_id")
+
+
+SQL_COMPANY_CLEAN = rf"""
+WITH src AS (
+  SELECT doc_id,
+    ({_cases_sql(_COMPANY_CASES)})[CAST(doc_id % {len(_COMPANY_CASES)} + 1 AS INT)] AS line
+  FROM documents
+), prep AS (
+  SELECT doc_id, line, trim(line) AS t,
+    regexp_extract(trim(line), '^(\d+[^0-9]*[A-Z]+)$', 0) AS m1,
+    regexp_extract(trim(line), '\([A-Z]*\d+[^0-9]*[A-Z]+\).*$', 0) AS m2,
+    regexp_extract(trim(line), '\([A-Z\s]+[\)]*$', 0) AS m3
+  FROM src
+)
+SELECT doc_id, line,
+  CASE WHEN regexp_matches(t, 'TAX|RECEIPT|INVOICE') THEN ''
+       WHEN m1 <> '' THEN trim(substr(t, 1, strpos(t, trim(m1)) - 1))
+       WHEN m2 <> '' THEN trim(substr(t, 1, strpos(t, trim(m2)) - 1))
+       WHEN m3 <> '' THEN trim(substr(t, 1, strpos(t, trim(m3)) - 1))
+       ELSE t END AS cleaned
+FROM prep ORDER BY doc_id
+"""
+
+
+def q_address_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arr = F.array(*[F.lit(c) for c in _ADDRESS_CASES])
+    line = F.element_at(arr, (F.col("doc_id") % len(_ADDRESS_CASES) + 1).cast("int"))
+    return docs.select(
+        "doc_id", line.alias("line"),
+        clean_address_expr(line).alias("cleaned"),
+    ).orderBy("doc_id")
+
+
+SQL_ADDRESS_CLEAN = rf"""
+WITH src AS (
+  SELECT doc_id,
+    ({_cases_sql(_ADDRESS_CASES)})[CAST(doc_id % {len(_ADDRESS_CASES)} + 1 AS INT)] AS line
+  FROM documents
+), cut AS (
+  SELECT doc_id, line,
+    CASE WHEN strpos(line, 'TEL') > 0
+         THEN substr(line, 1, strpos(line, 'TEL') - 1) ELSE line END AS c
+  FROM src
+)
+SELECT doc_id, line,
+  trim(regexp_replace(trim(c), '(\d+\-[^a-zA-Z]*)$', '')) AS cleaned
+FROM cut ORDER BY doc_id
+"""
+
+
+def q_entity_sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: per-doc entity JSON payload (fixed key order), engine-
+    portable serialization checked value-for-value."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    day = F.col("doc_id") % 28 + 1
+    company = F.concat(F.lit("STORE "), (F.col("doc_id") % 40).cast("string"))
+    date = F.concat(F.lpad(day.cast("string"), 2, "0"), F.lit("/03/2018"))
+    total = F.concat(F.lit("RM"), (F.col("doc_id") % 90 + 1).cast("string"),
+                     F.lit(".50"))
+    payload = F.to_json(
+        F.create_map(
+            F.lit("company"), company,
+            F.lit("date"), date,
+            F.lit("total"), total,
+        )
+    )
+    return docs.select("doc_id", payload.alias("submission")).orderBy("doc_id")
+
+
+SQL_ENTITY_SINK_JSON = """
+SELECT doc_id,
+  CAST(to_json(map_from_entries([
+    {'k': 'company', 'v': 'STORE ' || (doc_id % 40)},
+    {'k': 'date', 'v': lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '/03/2018'},
+    {'k': 'total', 'v': 'RM' || (doc_id % 90 + 1) || '.50'}
+  ])) AS VARCHAR) AS submission
+FROM documents ORDER BY doc_id
+"""
+
+
+SQL_QUERIES_CLEAN = {
+    "company_clean": (q_company_clean, SQL_COMPANY_CLEAN),
+    "address_clean": (q_address_clean, SQL_ADDRESS_CLEAN),
+    "entity_sink_json": (q_entity_sink_json, SQL_ENTITY_SINK_JSON),
+}
