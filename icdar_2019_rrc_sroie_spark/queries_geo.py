@@ -478,11 +478,11 @@ WITH prep AS (
   SELECT doc_id, substr(upper(substr(text,1,100)), 1, 68) AS t FROM documents
 ), enc AS (
   SELECT doc_id,
-    [strpos('{vocab_sql}', c) for c in regexp_split_to_array(t, '')] AS idxs
+    [CAST(strpos('{vocab_sql}', c) AS INT) for c in regexp_split_to_array(t, '')] AS idxs
   FROM prep
 ), padded AS (
   SELECT doc_id,
-    list_concat(idxs, [0 for _ in generate_series(1, 68 - len(idxs))]) AS enc
+    list_concat(idxs, [CAST(0 AS INT) for _ in generate_series(1, 68 - len(idxs))]) AS enc
   FROM enc
 )
 SELECT doc_id, enc,
