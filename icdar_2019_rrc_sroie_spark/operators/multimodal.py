@@ -138,6 +138,13 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.mapInPandas(kernel, FRAME_SCHEMA)
 
 
+def filter_empty_regions(features: DataFrame,
+                         white_threshold: float = 250.0) -> DataFrame:
+    """F3 image analog (functional/utils/box.py:102-134): drop regions
+    whose decoded mean intensity is white-ish (≥ threshold)."""
+    return features.filter(F.col("mean_intensity") < white_threshold)
+
+
 def resize_meta(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize bookkeeping (X18): rescale ratios as pure columns; the
     raster resample itself belongs to the decode kernel."""

@@ -54,13 +54,16 @@ spark.sparkContext.setLogLevel("ERROR")
 t = spark.read.parquet("{CORPUS}").cache()
 n_turns = t.count()
 extract_spans(t).write.format("noop").mode("overwrite").save()  # warm-up
-best = 1e9
-for _ in range(3):
+times = []
+for _ in range(5):
     t0 = time.perf_counter()
     extract_spans(t).write.format("noop").mode("overwrite").save()
-    best = min(best, time.perf_counter() - t0)
-print(json.dumps({{"cpus": cpus, "turns": n_turns, "sec": round(best, 3),
-                  "tps": round(n_turns / best, 1)}}))
+    times.append(time.perf_counter() - t0)
+times.sort()
+med = times[len(times) // 2]
+print(json.dumps({{"cpus": cpus, "turns": n_turns, "sec": round(med, 3),
+                  "best_sec": round(times[0], 3),
+                  "tps": round(n_turns / med, 1)}}))
 """
 
 CPU_CALIBRATION = r"""
