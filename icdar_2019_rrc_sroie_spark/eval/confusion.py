@@ -49,6 +49,19 @@ def multilabel_confusion(preds: DataFrame, n_classes: int,
     )
 
 
+def class_weights(labels: DataFrame, class_col: str = "cls",
+                  mu: float = 0.15) -> DataFrame:
+    """Unbalanced-dataset class weights (A3):
+    ``max(1, log(mu * total / count))`` per class
+    (functional/utils/dataset.py:64-92, default mu 0.15)."""
+    counts = labels.groupBy(class_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = labels.count()
+    weight = F.greatest(
+        F.lit(1.0), F.log(F.lit(mu) * F.lit(float(total)) / F.col("cnt"))
+    )
+    return counts.select(class_col, "cnt", weight.alias("weight"))
+
+
 def per_class_prf(mcm: DataFrame) -> DataFrame:
     """precision/recall/F1 per class from the MCM quadruples."""
     precision = F.when(F.col("tp") + F.col("fp") > 0,

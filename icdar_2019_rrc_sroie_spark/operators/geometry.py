@@ -94,6 +94,20 @@ def xy_min_max(coords: Column) -> Column:
     )
 
 
+def shift_boxes(boxes: Column, dx: Column, dy: Column) -> Column:
+    """X15 (split_labels.py:38-68): translate an array of xyxy box
+    structs by (dx, dy) — e.g. undoing a crop offset."""
+    return F.transform(
+        boxes,
+        lambda b: F.struct(
+            (b["xmin"] + dx).alias("xmin"),
+            (b["ymin"] + dy).alias("ymin"),
+            (b["xmax"] + dx).alias("xmax"),
+            (b["ymax"] + dy).alias("ymax"),
+        ),
+    )
+
+
 def order_clockwise(points: Column) -> Column:
     """Order 4 corner points clockwise from top-left (X12 —
     functional/utils/box.py:36-72): sort by x; the two left-most sorted

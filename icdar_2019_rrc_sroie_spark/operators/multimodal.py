@@ -138,6 +138,52 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.mapInPandas(kernel, FRAME_SCHEMA)
 
 
+CHANNEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("px_sum", T.DoubleType()),
+        T.StructField("px_sumsq", T.DoubleType()),
+        T.StructField("px_count", T.LongType()),
+    ]
+)
+
+
+def channel_stats(media: DataFrame) -> DataFrame:
+    """Per-channel corpus mean/std over decoded image payloads (A2 —
+    functional/utils/dataset.py:13-49): partial (sum, sumsq, count) per
+    Arrow batch inside ``mapInPandas``, exact global combine in a tiny
+    aggregation. One pass, no image ever leaves its executor."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc: dict[int, list[float]] = {}
+            for row in pdf.itertuples(index=False):
+                meta = row.meta
+                w = int(meta["width"] or 8)
+                h = int(meta["height"] or 8)
+                c = int(meta["channels"] or 1)
+                arr = _fake_decode(bytes(row.payload), w, h, c).astype(np.float64)
+                for ch in range(c):
+                    s = acc.setdefault(ch, [0.0, 0.0, 0])
+                    s[0] += float(arr[:, :, ch].sum())
+                    s[1] += float((arr[:, :, ch] ** 2).sum())
+                    s[2] += arr.shape[0] * arr.shape[1]
+            if acc:
+                yield pd.DataFrame(
+                    [{"channel": ch, "px_sum": v[0], "px_sumsq": v[1],
+                      "px_count": v[2]} for ch, v in acc.items()]
+                )
+
+    parts = media.mapInPandas(partials, CHANNEL_STATS_SCHEMA)
+    mean = F.sum("px_sum") / F.sum("px_count")
+    ex2 = F.sum("px_sumsq") / F.sum("px_count")
+    return parts.groupBy("channel").agg(
+        mean.alias("mean"),
+        F.sqrt(ex2 - mean * mean).alias("std"),
+        F.sum("px_count").cast("long").alias("n_pixels"),
+    )
+
+
 def filter_empty_regions(features: DataFrame,
                          white_threshold: float = 250.0) -> DataFrame:
     """F3 image analog (functional/utils/box.py:102-134): drop regions
