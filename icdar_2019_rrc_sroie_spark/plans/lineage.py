@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from .extraction import extract_spans
 
-LINEAGE_COLS = ("snapshot_id", "bucket", "span_count", "content_hash")
+LINEAGE_COLS = ("snapshot_id", "bucket", "span_count", "content_hash", "f1")
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
@@ -62,15 +62,42 @@ def _content_hash(spans: DataFrame):
     return F.bit_xor(row_hash)
 
 
+def _bucket_f1(spans_b: DataFrame, gt_entities: DataFrame,
+               n_buckets: int) -> DataFrame:
+    """Per-bucket extraction F1 vs ground truth (north-star lineage
+    metric): exact-match TP joins, all keyed by the same bucketing."""
+    from ..eval.extraction_f1 import gt_spans
+
+    gt_b = with_bucket(gt_spans(gt_entities), n_buckets)
+    expected = gt_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("expected"))
+    extracted = spans_b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("extracted"))
+    tp = (
+        spans_b.join(gt_b, ["bucket", "conv_id", "turn_idx", "label", "text"])
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("tp"))
+    )
+    joined = (
+        expected.join(extracted, "bucket", "full").join(tp, "bucket", "full")
+        .fillna(0, ["expected", "extracted", "tp"])
+    )
+    p = F.when(F.col("extracted") > 0, F.col("tp") / F.col("extracted")).otherwise(0.0)
+    r = F.when(F.col("expected") > 0, F.col("tp") / F.col("expected")).otherwise(0.0)
+    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0)
+    return joined.select("bucket", f1.alias("f1"))
+
+
 def run_with_resume(spark: SparkSession, transcripts: DataFrame,
                     out_dir: str, snapshot_id: str,
                     n_buckets: int = 16,
                     buckets_per_commit: int | None = None,
-                    max_commits: int | None = None) -> DataFrame:
+                    max_commits: int | None = None,
+                    gt_entities: DataFrame | None = None) -> DataFrame:
     """Extract spans for all uncommitted buckets, committing lineage per
     chunk. ``buckets_per_commit=None`` commits everything in one job
     (fast path). ``max_commits`` bounds the number of chunk commits per
-    invocation (bounded-work runs; also simulates a kill mid-job)."""
+    invocation (bounded-work runs; also simulates a kill mid-job).
+    When ``gt_entities`` is given, each lineage row carries the
+    bucket's extraction F1 vs that reference (north-star metric)."""
     done = committed_buckets(spark, out_dir, snapshot_id)
     todo = sorted(set(range(n_buckets)) - done)
     if todo:
@@ -88,23 +115,26 @@ def run_with_resume(spark: SparkSession, transcripts: DataFrame,
             spans.persist()
             spans.write.mode("overwrite").partitionBy("bucket") \
                 .parquet(_spans_path(out_dir))
-            lineage = (
-                spans.groupBy("bucket")
-                .agg(
-                    F.count(F.lit(1)).cast("long").alias("span_count"),
-                    _content_hash(spans).alias("content_hash"),
-                )
-                .withColumn("snapshot_id", F.lit(snapshot_id))
-                .select(*LINEAGE_COLS)
+            lineage = spans.groupBy("bucket").agg(
+                F.count(F.lit(1)).cast("long").alias("span_count"),
+                _content_hash(spans).alias("content_hash"),
             )
+            if gt_entities is not None:
+                f1s = _bucket_f1(spans, gt_entities, n_buckets)
+                lineage = lineage.join(f1s, "bucket", "left")
+            else:
+                lineage = lineage.withColumn("f1", F.lit(None).cast("double"))
+            lineage = lineage.withColumn(
+                "snapshot_id", F.lit(snapshot_id)
+            ).select(*LINEAGE_COLS)
             # buckets with zero spans still need a lineage row
             present = {r["bucket"] for r in lineage.select("bucket").collect()}
             missing = [b for b in batch if b not in present]
             if missing:
                 empty = spark.createDataFrame(
-                    [(snapshot_id, int(b), 0, 0) for b in missing],
+                    [(snapshot_id, int(b), 0, 0, None) for b in missing],
                     "snapshot_id string, bucket int, span_count long,"
-                    " content_hash long",
+                    " content_hash long, f1 double",
                 )
                 lineage = lineage.unionByName(empty)
             lineage.write.mode("append").parquet(_lineage_path(out_dir))

@@ -60,3 +60,15 @@ def test_lineage_isolates_snapshots(spark, tmp_path):
     t = transcripts_df(spark, n_convs=N_CONVS)
     run_with_resume(spark, t, out, "snapA", n_buckets=4)
     assert committed_buckets(spark, out, "snapB") == set()
+
+
+def test_lineage_f1_column(spark, tmp_path):
+    from icdar_2019_rrc_sroie_spark.fixtures import gt_entities_df
+
+    out = str(tmp_path / "f1")
+    t = transcripts_df(spark, n_convs=N_CONVS)
+    gt = gt_entities_df(spark, n_convs=N_CONVS)
+    run_with_resume(spark, t, out, SNAP, n_buckets=4, gt_entities=gt)
+    lin = lineage_table(spark, out).toPandas()
+    populated = lin[lin.span_count > 0]
+    assert (populated.f1 == 1.0).all()  # golden fixture extracts exactly
