@@ -123,8 +123,58 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_entity_json_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: parse entity JSON payloads back into typed fields
+    (misc.py:82-112 read_json_file analog)."""
+    payloads = q_entity_sink_json(spark, sf_dir)
+    parsed = F.from_json(F.col("submission"), "map<string,string>")
+    return payloads.select(
+        "doc_id",
+        F.element_at(parsed, "company").alias("company"),
+        F.element_at(parsed, "date").alias("date"),
+        F.element_at(parsed, "total").alias("total"),
+    ).orderBy("doc_id")
+
+
+SQL_ENTITY_JSON_READ = f"""
+WITH payloads AS ({SQL_ENTITY_SINK_JSON.replace("ORDER BY doc_id", "")})
+SELECT doc_id,
+  submission->>'company' AS company,
+  submission->>'date' AS date,
+  submission->>'total' AS total
+FROM payloads ORDER BY doc_id
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations: intersect / except / union over key sets."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = orders.filter(F.col("o_totalprice") > 150000) \
+        .select("o_custkey").distinct()
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_custkey").distinct()
+    return spark.createDataFrame(
+        [(big.intersect(urgent).count(),
+          big.subtract(urgent).count(),
+          big.union(urgent).distinct().count())],
+        "n_intersect long, n_except long, n_union long",
+    )
+
+
+SQL_SET_OPS = """
+WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000),
+urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM big INTERSECT SELECT * FROM urgent)) AS BIGINT) AS n_intersect,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent)) AS BIGINT) AS n_except,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM big UNION SELECT * FROM urgent)) AS BIGINT) AS n_union
+"""
+
+
 SQL_QUERIES_CLEAN = {
     "company_clean": (q_company_clean, SQL_COMPANY_CLEAN),
     "address_clean": (q_address_clean, SQL_ADDRESS_CLEAN),
     "entity_sink_json": (q_entity_sink_json, SQL_ENTITY_SINK_JSON),
+    "entity_json_read": (q_entity_json_read, SQL_ENTITY_JSON_READ),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
 }
