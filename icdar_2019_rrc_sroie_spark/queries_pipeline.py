@@ -117,7 +117,28 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_and_featurize(media).orderBy("media_id")
 
 
+def q_anchor_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2/F4/F5: anchor↔gt matching over synthetic layouts (exact
+    semantics pytest-verified against a NumPy oracle)."""
+    from .operators.geometry import anchor_grid
+    from .operators.matching import match_anchors
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    anchors = anchor_grid(spark, feat_h=6, feat_w=8, heights=(11, 15, 22, 32))
+    gt = li.select(
+        F.concat(F.lit("doc"), (F.col("l_orderkey") % 60)).alias("doc_id"),
+        F.col("l_linenumber").alias("gt_id"),
+        ((F.col("l_partkey") % 6) * 16.0).alias("xmin"),
+        ((F.col("l_suppkey") % 5) * 16.0).alias("ymin"),
+        ((F.col("l_partkey") % 6) * 16.0 + 47.0).alias("xmax"),
+        ((F.col("l_suppkey") % 5) * 16.0 + 14.0).alias("ymax"),
+    ).dropDuplicates(["doc_id", "gt_id"])
+    out = match_anchors(anchors, gt, img_w=128.0, img_h=96.0)
+    return out.filter(F.col("label") >= 0).orderBy("doc_id", "anchor_id")
+
+
 ROWS_ONLY_QUERIES = {
+    "anchor_matching": (q_anchor_matching, None),
     "nms": (q_nms, None),
     "detection_pipeline": (q_detection_pipeline, None),
     "deteval_corpus": (q_deteval, None),
