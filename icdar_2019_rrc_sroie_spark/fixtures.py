@@ -47,17 +47,23 @@ GT_ENTITIES_SCHEMA = T.StructType(
 
 _BASE_TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
+#: (raw printed line, entity the reference rules recover). Includes the
+#: clean_company edge paths: m2 registration-code cut, m1 digits-full-
+#: match rescued by the first-two-lines fallback (entity_matching.py:
+#: 29-42, 192-201).
 _COMPANIES = (
-    "GOLDEN KEY MAKER",
-    "MR. D.I.Y. (M) SDN BHD",
-    "AEON CO. (M) BHD",
-    "POPULAR BOOK CO. (M) SDN BHD",
-    "SANYU STATIONERY SHOP",
-    "GERBANG ALAF RESTAURANTS SDN BHD",
-    "99 SPEED MART S/B",
-    "WATSON'S PERSONAL CARE STORES",
-    "TEO HENG STATIONERY & BOOKS",
-    "KEDAI PAPAN YEW CHUAN",
+    ("GOLDEN KEY MAKER", "GOLDEN KEY MAKER"),
+    ("MR. D.I.Y. (M) SDN BHD", "MR. D.I.Y. (M) SDN BHD"),
+    ("AEON CO. (M) BHD", "AEON CO. (M) BHD"),
+    ("POPULAR BOOK CO. (M) SDN BHD", "POPULAR BOOK CO. (M) SDN BHD"),
+    ("SANYU STATIONERY SHOP", "SANYU STATIONERY SHOP"),
+    ("GERBANG ALAF RESTAURANTS SDN BHD", "GERBANG ALAF RESTAURANTS SDN BHD"),
+    ("99 SPEED MART S/B", "99 SPEED MART S/B"),
+    ("WATSON'S PERSONAL CARE STORES", "WATSON'S PERSONAL CARE STORES"),
+    ("SYARIKAT MAJU (B987654-A) HOLDINGS", "SYARIKAT MAJU"),
+    ("TEO HENG STATIONERY & BOOKS", "TEO HENG STATIONERY & BOOKS"),
+    ("PERNIAGAAN JAYA (K123456-M) ENTERPRISE", "PERNIAGAAN JAYA"),
+    ("KEDAI PAPAN YEW CHUAN", "KEDAI PAPAN YEW CHUAN"),
 )
 
 _STREETS = (
@@ -115,10 +121,11 @@ def _receipt_lines(seed: int, conv: int, turn: int) -> tuple[list[str], dict]:
     generate_data.py:128-152) recovers the entities exactly.
     """
     k = _h(seed, conv, turn)
-    company = _COMPANIES[k % len(_COMPANIES)]
+    company_raw, company_gt = _COMPANIES[k % len(_COMPANIES)]
     street = _STREETS[(k >> 8) % len(_STREETS)]
     city = _CITIES[(k >> 16) % len(_CITIES)]
     address = f"{street}, {city}"
+    two_line_addr = (k >> 20) % 3 == 0
 
     day = 1 + (k >> 24) % 28
     month = 1 + (k >> 32) % 12
@@ -146,18 +153,28 @@ def _receipt_lines(seed: int, conv: int, turn: int) -> tuple[list[str], dict]:
     has_tel = (k >> 52) % 2 == 0
     tel_suffix = f" TEL 03-{1000000 + (k >> 33) % 9000000}" if has_tel else ""
 
+    if two_line_addr:
+        # split across two printed lines; run-joining with ' ' restores
+        # the exact single-line ground truth (entity_matching.py:161-163)
+        address_lines = [f"{street},", f"{city}{tel_suffix}"]
+    else:
+        address_lines = [f"{address}{tel_suffix}"]
+
+    rounding_noise = (k >> 56) % 4 == 0
+
     lines = [
-        company,
-        f"{address}{tel_suffix}",
+        company_raw,
+        *address_lines,
         f"DATE: {date}",
         "-" * 24,
         *item_lines,
         "-" * 24,
         f"TOTAL RM{total}",
+        *(["ROUNDING ADJ 0.02"] if rounding_noise else []),
         f"CASH {total_cents / 100 + 10:.2f}",
         "THANK YOU PLEASE COME AGAIN",
     ]
-    gt = {"company": company, "date": date, "address": address,
+    gt = {"company": company_gt, "date": date, "address": address,
           "total": f"RM{total}"}
     return lines, gt
 

@@ -63,7 +63,11 @@ def class_expr(t: Column, line_idx: Column,
     line-row path and the no-shuffle turn-array path)."""
     is_date = date_ex != ""
     is_total = (total_ex != "") & t.rlike(TOTAL_CONTEXT_PATTERN)
-    is_address = (~is_date) & t.rlike(r"\d{5}") & F.contains(t, F.lit(","))
+    is_address = (
+        (~is_date)
+        & F.contains(t, F.lit(","))
+        & (t.rlike(r"\d{5}") | t.rlike(r"JALAN|LOT |NO \d"))
+    )
     is_company = (
         (line_idx == 0)
         & ~t.rlike(UNWANTED_COMPANY_CORE)

@@ -66,7 +66,8 @@ def classify(lines: list[str]) -> list[tuple[int, float]]:
             out.append((2, 0.95))
         elif total_ex and TOTAL_CONTEXT.search(t):
             out.append((4, 0.90))
-        elif re.search(r"\d{5}", t) and "," in t:
+        elif "," in t and (re.search(r"\d{5}", t)
+                           or re.search(r"JALAN|LOT |NO \d", t)):
             out.append((3, 0.75))
         elif i == 0 and not UNWANTED.search(t) \
                 and not all(c.isdigit() for c in t):
