@@ -212,3 +212,46 @@ def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """(id, simhash) — near-dup buckets collide on identical simhash."""
     return df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3,
+                      num_bits: int = 48, n_words: int = 4) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: the signature splits into ``n_words`` words; any
+    pair within ``max_hamming < n_words`` bit flips must agree on at
+    least one whole word, so candidates come from ``n_words`` exact
+    equi-joins (never a cross join); ``bit_count(xor)`` verifies. The
+    words index is persisted before the self-join (see
+    minhash_candidates).
+    """
+    assert max_hamming < n_words
+    word_bits = num_bits // n_words
+    sigs = simhash_dedup(df, id_col, text_col)
+    words = []
+    for w in range(n_words):
+        words.append(
+            F.struct(
+                F.lit(w).alias("word_idx"),
+                F.shiftright(F.col("simhash"), w * word_bits)
+                .bitwiseAND(F.lit((1 << word_bits) - 1)).alias("word"),
+            )
+        )
+    exploded = sigs.select(
+        id_col, "simhash", F.explode(F.array(*words)).alias("wd")
+    ).select(id_col, "simhash", "wd.word_idx", "wd.word").persist()
+    left = exploded.select(F.col(id_col).alias("id_a"),
+                           F.col("simhash").alias("sig_a"),
+                           "word_idx", "word")
+    right = exploded.select(F.col(id_col).alias("id_b"),
+                            F.col("simhash").alias("sig_b"),
+                            "word_idx", "word")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        left.join(right, ["word_idx", "word"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -114,3 +114,22 @@ def test_encode_chars(spark):
     for i, c in enumerate(up):
         assert got[i] == VOCAB.index(c) + 1
     assert all(v == 0 for v in got[len(up):])
+
+
+def test_simhash_near_dups(spark):
+    from icdar_2019_rrc_sroie_spark.operators.dedup import simhash_near_dups
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    near = base.replace("green", "blue")  # one-token change
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, base.upper()),   # 2 = exact dup mod case
+         (3, "totally different content about query engines and shuffles "
+             "with columns partitions and adaptive execution plans")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_dups(docs, max_hamming=6,
+                                        n_words=8).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 0  # case-normalized dup
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 6  # near dup
+    assert all(3 not in k for k in pairs)          # unrelated doc excluded
