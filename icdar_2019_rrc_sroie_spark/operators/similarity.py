@@ -48,6 +48,88 @@ def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def train_centroids(df: DataFrame, k: int = 8, iters: int = 10,
+                    sample_size: int = 10_000,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic k-means on a bounded driver-side sample.
+
+    At 100 TB the index is trained on a fixed-size sample (standard IVF
+    practice) — the sample, not the corpus, comes to the driver.
+    Initialization: the k sample vectors with the lowest ids (no RNG,
+    reruns identical).
+    """
+    import numpy as np
+
+    sample = (
+        df.orderBy(id_col).limit(sample_size)
+        .select(id_col, vec_col).collect()
+    )
+    vecs = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
+    centroids = vecs[:k].copy()
+    for _ in range(iters):
+        d2 = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = vecs[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in centroids]
+
+
+def _centroid_array(centroids: list[list[float]]) -> Column:
+    return F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+
+
+def nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the closest centroid (squared L2), pure Catalyst."""
+    dists = F.transform(
+        _centroid_array(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    n = F.size(dists)
+    return F.aggregate(
+        F.sequence(F.lit(1), n - 1),
+        F.lit(0),
+        lambda best, i: F.when(
+            F.element_at(dists, i + 1) < F.element_at(dists, best + 1), i
+        ).otherwise(best),
+    ).cast("int")
+
+
+def ivf_topk(df: DataFrame, centroids: list[list[float]],
+             query: list[float], k: int = 10, nprobe: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF probe: score only vectors assigned to the query's ``nprobe``
+    nearest centroids. With the table written partitioned/bucketed by
+    ``ivf_bucket`` the filter prunes at scan time."""
+    import numpy as np
+
+    q = np.array(query, dtype=np.float64)
+    cents = np.array(centroids, dtype=np.float64)
+    order = ((cents - q[None, :]) ** 2).sum(axis=1).argsort()
+    probes = [int(i) for i in order[:nprobe]]
+
+    q_col = F.array(*[F.lit(float(v)) for v in query])
+    bucketed = df.withColumn(
+        "ivf_bucket", nearest_centroid_expr(F.col(vec_col), centroids)
+    )
+    return (
+        bucketed.filter(F.col("ivf_bucket").isin(probes))
+        .select(F.col(id_col), "ivf_bucket",
+                cosine_expr(F.col(vec_col), q_col).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def sign_bucket_expr(vec: Column, n_bits: int = 4) -> Column:
     """Sign-LSH bucket from the first ``n_bits`` components."""
     bits = [

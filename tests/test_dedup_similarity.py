@@ -133,3 +133,30 @@ def test_simhash_near_dups(spark):
     assert (0, 2) in pairs and pairs[(0, 2)] == 0  # case-normalized dup
     assert (0, 1) in pairs and pairs[(0, 1)] <= 6  # near dup
     assert all(3 not in k for k in pairs)          # unrelated doc excluded
+
+
+def test_ivf_ann_matches_bruteforce_within_cluster(spark):
+    import numpy as np
+    from icdar_2019_rrc_sroie_spark.operators.similarity import (
+        ivf_topk,
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = np.array([[5, 0, 0, 0], [0, 5, 0, 0],
+                        [0, 0, 5, 0], [0, 0, 0, 5]], float)
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + rng.normal(0, 0.3, 4)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = train_centroids(df, k=4, iters=8)
+    query = [5.0, 0.2, -0.1, 0.0]  # near cluster 0
+    got = [r["vec_id"] for r in ivf_topk(df, cents, query, k=5, nprobe=1)
+           .collect()]
+    brute = [r["vec_id"] for r in cosine_topk(df, query, k=5).collect()]
+    assert got == brute  # top-5 all live in the probed cluster
+    # determinism of training
+    assert cents == train_centroids(df, k=4, iters=8)
