@@ -137,8 +137,32 @@ def q_anchor_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("label") >= 0).orderBy("doc_id", "anchor_id")
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the embeddings table: sampled k-means index +
+    nprobe=2 probe (exactness vs brute force pytest-verified)."""
+    from .operators.similarity import ivf_topk, train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, k=8, iters=5, sample_size=2000)
+    query = emb.filter(F.col("vec_id") == 0).select("embedding") \
+        .collect()[0][0]
+    return ivf_topk(emb, cents, list(query), k=20, nprobe=2)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    return simhash_near_dups(corpus, max_hamming=6, n_words=8) \
+        .orderBy("id_a", "id_b")
+
+
 ROWS_ONLY_QUERIES = {
     "anchor_matching": (q_anchor_matching, None),
+    "ivf_ann": (q_ivf_ann, None),
+    "simhash_near_dups": (q_simhash_near_dups, None),
     "nms": (q_nms, None),
     "detection_pipeline": (q_detection_pipeline, None),
     "deteval_corpus": (q_deteval, None),
