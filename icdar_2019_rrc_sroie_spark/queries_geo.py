@@ -463,9 +463,12 @@ ORDER BY g.gt
 def q_charlm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     enc = encode_chars(F.substring(F.col("text"), 1, 100))
+    # array<int> serialized with to_json so the driver canonicalizer can
+    # hash the column (lists are unhashable in pandas); Spark and DuckDB
+    # both render int arrays as '[1,2,3]'.
     return docs.select(
         "doc_id",
-        enc.alias("enc"),
+        F.to_json(enc).alias("enc"),
         F.aggregate(enc, F.lit(0), lambda a, x: a + x).alias("enc_sum"),
     ).orderBy("doc_id")
 
@@ -485,7 +488,7 @@ WITH prep AS (
     list_concat(idxs, [CAST(0 AS INT) for _ in generate_series(1, 68 - len(idxs))]) AS enc
   FROM enc
 )
-SELECT doc_id, enc,
+SELECT doc_id, to_json(enc) AS enc,
        CAST(list_sum(enc) AS INT) AS enc_sum
 FROM padded ORDER BY doc_id
 """

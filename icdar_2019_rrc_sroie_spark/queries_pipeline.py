@@ -114,7 +114,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
-    return decode_and_featurize(media).orderBy("media_id")
+    feats = decode_and_featurize(media)
+    # Serialize the array<float> feature column (lists are unhashable in
+    # the driver's pandas canonicalizer); round to 6dp for stable hashing.
+    return feats.select(
+        "media_id", "kind", "decoded_bytes",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.to_json(
+            F.transform("feature", lambda x: F.round(x.cast("double"), 6))
+        ).alias("feature"),
+    ).orderBy("media_id")
 
 
 def q_anchor_matching(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -18,12 +18,22 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    # Mimic the driver: list/array-typed output columns are NOT
+    # canonicalizable (pandas sort_values throws on unhashable lists).
+    # Queries must serialize arrays (to_json) before returning.
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple))).any() or (
+            df[c].dtype == object
+            and df[c].map(lambda v: hasattr(v, "__array__")).any()
+        ):
+            raise TypeError(
+                f"column {c!r} holds list/array values — driver "
+                "canonicalizer would throw; serialize with to_json"
+            )
     df = df.reindex(sorted(df.columns), axis=1)
     out = df.copy()
     for c in out.columns:
-        out[c] = out[c].map(
-            lambda v: str(sorted(v)) if isinstance(v, (list, tuple)) else str(v)
-        )
+        out[c] = out[c].map(str)
     return out.sort_values(list(out.columns)).reset_index(drop=True)
 
 
@@ -51,6 +61,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
             print(f"FAIL {name}: spark error {str(e)[:300]}")
             continue
         if name not in oracles:
+            try:
+                normalize(spark_pdf)  # driver hashes rows-only outputs too
+            except TypeError as e:
+                failures.append((name, str(e)))
+                print(f"FAIL {name}: {e}")
+                continue
             print(f"ok?  {name}: rows-only ({len(spark_pdf)} rows)")
             continue
         try:
