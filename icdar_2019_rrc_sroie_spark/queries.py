@@ -522,13 +522,16 @@ def _all_batches() -> dict:
     from .queries_clean import SQL_QUERIES_CLEAN
     from .queries_parse import SQL_QUERIES_PARSE
     from .queries_pipeline import ROWS_ONLY_QUERIES
+    from .queries_labeling import ROWS_ONLY_LABELING, SQL_QUERIES_LABELING
 
     merged = dict(SQL_QUERIES)
     merged.update(SQL_QUERIES_GEO)
     merged.update(SQL_QUERIES_DEDUP)
     merged.update(SQL_QUERIES_PARSE)
     merged.update(SQL_QUERIES_CLEAN)
+    merged.update(SQL_QUERIES_LABELING)
     merged.update(ROWS_ONLY_QUERIES)
+    merged.update(ROWS_ONLY_LABELING)
     return merged
 
 
