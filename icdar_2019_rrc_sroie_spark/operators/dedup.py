@@ -13,7 +13,7 @@ only on candidates. Never a cross join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -137,23 +137,53 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
-                  threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard over shingle rows (verification stage).
+                  threshold: float = 0.8,
+                  candidates: DataFrame | None = None,
+                  max_shingle_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard (verification stage).
 
-    Relational formulation (identical in any SQL engine): common-shingle
-    counts from a self equi-join on the shingle, set sizes from a
-    groupBy, |A∪B| = |A|+|B|-|A∩B|.
+    ``candidates`` is the (id_a, id_b) pair set to verify — normally the
+    output of :func:`minhash_candidates`. With it, the work is bounded
+    by Σ|pair| × doc-size: pairs are expanded against the left side's
+    shingles, then intersected with the right side via an equi-join on
+    (id_b, shingle). Without it the operator falls back to the full
+    shingle self-join — correct, but a hot shingle shared by m docs
+    contributes m² rows, which is quadratic on a web corpus; only use
+    the fallback for small slices or oracle parity.
+
+    ``max_shingle_df`` drops shingles that occur in more than that many
+    documents before *both* the size and intersection counts (standard
+    document-frequency capping: boilerplate n-grams carry no dedup
+    signal but dominate the join). Jaccard is then computed over the
+    capped shingle universe — consistent numerator/denominator.
     """
     sh = shingle_rows(df, id_col, text_col, k).distinct()
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    if candidates is not None:
+        pairs = candidates.select("id_a", "id_b")
+        common = (
+            pairs.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     jac = (
@@ -168,23 +198,36 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return jac.select("id_a", "id_b", "common", "sz_a", "sz_b", "jaccard")
 
 
-def simhash64(text: Column, num_bits: int = 48) -> Column:
-    """SimHash of the token set, as a bigint (48 bits).
+def simhash64(text: Column, num_bits: int = 64) -> Column:
+    """SimHash of the token set, as a bigint (32 or 64 bits).
 
-    Per token: a 48-bit hash from the md5 hex prefix (via conv); bit j is
-    recovered with exact power-of-two floating division (48-bit values
-    are exact doubles), then ±1 bit-weighted sums decide each output
-    bit. Pure Catalyst array algebra — no UDF.
+    Per token: two independent 32-bit hashes from md5 hex slices (conv →
+    long is exact for 32-bit values). Bit j is recovered with exact
+    power-of-two floating division — 32-bit values and 2^j for j<32 are
+    exact doubles — then ±1 bit-weighted sums decide each output bit.
+    The two 32-bit halves are packed with shiftleft|OR, so a 64-bit
+    signature may be negative; downstream word extraction must use
+    ``shiftrightunsigned``. Pure Catalyst array algebra — no UDF.
     """
+    assert num_bits in (32, 64)
     toks = F.array_distinct(F.split(normalized_text(text), r"\s+"))
     # token hashes in HOF argument position: evaluated once per row
     tok_hashes = F.transform(
         toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, num_bits // 4), 16, 10)
-        .cast("double"),
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+            .cast("double").alias("lo"),
+            F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
+            .cast("double").alias("hi"),
+        ),
     )
     bit_idx = F.array(*[F.lit(j) for j in range(num_bits)])
     init = F.array_repeat(F.lit(0), num_bits)
+
+    def _bit(h: Column, j: Column) -> Column:
+        half = F.when(j < 32, h["lo"]).otherwise(h["hi"])
+        return F.pmod(F.floor(half / F.pow(F.lit(2.0), F.pmod(j, 32))), 2)
+
     # single pass over tokens, updating all bit counters per token
     bit_sums = F.aggregate(
         tok_hashes,
@@ -193,30 +236,39 @@ def simhash64(text: Column, num_bits: int = 48) -> Column:
             acc,
             bit_idx,
             lambda s, j: s
-            + F.when(
-                F.pmod(F.floor(h / F.pow(F.lit(2.0), j)), 2) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
+            + F.when(_bit(h, j) == 1, F.lit(1)).otherwise(F.lit(-1)),
         ),
     )
-    weighted = F.zip_with(
-        bit_sums,
-        bit_idx,
-        lambda s, j: F.when(s > 0, F.pow(F.lit(2.0), j)).otherwise(F.lit(0.0)),
-    )
-    return F.aggregate(
-        weighted, F.lit(0.0), lambda acc, v: acc + v
-    ).cast("long")
+    # pack per 32-bit half: sums < 2^32 are exact doubles
+    def _half_sig(lo_bit: int) -> Column:
+        weighted = F.zip_with(
+            F.slice(bit_sums, lo_bit + 1, 32),
+            F.array(*[F.lit(j) for j in range(32)]),
+            lambda s, j: F.when(
+                s > 0, F.pow(F.lit(2.0), j)).otherwise(F.lit(0.0)),
+        )
+        return F.aggregate(
+            weighted, F.lit(0.0), lambda acc, v: acc + v
+        ).cast("long")
+
+    if num_bits == 32:
+        return _half_sig(0)
+    return F.shiftleft(_half_sig(32), 32).bitwiseOR(_half_sig(0))
 
 
 def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  num_bits: int = 64) -> DataFrame:
     """(id, simhash) — near-dup buckets collide on identical simhash."""
-    return df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+    return df.select(
+        F.col(id_col), simhash64(F.col(text_col), num_bits).alias("simhash")
+    )
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3,
-                      num_bits: int = 48, n_words: int = 4) -> DataFrame:
+                      num_bits: int = 64, n_words: int = 4,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     Pigeonhole banding: the signature splits into ``n_words`` words; any
@@ -225,22 +277,43 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     equi-joins (never a cross join); ``bit_count(xor)`` verifies. The
     words index is persisted before the self-join (see
     minhash_candidates).
+
+    Scale parameterization: word width is ``num_bits / n_words``; a
+    bucket join emits ~n²/2^width pairs per word for random signatures,
+    so words must be wide — the 64-bit/4-word default gives 16-bit
+    words (65k buckets per word index). ``max_bucket_size`` is the
+    guard for pathological buckets (e.g. empty documents hashing to
+    0): bucket rows in buckets larger than the cap are dropped before
+    the self-join, trading bounded recall loss for a hard upper bound
+    on join fan-out. Word extraction uses ``shiftrightunsigned`` —
+    64-bit signatures can be negative.
     """
     assert max_hamming < n_words
+    assert num_bits % n_words == 0
     word_bits = num_bits // n_words
-    sigs = simhash_dedup(df, id_col, text_col)
+    sigs = simhash_dedup(df, id_col, text_col, num_bits)
     words = []
     for w in range(n_words):
         words.append(
             F.struct(
                 F.lit(w).alias("word_idx"),
-                F.shiftright(F.col("simhash"), w * word_bits)
+                F.shiftrightunsigned(F.col("simhash"), w * word_bits)
                 .bitwiseAND(F.lit((1 << word_bits) - 1)).alias("word"),
             )
         )
     exploded = sigs.select(
         id_col, "simhash", F.explode(F.array(*words)).alias("wd")
-    ).select(id_col, "simhash", "wd.word_idx", "wd.word").persist()
+    ).select(id_col, "simhash", "wd.word_idx", "wd.word")
+    if max_bucket_size is not None:
+        bucket_sz = F.count(F.lit(1)).over(
+            Window.partitionBy("word_idx", "word")
+        )
+        exploded = (
+            exploded.withColumn("bucket_sz", bucket_sz)
+            .filter(F.col("bucket_sz") <= max_bucket_size)
+            .drop("bucket_sz")
+        )
+    exploded = exploded.persist()
     left = exploded.select(F.col(id_col).alias("id_a"),
                            F.col("simhash").alias("sig_a"),
                            "word_idx", "word")

@@ -95,8 +95,11 @@ ORDER BY id_a, id_b
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-bounded verification: exact Jaccard only for pairs the
+    MinHash-LSH stage proposed (never the full shingle self-join)."""
     corpus = _with_dups(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60))
-    out = jaccard_pairs(corpus, threshold=0.6)
+    cands = minhash_candidates(corpus, num_hashes=4, rows_per_band=2)
+    out = jaccard_pairs(corpus, threshold=0.6, candidates=cands)
     return out.select(
         "id_a", "id_b",
         F.col("common").cast("long").alias("common"),
@@ -112,11 +115,28 @@ WITH corpus AS (
   UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 60
 ),
 sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+    min(substr(md5(shingle), 1, 8)) AS sig0, min(substr(md5(shingle), 9, 8)) AS sig1,
+    min(substr(md5(shingle), 17, 8)) AS sig2, min(substr(md5(shingle), 25, 8)) AS sig3
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(sig0 || '|' || sig1) AS band_hash FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, md5(sig2 || '|' || sig3) AS band_hash FROM sigs
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.id_a, c.id_b, COUNT(*) AS common
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
 )
 SELECT c.id_a, c.id_b, CAST(c.common AS BIGINT) AS common,
   CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,

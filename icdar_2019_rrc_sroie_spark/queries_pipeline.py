@@ -159,13 +159,17 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit signatures, 4×16-bit pigeonhole words (65k buckets per
+    word — candidate count stays ~linear in corpus size), bucket guard
+    against degenerate buckets."""
     from .operators.dedup import simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.select("doc_id", "text").unionByName(
         docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
-    return simhash_near_dups(corpus, max_hamming=6, n_words=8) \
-        .orderBy("id_a", "id_b")
+    return simhash_near_dups(
+        corpus, max_hamming=3, num_bits=64, n_words=4, max_bucket_size=200
+    ).orderBy("id_a", "id_b")
 
 
 ROWS_ONLY_QUERIES = {

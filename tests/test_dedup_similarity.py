@@ -87,7 +87,8 @@ def test_simhash_identical_docs_collide(docs_df):
     got = {r["doc_id"]: r["simhash"] for r in simhash_dedup(docs_df).collect()}
     assert got[0] == got[3]
     assert got[0] != got[2]
-    assert 0 <= got[0] < 2 ** 48
+    # 64-bit signature packed into a signed long — may be negative
+    assert -(2 ** 63) <= got[0] < 2 ** 63
 
 
 def test_cosine_topk(spark):
@@ -160,3 +161,68 @@ def test_ivf_ann_matches_bruteforce_within_cluster(spark):
     assert got == brute  # top-5 all live in the probed cluster
     # determinism of training
     assert cents == train_centroids(df, k=4, iters=8)
+
+
+def test_simhash_near_dups_equals_bruteforce(spark):
+    """Pigeonhole banding is a deterministic guarantee (hamming <=
+    max_hamming < n_words => >=1 shared word), so the operator must
+    return EXACTLY the brute-force Hamming pairs."""
+    from icdar_2019_rrc_sroie_spark.operators.dedup import simhash_near_dups
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    for i in range(40):
+        toks = [words[(i * 7 + j) % len(words)] for j in range(12)]
+        if i % 4 == 1:  # near dup of previous: one token changed
+            toks = [words[((i - 1) * 7 + j) % len(words)] for j in range(12)]
+            toks[5] = "changed"
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_dedup(docs).collect()}
+    max_h = 3
+    brute = {
+        (a, b): bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+        for a in sigs for b in sigs if a < b
+        and bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= max_h
+    }
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_dups(docs, max_hamming=max_h,
+                                      num_bits=64, n_words=4).collect()}
+    assert got == brute
+    assert len(brute) > 0  # the planted near-dups are actually close
+
+
+def test_jaccard_candidates_bounded_matches_full(docs_df):
+    """Candidate-bounded verification returns the same rows as the full
+    self-join for every pair the candidate stage proposes."""
+    cands = minhash_candidates(docs_df, num_hashes=4, rows_per_band=2)
+    cand_set = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(docs_df, threshold=0.5).collect()}
+    bounded = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in jaccard_pairs(docs_df, threshold=0.5,
+                                      candidates=cands).collect()}
+    assert bounded == {p: j for p, j in full.items() if p in cand_set}
+    assert len(bounded) > 0
+
+
+def test_jaccard_shingle_df_cap_drops_boilerplate(spark):
+    """A shingle present in every doc is dropped by the DF cap; docs
+    that only share boilerplate stop pairing."""
+    boiler = "all rights reserved contact us at example dot com"
+    docs = spark.createDataFrame(
+        [(0, "unique alpha content here " + boiler),
+         (1, "different beta content now " + boiler),
+         (2, "unique alpha content here " + boiler)],
+        "doc_id long, text string")
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in jaccard_pairs(docs, threshold=0.4).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in jaccard_pairs(docs, threshold=0.4,
+                                     max_shingle_df=2).collect()}
+    assert (0, 1) in uncapped          # boilerplate-only similarity
+    assert (0, 1) not in capped        # killed by the DF cap
+    assert (0, 2) in capped            # true dup survives
