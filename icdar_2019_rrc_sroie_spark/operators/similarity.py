@@ -10,6 +10,8 @@ partition-pruned scan when the table is written bucketed/partitioned by
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -130,35 +132,94 @@ def ivf_topk(df: DataFrame, centroids: list[list[float]],
     )
 
 
-def sign_bucket_expr(vec: Column, n_bits: int = 4) -> Column:
-    """Sign-LSH bucket from the first ``n_bits`` components."""
-    bits = [
-        F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(n_bits)
-    ]
+def random_hyperplanes(dim: int, n_bits: int = 8,
+                       seed: int = 7) -> list[list[float]]:
+    """Deterministic random-projection matrix for sign-LSH.
+
+    Proper sign-LSH needs *random* hyperplanes — axis-aligned
+    first-component signs give biased, unevenly-sized buckets. The
+    matrix is seeded (reruns and the SQL oracle see identical
+    constants) and broadcast into the plan as literals."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [list(map(float, row)) for row in
+            rng.standard_normal((n_bits, dim))]
+
+
+def sign_bucket_expr(vec: Column,
+                     hyperplanes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i set iff dot(vec, h_i) > 0 — pure
+    Catalyst (one zip_with/aggregate dot per hyperplane over literal
+    constants)."""
     out = F.lit(0)
-    for b in bits:
-        out = out + b
+    for i, h in enumerate(hyperplanes):
+        h_col = F.array(*[F.lit(float(x)) for x in h])
+        out = out + F.when(
+            dot_expr(vec, h_col) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return out.cast("int")
 
 
 def ann_topk_bucketed(df: DataFrame, query: list[float], k: int = 10,
-                      n_bits: int = 4, id_col: str = "vec_id",
+                      n_bits: int = 8, seed: int = 7,
+                      hyperplanes: list[list[float]] | None = None,
+                      multiprobe: int = 0,
+                      id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: score only vectors in the query's sign bucket.
+    """Approximate top-k: score only vectors in the query's sign bucket
+    (plus, with ``multiprobe`` > 0, the buckets within that many bit
+    flips of it — standard multiprobe LSH recall boost).
 
     The bucket predicate is a plain column filter, so with a
-    bucket-partitioned layout it prunes at scan time.
+    bucket-partitioned layout it prunes at scan time; 2^n_bits buckets
+    cut the scanned fraction to ~1/2^n_bits per probe.
     """
+    if hyperplanes is None:
+        hyperplanes = random_hyperplanes(len(query), n_bits, seed)
     q_bucket = 0
-    for i in range(n_bits):
-        if query[i] > 0:
+    for i, h in enumerate(hyperplanes):
+        if sum(a * b for a, b in zip(query, h)) > 0:
             q_bucket |= 1 << i
+    probes = {q_bucket}
+    if multiprobe >= 1:
+        probes |= {q_bucket ^ (1 << i) for i in range(len(hyperplanes))}
+    if multiprobe >= 2:
+        probes |= {
+            q_bucket ^ (1 << i) ^ (1 << j)
+            for i in range(len(hyperplanes))
+            for j in range(i + 1, len(hyperplanes))
+        }
     q = F.array(*[F.lit(float(v)) for v in query])
     scored = (
-        df.withColumn("bucket", sign_bucket_expr(F.col(vec_col), n_bits))
-        .filter(F.col("bucket") == q_bucket)
+        df.withColumn("bucket", sign_bucket_expr(F.col(vec_col), hyperplanes))
+        .filter(F.col("bucket").isin(sorted(probes)))
         .select(F.col(id_col), F.col("bucket"),
                 cosine_expr(F.col(vec_col), q).alias("cosine"))
     )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def cosine_topk_arrow(df: DataFrame, query: list[float], k: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k with an Arrow-batched NumPy kernel.
+
+    The HOF dot product (`cosine_expr`) is CodegenFallback — every
+    element evaluates an interpreted lambda — so for wide embeddings a
+    single matmul per Arrow batch wins (measured: see bench.py
+    embedding entries). Semantics identical to :func:`cosine_topk`.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    @pandas_udf("double")
+    def cos(batch: pd.Series) -> pd.Series:
+        m = np.array(batch.tolist(), dtype=np.float64)
+        dots = m @ q
+        norms = np.linalg.norm(m, axis=1) * qn
+        return pd.Series(dots / norms)
+
+    scored = df.select(F.col(id_col), cos(F.col(vec_col)).alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

@@ -173,27 +173,53 @@ FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 25
 """
 
 
+_ANN_BITS = 4
+_ANN_SEED = 7
+_ANN_DIM = 64
+
+
 def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane sign-LSH (seeded projection matrix broadcast as
+    literals) with 1-bit multiprobe — the SQL oracle recomputes the
+    identical hyperplane dot products term-by-term."""
+    from .operators.similarity import random_hyperplanes
+
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    out = ann_topk_bucketed(emb, list(query), k=25, n_bits=3)
+    planes = random_hyperplanes(_ANN_DIM, _ANN_BITS, _ANN_SEED)
+    out = ann_topk_bucketed(emb, list(query), k=25, hyperplanes=planes,
+                            multiprobe=1)
     return out.select("vec_id", "bucket",
                       _micro(F.col("cosine")).alias("cosine_micro"))
 
 
-SQL_ANN_BUCKETED = """
+def _sql_ann_bucketed() -> str:
+    """Mirror the seeded hyperplanes as literal dot-product chains; '+'
+    chains evaluate left-to-right in both engines, so the fp rounding of
+    each dot matches Spark's sequential `aggregate` exactly."""
+    from .operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(_ANN_DIM, _ANN_BITS, _ANN_SEED)
+
+    def dot(col: str, h: list[float]) -> str:
+        return "(" + " + ".join(
+            f"CAST({col}[{j + 1}] AS DOUBLE) * ({x!r})"
+            for j, x in enumerate(h)) + ")"
+
+    def bucket(col: str) -> str:
+        return "(" + " + ".join(
+            f"CASE WHEN {dot(col, h)} > 0 THEN {1 << i} ELSE 0 END"
+            for i, h in enumerate(planes)) + ")"
+
+    flips = ", ".join(f"xor(qbucket, {1 << i})" for i in range(_ANN_BITS))
+    return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-qb AS (
-  SELECT (CASE WHEN qv[1] > 0 THEN 1 ELSE 0 END
-        + CASE WHEN qv[2] > 0 THEN 2 ELSE 0 END
-        + CASE WHEN qv[3] > 0 THEN 4 ELSE 0 END) AS qbucket, qv FROM q
+qb AS (SELECT {bucket('qv')} AS qbucket, qv FROM q),
+probes AS (
+  SELECT unnest([CAST(qbucket AS BIGINT), {flips}]) AS probe FROM qb
 ),
 scored AS (
-  SELECT e.vec_id,
-    (CASE WHEN e.embedding[1] > 0 THEN 1 ELSE 0 END
-   + CASE WHEN e.embedding[2] > 0 THEN 2 ELSE 0 END
-   + CASE WHEN e.embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket,
-    qb.qbucket,
+  SELECT e.vec_id, {bucket('e.embedding')} AS bucket,
     list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(qb.qv[i] AS DOUBLE)
               for i in generate_series(1, len(e.embedding))]) /
     (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
@@ -204,9 +230,12 @@ scored AS (
 )
 SELECT vec_id, CAST(bucket AS INT) AS bucket,
        CAST(floor(cosine*1e6+0.5) AS BIGINT) AS cosine_micro
-FROM scored WHERE bucket = qbucket
+FROM scored WHERE bucket IN (SELECT probe FROM probes)
 ORDER BY cosine DESC, vec_id ASC LIMIT 25
 """
+
+
+SQL_ANN_BUCKETED = _sql_ann_bucketed()
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,9 +102,43 @@ def test_cosine_topk(spark):
     assert got[1]["cosine"] == pytest.approx(0.9 / math.hypot(0.9, 0.1))
 
     ann = ann_topk_bucketed(df, [1.0, 0.0, 0.0], k=3, n_bits=2).collect()
-    # bucket of query = bit0 only → vecs with x>0, y<=0: ids 0 (1 in bucket 3? no)
+    # random-hyperplane buckets: the query's own bucket must contain the
+    # exact query-direction vector (cos=1 ⇒ same side of every plane)
     ids = [r["vec_id"] for r in ann]
-    assert 3 not in ids and 2 not in ids
+    assert 0 in ids and 3 not in ids  # antipode is on the other side
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """Random-hyperplane sign-LSH with 1-bit multiprobe: recall@10 on a
+    clustered corpus must beat the 1/2^n_bits random-scan baseline and
+    the near-neighbors of the query cluster must be found."""
+    import numpy as np
+    from icdar_2019_rrc_sroie_spark.operators.similarity import (
+        cosine_topk_arrow,
+        random_hyperplanes,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(60):  # tight cluster around `base`
+        rows.append((i, list(map(float, base + 0.05 * rng.standard_normal(16)))))
+    for i in range(60, 300):  # background noise
+        rows.append((i, list(map(float, rng.standard_normal(16)))))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = list(map(float, base))
+
+    brute = [r["vec_id"] for r in cosine_topk(df, query, k=10).collect()]
+    planes = random_hyperplanes(16, n_bits=4, seed=7)
+    ann = [r["vec_id"] for r in
+           ann_topk_bucketed(df, query, k=10, hyperplanes=planes,
+                             multiprobe=1).collect()]
+    recall = len(set(brute) & set(ann)) / 10
+    assert recall >= 0.8, (brute, ann)
+
+    # the Arrow matmul kernel is numerically identical to the HOF path
+    arrow = [r["vec_id"] for r in cosine_topk_arrow(df, query, k=10).collect()]
+    assert arrow == brute
 
 
 def test_encode_chars(spark):
