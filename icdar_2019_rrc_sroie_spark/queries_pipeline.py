@@ -127,23 +127,117 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anchor_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/J2/F4/F5: anchor↔gt matching over synthetic layouts (exact
-    semantics pytest-verified against a NumPy oracle)."""
+    """J1/J2/F4/F5: anchor↔gt matching over synthetic layouts —
+    SQL-oracle-checked (windows + forced-override are portable
+    relational algebra); tie semantics additionally pytest-verified
+    against a NumPy port of the reference."""
+    from pyspark.sql import Window
+
     from .operators.geometry import anchor_grid
     from .operators.matching import match_anchors
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
     anchors = anchor_grid(spark, feat_h=6, feat_w=8, heights=(11, 15, 22, 32))
-    gt = li.select(
-        F.concat(F.lit("doc"), (F.col("l_orderkey") % 60)).alias("doc_id"),
-        F.col("l_linenumber").alias("gt_id"),
-        ((F.col("l_partkey") % 6) * 16.0).alias("xmin"),
-        ((F.col("l_suppkey") % 5) * 16.0).alias("ymin"),
-        ((F.col("l_partkey") % 6) * 16.0 + 47.0).alias("xmax"),
-        ((F.col("l_suppkey") % 5) * 16.0 + 14.0).alias("ymax"),
-    ).dropDuplicates(["doc_id", "gt_id"])
+    # deterministic pick per (doc_id, gt_id): lowest l_orderkey wins
+    w = Window.partitionBy(F.col("l_orderkey") % 60, "l_linenumber") \
+        .orderBy("l_orderkey")
+    gt = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.concat(F.lit("doc"), (F.col("l_orderkey") % 60)).alias("doc_id"),
+            F.col("l_linenumber").alias("gt_id"),
+            ((F.col("l_partkey") % 6) * 16.0).alias("xmin"),
+            ((F.col("l_suppkey") % 5) * 16.0).alias("ymin"),
+            ((F.col("l_partkey") % 6) * 16.0 + 47.0).alias("xmax"),
+            ((F.col("l_suppkey") % 5) * 16.0 + 14.0).alias("ymax"),
+        )
+    )
     out = match_anchors(anchors, gt, img_w=128.0, img_h=96.0)
-    return out.filter(F.col("label") >= 0).orderBy("doc_id", "anchor_id")
+    return out.filter(F.col("label") >= 0).select(
+        "doc_id", "anchor_id",
+        F.col("matched_gt_id").cast("long").alias("matched_gt_id"),
+        F.floor(F.col("vc") * 1e6 + 0.5).cast("long").alias("vc_micro"),
+        F.floor(F.col("vh") * 1e6 + 0.5).cast("long").alias("vh_micro"),
+        F.col("label").cast("int").alias("label"),
+        F.floor(F.col("eff_iou") * 1e6 + 0.5).cast("long").alias("iou_micro"),
+    ).orderBy("doc_id", "anchor_id")
+
+
+_IOU_SQL = """
+    greatest(0.0, least(a_xmax, g_xmax) - greatest(a_xmin, g_xmin)) *
+    greatest(0.0, least(a_ymax, g_ymax) - greatest(a_ymin, g_ymin)) /
+    ((a_xmax - a_xmin + 1.0) * (a_ymax - a_ymin + 1.0)
+     + (g_xmax - g_xmin + 1.0) * (g_ymax - g_ymin + 1.0)
+     - greatest(0.0, least(a_xmax, g_xmax) - greatest(a_xmin, g_xmin)) *
+       greatest(0.0, least(a_ymax, g_ymax) - greatest(a_ymin, g_ymin))
+     + 1e-06)
+"""
+
+SQL_ANCHOR_MATCHING = f"""
+WITH li AS (SELECT * FROM lineitem WHERE l_orderkey % 200 = 0),
+gt_all AS (
+  SELECT 'doc' || CAST(l_orderkey % 60 AS VARCHAR) AS doc_id,
+         l_linenumber AS gt_id,
+         CAST(l_partkey % 6 AS DOUBLE) * 16.0 AS g_xmin,
+         CAST(l_suppkey % 5 AS DOUBLE) * 16.0 AS g_ymin,
+         CAST(l_partkey % 6 AS DOUBLE) * 16.0 + 47.0 AS g_xmax,
+         CAST(l_suppkey % 5 AS DOUBLE) * 16.0 + 14.0 AS g_ymax,
+         row_number() OVER (PARTITION BY l_orderkey % 60, l_linenumber
+                            ORDER BY l_orderkey) AS rn
+  FROM li),
+gt AS (SELECT doc_id, gt_id, g_xmin, g_ymin, g_xmax, g_ymax
+       FROM gt_all WHERE rn = 1),
+hs(hi, h) AS (VALUES (0, 11.0), (1, 15.0), (2, 22.0), (3, 32.0)),
+anchors AS (
+  SELECT (fy*8 + fx)*4 + hi AS anchor_id,
+    fx*16 + 7.5 - 8.0 AS a_xmin, fy*16 + 7.5 - h/2 AS a_ymin,
+    fx*16 + 7.5 + 8.0 AS a_xmax, fy*16 + 7.5 + h/2 AS a_ymax
+  FROM generate_series(0, 5) g1(fy)
+  CROSS JOIN generate_series(0, 7) g2(fx) CROSS JOIN hs),
+pairs AS (
+  SELECT g.doc_id, g.gt_id, g.g_xmin, g.g_ymin, g.g_xmax, g.g_ymax,
+         a.anchor_id, a.a_xmin, a.a_ymin, a.a_xmax, a.a_ymax,
+         ({_IOU_SQL}) AS iou
+  FROM gt g CROSS JOIN anchors a),
+best_gt AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, anchor_id
+      ORDER BY iou DESC, gt_id ASC) AS rn FROM pairs) WHERE rn = 1),
+forced AS (
+  SELECT doc_id, anchor_id, max(gt_id) AS forced_gt_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, gt_id
+      ORDER BY iou DESC, anchor_id ASC) AS rn FROM pairs) t
+  WHERE rn = 1 GROUP BY doc_id, anchor_id),
+resolved AS (
+  SELECT m.doc_id, m.anchor_id,
+    m.a_xmin, m.a_ymin, m.a_xmax, m.a_ymax,
+    COALESCE(f.forced_gt_id, m.gt_id) AS matched_gt_id,
+    COALESCE(fg.g_ymin, m.g_ymin) AS m_ymin,
+    COALESCE(fg.g_ymax, m.g_ymax) AS m_ymax,
+    CASE WHEN f.forced_gt_id IS NOT NULL THEN 1.0 ELSE m.iou END AS eff_iou
+  FROM best_gt m
+  LEFT JOIN forced f ON f.doc_id = m.doc_id AND f.anchor_id = m.anchor_id
+  LEFT JOIN gt fg ON fg.doc_id = m.doc_id AND fg.gt_id = f.forced_gt_id),
+labeled AS (
+  SELECT *,
+    CASE WHEN a_xmin < 0 OR a_ymin < 0 OR a_xmax > 128.0 OR a_ymax > 96.0
+         THEN -1
+         WHEN eff_iou > 0.5 THEN 1
+         WHEN eff_iou < 0.3 THEN 0
+         ELSE -1 END AS label,
+    (m_ymax - m_ymin + 1.0) AS h, (a_ymax - a_ymin + 1.0) AS ha,
+    (m_ymin + m_ymax)/2.0 AS cy, (a_ymin + a_ymax)/2.0 AS cya
+  FROM resolved)
+SELECT doc_id, anchor_id,
+  CAST(matched_gt_id AS BIGINT) AS matched_gt_id,
+  CAST(floor((cy - cya)/ha * 1e6 + 0.5) AS BIGINT) AS vc_micro,
+  CAST(floor(ln(h/ha) * 1e6 + 0.5) AS BIGINT) AS vh_micro,
+  CAST(label AS INT) AS label,
+  CAST(floor(eff_iou * 1e6 + 0.5) AS BIGINT) AS iou_micro
+FROM labeled WHERE label >= 0
+ORDER BY doc_id, anchor_id
+"""
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +267,7 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROWS_ONLY_QUERIES = {
-    "anchor_matching": (q_anchor_matching, None),
+    "anchor_matching": (q_anchor_matching, SQL_ANCHOR_MATCHING),
     "ivf_ann": (q_ivf_ann, None),
     "simhash_near_dups": (q_simhash_near_dups, None),
     "nms": (q_nms, None),
