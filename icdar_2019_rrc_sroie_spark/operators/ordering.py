@@ -28,10 +28,27 @@ from ..constants import READING_ORDER_TOLERANCE
 
 
 def reading_order(boxes: DataFrame, doc_col: str = "doc_id",
-                  tolerance: int = READING_ORDER_TOLERANCE) -> DataFrame:
-    """Bucketed y-then-x ordering — the distributed analog of the
-    reference comparator; identical on layouts whose rows are separated
-    by more than the tolerance."""
+                  tolerance: int = READING_ORDER_TOLERANCE,
+                  exact: bool = True) -> DataFrame:
+    """Reading order per document.
+
+    Default is the EXACT reference comparator (per-doc Arrow kernel —
+    documents are layout-bounded, so the kernel is as scalable as the
+    window and parity-true on rows straddling the tolerance). Pass
+    ``exact=False`` for the pure-Catalyst bucketed approximation when
+    boundary-row order is immaterial."""
+    if exact:
+        return reading_order_exact(boxes, doc_col, tolerance)
+    return reading_order_bucketed(boxes, doc_col, tolerance)
+
+
+def reading_order_bucketed(boxes: DataFrame, doc_col: str = "doc_id",
+                           tolerance: int = READING_ORDER_TOLERANCE
+                           ) -> DataFrame:
+    """Bucketed (floor(y/tol), x) window ordering — the relational
+    approximation of the reference comparator; identical on layouts
+    whose rows are separated by more than the tolerance, may differ for
+    boxes with |Δy| ≤ tolerance across a bucket edge."""
     w = Window.partitionBy(doc_col).orderBy(
         F.floor(F.col("y") / tolerance), F.col("x"), F.col("box_id")
     )

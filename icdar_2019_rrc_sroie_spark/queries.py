@@ -128,18 +128,46 @@ FROM built ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 
-def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _reading_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     x = (F.col("event_id") * 37 % 997).cast("long")
     y = (F.col("event_id") * 61 % 613).cast("long")
-    w = Window.partitionBy("user_id").orderBy(
-        F.floor(y / 14), x, F.col("event_id")
+    return events.select(
+        F.col("user_id").alias("doc_id"),
+        F.col("event_id").alias("box_id"),
+        x.alias("x"), y.alias("y"),
     )
-    return (
-        events.select("user_id", "event_id", x.alias("x"), y.alias("y"))
-        .withColumn("rn", F.row_number().over(w))
-        .orderBy("user_id", "rn")
-    )
+
+
+def q_reading_order_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 scale path: tolerance-bucketed (floor(y/14), x) window — the
+    relational APPROXIMATION of the reference comparator (the oracle
+    mirrors the bucketed formulation, not misc.py:115-132; boundary
+    parity is covered by reading_order + tests)."""
+    from .operators.ordering import reading_order_bucketed
+
+    pts = _reading_points(spark, sf_dir)
+    out = reading_order_bucketed(pts)
+    return out.select(
+        F.col("doc_id").alias("user_id"),
+        F.col("box_id").alias("event_id"),
+        "x", "y", F.col("reading_pos").alias("rn"),
+    ).orderBy("user_id", "rn")
+
+
+def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 default: EXACT reference comparator (misc.py:115-132) via the
+    per-doc Arrow kernel — non-transitive, so no SQL oracle exists;
+    rows-only here, parity pinned by tests/test_ordering_geometry.py."""
+    from .operators.ordering import reading_order
+
+    pts = _reading_points(spark, sf_dir)
+    out = reading_order(pts)  # exact by default
+    return out.select(
+        F.col("doc_id").alias("user_id"),
+        F.col("box_id").alias("event_id"),
+        "x", "y", F.col("reading_pos").alias("rn"),
+    ).orderBy("user_id", "rn")
 
 
 SQL_READING_ORDER = """
@@ -501,7 +529,8 @@ FROM unioned GROUP BY fp ORDER BY keep_doc_id
 SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "date_extract": (q_date_extract, SQL_DATE_EXTRACT),
     "total_extract": (q_total_extract, SQL_TOTAL_EXTRACT),
-    "reading_order": (q_reading_order, SQL_READING_ORDER),
+    "reading_order": (q_reading_order, None),
+    "reading_order_bucketed": (q_reading_order_bucketed, SQL_READING_ORDER),
     "runs_islands": (q_runs_islands, SQL_RUNS_ISLANDS),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "mean_std": (q_mean_std, SQL_MEAN_STD),

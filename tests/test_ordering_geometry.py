@@ -35,10 +35,60 @@ def test_reading_order_bucketed_vs_exact_on_separated_rows(spark):
 
 
 def test_reading_order_bucketed(spark):
+    from icdar_2019_rrc_sroie_spark.operators.ordering import (
+        reading_order_bucketed,
+    )
+
     rows = [("d", 0, 50, 10), ("d", 1, 10, 12), ("d", 2, 30, 40)]
     got = {r["box_id"]: r["reading_pos"]
-           for r in reading_order(_boxes_df(spark, rows)).collect()}
+           for r in reading_order_bucketed(_boxes_df(spark, rows)).collect()}
     assert got == {1: 1, 0: 2, 2: 3}
+
+
+def _ref_order(rows, tolerance=14):
+    """Literal port of the reference sort: Python sorted with the
+    pairwise comparator misc.py:115-132 over annotation-order boxes."""
+    from functools import cmp_to_key
+
+    def precedence(a, b):
+        # (box_id, x, y); comparator uses x/y only
+        if abs(a[2] - b[2]) <= tolerance:
+            return a[1] - b[1]
+        return a[2] - b[2]
+
+    ordered = sorted(rows, key=cmp_to_key(precedence))
+    return [b[0] for b in ordered]
+
+
+def test_reading_order_exact_matches_reference_port_on_boundaries(spark):
+    """Randomized parity incl. |Δy| == 14 boundary rows, where the
+    bucketed approximation is allowed to diverge but the exact kernel
+    must reproduce the reference's non-transitive sort exactly."""
+    import random
+
+    rng = random.Random(7)
+    ys = [0, 7, 13, 14, 15, 27, 28, 29, 42, 56]  # dense around k*14 edges
+    all_rows = []
+    for d in range(25):
+        n = rng.randint(2, 12)
+        rows = [(i, rng.randrange(0, 300), rng.choice(ys))
+                for i in range(n)]
+        all_rows.extend((f"doc{d:02d}", i, x, y) for i, x, y in rows)
+    df = _boxes_df(spark, all_rows)
+    got = {}
+    for r in reading_order(df).collect():  # exact by default
+        got.setdefault(r["doc_id"], {})[r["box_id"]] = r["reading_pos"]
+    diverged = 0
+    for d in sorted(got):
+        rows = [(b, x, y) for (doc, b, x, y) in all_rows if doc == d]
+        want = _ref_order(rows)
+        have = [b for b, _ in sorted(got[d].items(), key=lambda kv: kv[1])]
+        assert have == want, d
+        bucketed = sorted(rows, key=lambda r: (r[2] // 14, r[1], r[0]))
+        if [b for b, _, _ in bucketed] != want:
+            diverged += 1
+    # the dataset must actually exercise the divergence zone
+    assert diverged > 0
 
 
 def test_restore_turn_order(spark):
