@@ -63,10 +63,21 @@ def class_expr(t: Column, line_idx: Column,
     line-row path and the no-shuffle turn-array path)."""
     is_date = date_ex != ""
     is_total = (total_ex != "") & t.rlike(TOTAL_CONTEXT_PATTERN)
+    # Address evidence calibrated on the reference's 347 committed
+    # submissions (submission/submit/*.txt): a street marker plus a
+    # comma or 5-digit postcode, comma+postcode, two street markers, or
+    # postcode+state. Checked BEFORE date: unit numbers like 'LOT 1-0-2'
+    # match the date pattern, but a street-marker line is an address,
+    # never a date.
+    marker = t.rlike(r"JALAN|JLN|LRG|LOT |NO ?\.? ?\d")
+    comma = F.contains(t, F.lit(","))
+    postcode = t.rlike(r"\d{5}")
+    state = t.rlike(r"SELANGOR|JOHOR|MELAKA|PULAU|PERAK|KEDAH|KUALA")
     is_address = (
-        (~is_date)
-        & F.contains(t, F.lit(","))
-        & (t.rlike(r"\d{5}") | t.rlike(r"JALAN|LOT |NO \d"))
+        (marker & (comma | postcode))
+        | (comma & postcode)
+        | t.rlike(r"(LOT |NO ?\.? ?\d).*(JALAN|JLN)")
+        | (postcode & state)
     )
     is_company = (
         (line_idx == 0)
@@ -74,9 +85,9 @@ def class_expr(t: Column, line_idx: Column,
         & ~is_number_expr(t)
     )
     return (
-        F.when(is_date, F.lit(LABELS_CLASSES["date"]))
+        F.when(is_address, F.lit(LABELS_CLASSES["address"]))
+        .when(is_date, F.lit(LABELS_CLASSES["date"]))
         .when(is_total, F.lit(LABELS_CLASSES["total"]))
-        .when(is_address, F.lit(LABELS_CLASSES["address"]))
         .when(is_company, F.lit(LABELS_CLASSES["company"]))
         .otherwise(F.lit(LABELS_CLASSES["none"]))
     )

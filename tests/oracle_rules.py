@@ -62,13 +62,22 @@ def classify(lines: list[str]) -> list[tuple[int, float]]:
         t = raw.strip()
         date_ex = extract_date(t)
         total_ex = extract_total(t)
-        if date_ex:
+        marker = re.search(r"JALAN|JLN|LRG|LOT |NO ?\.? ?\d", t)
+        postcode = re.search(r"\d{5}", t)
+        state = re.search(
+            r"SELANGOR|JOHOR|MELAKA|PULAU|PERAK|KEDAH|KUALA", t)
+        is_address = (
+            (marker and ("," in t or postcode))
+            or ("," in t and postcode)
+            or re.search(r"(LOT |NO ?\.? ?\d).*(JALAN|JLN)", t)
+            or (postcode and state)
+        )
+        if is_address:
+            out.append((3, 0.75))
+        elif date_ex:
             out.append((2, 0.95))
         elif total_ex and TOTAL_CONTEXT.search(t):
             out.append((4, 0.90))
-        elif "," in t and (re.search(r"\d{5}", t)
-                           or re.search(r"JALAN|LOT |NO \d", t)):
-            out.append((3, 0.75))
         elif i == 0 and not UNWANTED.search(t) \
                 and not all(c.isdigit() for c in t):
             out.append((1, 0.85))
