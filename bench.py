@@ -21,6 +21,9 @@ from icdar_2019_rrc_sroie_spark.fixtures import transcripts_df  # noqa: E402
 from icdar_2019_rrc_sroie_spark.plans.extraction import extract_spans  # noqa: E402
 from icdar_2019_rrc_sroie_spark.session import get_spark  # noqa: E402
 
+# Keep this tuple append-only so BENCH_r{N} diffs stay mechanical.
+# "reading_order" switched to the exact per-doc kernel in round 2
+# (the bucketed window is benched separately).
 BENCH_QUERIES = (
     "date_extract",
     "reading_order",
@@ -37,7 +40,43 @@ BENCH_QUERIES = (
     "box_encode_decode",
     "total_lookback",
     "charlm_encode",
+    # added round 2
+    "reading_order_bucketed",
+    "simhash_near_dups",
+    "entity_line_labels",
+    "ann_bucketed",
 )
+
+
+def bench_embedding_kernels(spark, sf_dir: str,
+                            timings: dict[str, float]) -> None:
+    """HOF vs Arrow cosine at scale: 100× inflated embeddings table
+    (≈200k × dim-64 at sf0.1) — records the kernel crossover each
+    round."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = list(emb.filter(F.col("vec_id") == 0)
+                 .select("embedding").collect()[0][0])
+    big = (
+        emb.crossJoin(spark.range(100).withColumnRenamed("id", "rep"))
+        .select((F.col("vec_id") * 100 + F.col("rep")).alias("vec_id"),
+                "embedding")
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .cache()
+    )
+    big.count()
+    for name, fn in (("cosine_hof_100x", cosine_topk),
+                     ("cosine_arrow_100x", cosine_topk_arrow)):
+        t0 = time.perf_counter()
+        materialize(fn(big, query, k=10))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    big.unpersist()
 
 
 def materialize(df) -> None:
@@ -76,6 +115,8 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(registry[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    bench_embedding_kernels(spark, sf_dir, timings)
 
     total = time.perf_counter() - total_start
     print(json.dumps({

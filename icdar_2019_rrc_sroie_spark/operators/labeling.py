@@ -211,8 +211,13 @@ def label_lines(lines: DataFrame, entities: DataFrame,
             }
         )
 
+    # Explicit doc-keyed repartition at full core count: the kernel is
+    # CPU-bound Python, and AQE's size-based coalescing would otherwise
+    # shrink the (tiny-byte, expensive-row) cogroup shuffle to a few
+    # tasks.
+    n = lines.sparkSession.sparkContext.defaultParallelism
     return (
-        lines.groupBy("doc_id")
-        .cogroup(entities.groupBy("doc_id"))
+        lines.repartition(n, "doc_id").groupBy("doc_id")
+        .cogroup(entities.repartition(n, "doc_id").groupBy("doc_id"))
         .applyInPandas(kernel, LABELED_SCHEMA)
     )

@@ -204,10 +204,15 @@ def cosine_topk_arrow(df: DataFrame, query: list[float], k: int = 10,
                       vec_col: str = "embedding") -> DataFrame:
     """Brute-force cosine top-k with an Arrow-batched NumPy kernel.
 
-    The HOF dot product (`cosine_expr`) is CodegenFallback — every
-    element evaluates an interpreted lambda — so for wide embeddings a
-    single matmul per Arrow batch wins (measured: see bench.py
-    embedding entries). Semantics identical to :func:`cosine_topk`.
+    The HOF dot product (`cosine_expr`) is CodegenFallback (interpreted
+    per element), but measurement cuts both ways: single-threaded at
+    dim 64 the matmul kernel is ~4× faster, while at full 32-way
+    parallelism the JVM HOF path wins (~2.4×) because Arrow
+    serialization dominates (bench.py cosine_hof_100x vs
+    cosine_arrow_100x, re-measured every round). Prefer the HOF path
+    at low dims with cores available; this kernel pays off for wide
+    embeddings (dim ≫ 64) or serialization-amortized batch scoring.
+    Semantics identical to :func:`cosine_topk`.
     """
     from pyspark.sql.functions import pandas_udf
 
