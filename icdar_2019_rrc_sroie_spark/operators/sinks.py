@@ -76,3 +76,28 @@ def write_partitioned(df: DataFrame, path: str, *, by=("conv_id",),
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def package_submission_zip(df: DataFrame, zip_path: str,
+                           name_col: str = "doc_id",
+                           payload_col: str = "submission",
+                           ext: str = "txt") -> int:
+    """Archive a submission table into the SROIE server's zip layout —
+    one ``<name>.<ext>`` entry per row (text_localization/ctpn/
+    evaluation.py:175-183, keyword_information_extraction/
+    evaluation.py:129-136).
+
+    The zip is a single driver-side artifact by nature (the contest
+    server takes one file), so rows stream through the driver via
+    ``toLocalIterator`` — bounded memory, never a full collect. The
+    heavy lifting (formatting every submission payload) stays on the
+    executors. Returns the number of entries written.
+    """
+    from zipfile import ZIP_DEFLATED, ZipFile
+
+    n = 0
+    with ZipFile(zip_path, "w", ZIP_DEFLATED) as zf:
+        for row in df.select(name_col, payload_col).toLocalIterator():
+            zf.writestr(f"{row[name_col]}.{ext}", row[payload_col] or "")
+            n += 1
+    return n

@@ -96,3 +96,27 @@ def test_detection_plan_end_to_end(spark):
     line = got[0]
     assert line["score"] > 0.9
     assert line["xmax"] - line["xmin"] > 60  # spans several 16px strips
+
+
+def test_package_submission_zip(spark, tmp_path):
+    from zipfile import ZipFile
+
+    from icdar_2019_rrc_sroie_spark.operators.sinks import (
+        detection_submission,
+        package_submission_zip,
+    )
+
+    lines = spark.createDataFrame(
+        [("X001", 1, 10.0, 20.0, 110.0, 40.0, 0.9),
+         ("X001", 2, 10.0, 50.0, 110.0, 70.0, 0.8),
+         ("X002", 1, 5.0, 5.0, 50.0, 25.0, 0.7)],
+        "doc_id string, line_id int, xmin double, ymin double, "
+        "xmax double, ymax double, score double")
+    sub = detection_submission(lines)
+    zp = str(tmp_path / "submit.zip")
+    n = package_submission_zip(sub, zp)
+    assert n == 2
+    with ZipFile(zp) as zf:
+        assert sorted(zf.namelist()) == ["X001.txt", "X002.txt"]
+        assert zf.read("X001.txt").decode() == "10,20,110,40\n10,50,110,70"
+        assert zf.read("X002.txt").decode() == "5,5,50,25"

@@ -64,3 +64,45 @@ def test_broadcast_join_for_small_dim(spark):
         .join(nation, supplier.s_nationkey == nation.n_nationkey)
     plan = _formatted_plan(j)
     assert "BroadcastHashJoin" in plan
+
+
+def test_jaccard_candidate_bounded_plan(spark):
+    """With a candidate set, the verification stage must never contain
+    a shingle-only self-join (the quadratic hot-shingle blowup): every
+    join touching the shingle column also carries a document id."""
+    import re
+
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    cands = minhash_candidates(docs, num_hashes=4, rows_per_band=2)
+    plan = jaccard_pairs(docs, candidates=cands)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for line in plan.split("\n"):
+        if "Join" not in line:
+            continue
+        keys = re.findall(r"\[([^\]]*)\]", line)
+        joined = " ".join(keys[:2])
+        if "shingle" in joined:
+            assert "id_a" in joined or "id_b" in joined, line
+
+
+def test_kernel_shuffles_keep_core_parallelism(spark):
+    """The CPU-bound Python kernels repartition explicitly so AQE's
+    size-based coalescing cannot starve them of tasks."""
+    import pandas as pd
+
+    from icdar_2019_rrc_sroie_spark.operators.ordering import reading_order
+
+    rows = [("d%03d" % (i % 50), i, i * 37 % 997, i * 61 % 613)
+            for i in range(2000)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "box_id", "x", "y"]))
+    plan = _formatted_plan(reading_order(df))
+    n = spark.sparkContext.defaultParallelism
+    assert f"REPARTITION_BY_NUM, {n}" in plan or \
+        f"hashpartitioning(doc_id" in plan and f", {n})" in plan, plan
