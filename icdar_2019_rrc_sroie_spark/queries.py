@@ -552,6 +552,7 @@ def _all_batches() -> dict:
     from .queries_parse import SQL_QUERIES_PARSE
     from .queries_pipeline import ROWS_ONLY_QUERIES
     from .queries_labeling import ROWS_ONLY_LABELING, SQL_QUERIES_LABELING
+    from .queries_rules import SQL_QUERIES_RULES
 
     merged = dict(SQL_QUERIES)
     merged.update(SQL_QUERIES_GEO)
@@ -559,6 +560,7 @@ def _all_batches() -> dict:
     merged.update(SQL_QUERIES_PARSE)
     merged.update(SQL_QUERIES_CLEAN)
     merged.update(SQL_QUERIES_LABELING)
+    merged.update(SQL_QUERIES_RULES)
     merged.update(ROWS_ONLY_QUERIES)
     merged.update(ROWS_ONLY_LABELING)
     return merged

@@ -1,0 +1,231 @@
+"""Query battery, batch 8: driver-visible oracles for the rule
+operators that previously had only pytest coverage — W5 first-two-lines
+company fallback, X6 rounding adjustment, X8 is_number, X12 clockwise
+corner ordering, X15 label shift."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.entities import (
+    company_fallback_expr,
+    is_number_expr,
+    total_fallback_expr,
+)
+from .operators.geometry import order_clockwise, shift_boxes
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cases_sql(cases: list[str]) -> str:
+    quoted = ", ".join("'" + c.replace("'", "''") + "'" for c in cases)
+    return f"[{quoted}]"
+
+
+# --------------------------------------------------------------------------
+# W5 first-two-lines company fallback (entity_matching.py:192-201)
+# --------------------------------------------------------------------------
+
+_FALLBACK_CASES = [
+    ("GOLDEN KEY MAKER", "SECOND LINE CO"),          # line 0 wins
+    ("TAX INVOICE", "REAL COMPANY SDN BHD"),          # unwanted → line 1
+    ("99 SPEED MART S/B", "OTHER"),                   # digit-leading verbatim
+    ("12345", "FALLBACK TRADING"),                    # pure number → line 1
+    ("RECEIPT", "67890"),                             # both rejected → ''
+    ("MR STORE (A12B) HQ", "X"),                      # cleaned via pattern
+]
+
+
+def q_company_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = len(_FALLBACK_CASES)
+    l0 = F.element_at(F.array(*[F.lit(a) for a, _ in _FALLBACK_CASES]),
+                      (F.col("doc_id") % n + 1).cast("int"))
+    l1 = F.element_at(F.array(*[F.lit(b) for _, b in _FALLBACK_CASES]),
+                      (F.col("doc_id") % n + 1).cast("int"))
+    return docs.select(
+        "doc_id", l0.alias("line0"), l1.alias("line1"),
+        company_fallback_expr(F.array(l0, l1)).alias("company"),
+    ).orderBy("doc_id")
+
+
+def _clean_sql(col: str) -> str:
+    """clean_company as a SQL CASE (same formulation the company_clean
+    oracle uses)."""
+    return f"""CASE
+      WHEN regexp_matches(trim({col}), 'TAX|RECEIPT|INVOICE') THEN ''
+      WHEN regexp_extract(trim({col}), '^(\\d+[^0-9]*[A-Z]+)$', 0) <> ''
+        THEN trim(substr(trim({col}), 1,
+          strpos(trim({col}), trim(regexp_extract(trim({col}), '^(\\d+[^0-9]*[A-Z]+)$', 0))) - 1))
+      WHEN regexp_extract(trim({col}), '\\([A-Z]*\\d+[^0-9]*[A-Z]+\\).*$', 0) <> ''
+        THEN trim(substr(trim({col}), 1,
+          strpos(trim({col}), trim(regexp_extract(trim({col}), '\\([A-Z]*\\d+[^0-9]*[A-Z]+\\).*$', 0))) - 1))
+      WHEN regexp_extract(trim({col}), '\\([A-Z\\s]+[\\)]*$', 0) <> ''
+        THEN trim(substr(trim({col}), 1,
+          strpos(trim({col}), trim(regexp_extract(trim({col}), '\\([A-Z\\s]+[\\)]*$', 0))) - 1))
+      ELSE trim({col}) END"""
+
+
+def _fallback_value_sql(col: str) -> str:
+    return (f"CASE WHEN regexp_matches({col}, '^\\d+') THEN {col} "
+            f"ELSE {_clean_sql(col)} END")
+
+
+SQL_COMPANY_FALLBACK = f"""
+WITH src AS (
+  SELECT doc_id,
+    ({_cases_sql([a for a, _ in _FALLBACK_CASES])})[CAST(doc_id % {len(_FALLBACK_CASES)} + 1 AS INT)] AS line0,
+    ({_cases_sql([b for _, b in _FALLBACK_CASES])})[CAST(doc_id % {len(_FALLBACK_CASES)} + 1 AS INT)] AS line1
+  FROM documents
+), ok AS (
+  SELECT *,
+    NOT regexp_matches(line0, 'TAX|RECEIPT|INVOICE')
+      AND regexp_matches(line0, '[^0-9]') AS ok0,
+    NOT regexp_matches(line1, 'TAX|RECEIPT|INVOICE')
+      AND regexp_matches(line1, '[^0-9]') AS ok1
+  FROM src
+)
+SELECT doc_id, line0, line1,
+  CASE WHEN ok0 THEN {_fallback_value_sql('line0')}
+       WHEN ok1 THEN {_fallback_value_sql('line1')}
+       ELSE '' END AS company
+FROM ok ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# X6 rounding adjustment inside the total fallback
+# (entity_matching.py:230-244)
+# --------------------------------------------------------------------------
+
+
+def q_rounding_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two layouts per doc: with and without a ROUNDING note; the
+    fallback must add the rounding value when the accepted total has
+    no 'RM' prefix."""
+    docs = _t(spark, sf_dir, "documents")
+    cents = (F.col("doc_id") % 5000 + 100)
+    amt = F.concat((cents / 100).cast("long").cast("string"), F.lit("."),
+                   F.lpad((cents % 100).cast("string"), 2, "0"))
+    noisy = F.col("doc_id") % 2 == 0
+    lines = F.array(
+        F.lit("SOME STORE"),
+        F.lit("TOTAL DUE"),
+        F.concat(F.lit("AMOUNT "), amt),
+        F.when(noisy, F.lit("ROUNDING ADJ 0.05")).otherwise(F.lit("CASH")),
+    )
+    return docs.select(
+        "doc_id",
+        amt.alias("amt"),
+        noisy.alias("noisy"),
+        total_fallback_expr(lines).alias("total"),
+    ).orderBy("doc_id")
+
+
+SQL_ROUNDING_TOTAL = """
+WITH src AS (
+  SELECT doc_id,
+    CAST((doc_id % 5000 + 100) // 100 AS VARCHAR) || '.' ||
+      lpad(CAST((doc_id % 5000 + 100) % 100 AS VARCHAR), 2, '0') AS amt,
+    doc_id % 2 = 0 AS noisy
+  FROM documents
+)
+SELECT doc_id, amt, noisy,
+  CASE WHEN noisy
+       THEN CAST(CAST(amt AS DOUBLE) + 0.05 AS VARCHAR)
+       ELSE amt END AS total
+FROM src ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# X8 is_number
+# --------------------------------------------------------------------------
+
+_NUMBER_CASES = ["12345", "12.34", "", "00", "1A2", " 42", "999999999", "-1"]
+
+
+def q_is_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = len(_NUMBER_CASES)
+    t = F.element_at(F.array(*[F.lit(c) for c in _NUMBER_CASES]),
+                     (F.col("doc_id") % n + 1).cast("int"))
+    return docs.select(
+        "doc_id", t.alias("t"), is_number_expr(t).alias("is_num"),
+    ).orderBy("doc_id")
+
+
+SQL_IS_NUMBER = f"""
+SELECT doc_id, t, NOT regexp_matches(t, '[^0-9]') AS is_num
+FROM (
+  SELECT doc_id,
+    ({_cases_sql(_NUMBER_CASES)})[CAST(doc_id % {len(_NUMBER_CASES)} + 1 AS INT)] AS t
+  FROM documents
+) ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# X12 order_point_clockwise + X15 shift over synthesized quads
+# --------------------------------------------------------------------------
+
+
+def q_clockwise_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a quad with distinct corner coords, present its corners in
+    a doc-dependent rotation, order clockwise (X12), then shift by
+    (dx, dy) (X15); emit the flattened coords."""
+    docs = _t(spark, sf_dir, "documents")
+    x0 = (F.col("doc_id") % 50) * 10.0
+    y0 = (F.col("doc_id") % 30) * 10.0
+    tl = F.struct(x0.alias("x"), y0.alias("y"))
+    tr = F.struct((x0 + 80).alias("x"), (y0 + 3).alias("y"))
+    br = F.struct((x0 + 83).alias("x"), (y0 + 21).alias("y"))
+    bl = F.struct((x0 + 2).alias("x"), (y0 + 18).alias("y"))
+    rotations = F.array(
+        F.array(tl, tr, br, bl), F.array(br, bl, tl, tr),
+        F.array(bl, tl, tr, br), F.array(tr, br, bl, tl),
+    )
+    pts = F.element_at(rotations, (F.col("doc_id") % 4 + 1).cast("int"))
+    ordered = order_clockwise(pts)
+    box = F.struct(
+        ordered[0]["x"].alias("xmin"), ordered[0]["y"].alias("ymin"),
+        ordered[2]["x"].alias("xmax"), ordered[2]["y"].alias("ymax"),
+    )
+    dx = (F.col("doc_id") % 7).cast("double")
+    dy = (F.col("doc_id") % 11).cast("double")
+    shifted = F.element_at(shift_boxes(F.array(box), dx, dy), 1)
+    return docs.select(
+        "doc_id",
+        *[ordered[i][c].cast("long").alias(f"p{i}{c}")
+          for i in range(4) for c in ("x", "y")],
+        shifted["xmin"].cast("long").alias("sxmin"),
+        shifted["ymin"].cast("long").alias("symin"),
+        shifted["xmax"].cast("long").alias("sxmax"),
+        shifted["ymax"].cast("long").alias("symax"),
+    ).orderBy("doc_id")
+
+
+SQL_CLOCKWISE_SHIFT = """
+WITH src AS (
+  SELECT doc_id,
+    (doc_id % 50) * 10.0 AS x0, (doc_id % 30) * 10.0 AS y0,
+    CAST(doc_id % 7 AS DOUBLE) AS dx, CAST(doc_id % 11 AS DOUBLE) AS dy
+  FROM documents
+)
+SELECT doc_id,
+  CAST(x0 AS BIGINT) AS p0x, CAST(y0 AS BIGINT) AS p0y,
+  CAST(x0 + 80 AS BIGINT) AS p1x, CAST(y0 + 3 AS BIGINT) AS p1y,
+  CAST(x0 + 83 AS BIGINT) AS p2x, CAST(y0 + 21 AS BIGINT) AS p2y,
+  CAST(x0 + 2 AS BIGINT) AS p3x, CAST(y0 + 18 AS BIGINT) AS p3y,
+  CAST(x0 + dx AS BIGINT) AS sxmin, CAST(y0 + dy AS BIGINT) AS symin,
+  CAST(x0 + 83 + dx AS BIGINT) AS sxmax, CAST(y0 + 21 + dy AS BIGINT) AS symax
+FROM src ORDER BY doc_id
+"""
+
+
+SQL_QUERIES_RULES = {
+    "company_fallback": (q_company_fallback, SQL_COMPANY_FALLBACK),
+    "rounding_total": (q_rounding_total, SQL_ROUNDING_TOTAL),
+    "is_number": (q_is_number, SQL_IS_NUMBER),
+    "clockwise_shift": (q_clockwise_shift, SQL_CLOCKWISE_SHIFT),
+}
