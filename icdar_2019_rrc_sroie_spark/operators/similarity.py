@@ -61,11 +61,21 @@ def train_centroids(df: DataFrame, k: int = 8, iters: int = 10,
     Initialization: the k sample vectors with the lowest ids (no RNG,
     reruns identical).
     """
-    import numpy as np
-
+    # Deterministic scan-local sampling: keep rows whose id-hash falls
+    # under an acceptance threshold, cap with limit. Unlike
+    # orderBy(id).limit(n) (a full TakeOrdered of the corpus), this is
+    # a pushed filter + early-stop limit — no global sort at 100 TB.
+    # xxhash64 is seed-stable across runs and engines.
+    n_rows = df.count()
+    frac = min(1.0, (3.0 * sample_size) / max(n_rows, 1))
+    threshold = int(frac * (1 << 62))
+    h = F.abs(F.xxhash64(F.col(id_col).cast("string")))
     sample = (
-        df.orderBy(id_col).limit(sample_size)
-        .select(id_col, vec_col).collect()
+        df.filter(h < threshold)
+        .select(id_col, vec_col, h.alias("_h"))
+        .orderBy("_h", id_col)  # TakeOrdered over ~3n rows, not the corpus
+        .limit(sample_size)
+        .collect()
     )
     vecs = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
     centroids = vecs[:k].copy()

@@ -229,3 +229,39 @@ SQL_QUERIES_RULES = {
     "is_number": (q_is_number, SQL_IS_NUMBER),
     "clockwise_shift": (q_clockwise_shift, SQL_CLOCKWISE_SHIFT),
 }
+
+
+# --------------------------------------------------------------------------
+# §2.10 tumbling-window aggregation (batch-mode semantics of the
+# streaming windowed_span_counts; the watermark itself is pytest-only)
+# --------------------------------------------------------------------------
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = (
+        events.groupBy(
+            F.window("ts", "10 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.floor(F.sum("value") * 100 + 0.5).cast("long")
+             .alias("value_cents"))
+    )
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+        "event_type", "n", "value_cents",
+    ).orderBy("w_start", "event_type")
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+                '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type, COUNT(*) AS n,
+       CAST(floor(SUM(value) * 100 + 0.5) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+SQL_QUERIES_RULES["tumbling_window"] = (q_tumbling_window, SQL_TUMBLING_WINDOW)

@@ -42,3 +42,78 @@ def windowed_span_counts(transcript_stream: DataFrame,
         .groupBy(F.window("ts", window), "label")
         .agg(F.count(F.lit(1)).alias("n_spans"))
     )
+
+
+def sessionize_conversations(transcript_stream: DataFrame,
+                             gap: str = "30 minutes",
+                             watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator: per-conversation session assembly via
+    ``applyInPandasWithState`` (§2.10 — the W2 turn-order restore as a
+    stream).
+
+    State per conv_id: turn count, receipt-turn count, min/max event
+    time. A session closes when event time advances past the last turn
+    plus ``gap`` (event-time timeout against the watermark); the closed
+    session is emitted as one summary row. This is the streaming analog
+    of grouping a conversation's turns in batch — bounded state (a few
+    counters per live conversation), skew-free (state is per conv_id,
+    emission is O(1) per session).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("n_tool_turns", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("n_tool_turns", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ])
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            n, tool, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "conv_id": [key[0]],
+                "n_turns": [n],
+                "n_tool_turns": [tool],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            })
+            return
+        n = tool = 0
+        first_us = last_us = None
+        if state.exists:
+            n, tool, first_us, last_us = state.get
+        for pdf in pdf_iter:
+            n += len(pdf)
+            tool += int((pdf["role"] == "tool").sum())
+            ts_us = pdf["ts"].astype("int64") // 1000
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, tool, first_us, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        return
+        yield  # pragma: no cover - generator marker
+
+    return (
+        transcript_stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

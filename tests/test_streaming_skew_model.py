@@ -101,3 +101,49 @@ def test_model_udf_classifier(spark):
     from icdar_2019_rrc_sroie_spark.constants import LABELS_CLASSES
     hits = sum(by_line[k] == LABELS_CLASSES["total"] for k in total_lines)
     assert hits / len(total_lines) > 0.9
+
+
+def test_sessionize_conversations_stateful(spark, tmp_path):
+    """applyInPandasWithState session assembly: feeding two micro-batches
+    where batch 2's event time is far past batch 1's conversations must
+    close and emit batch 1's sessions with correct turn counts."""
+    import pandas as pd
+    from datetime import datetime
+
+    from icdar_2019_rrc_sroie_spark.streaming.stream_extract import (
+        sessionize_conversations,
+    )
+
+    src = str(tmp_path / "sess_src")
+    b1 = pd.DataFrame([
+        {"conv_id": "a", "turn_idx": i, "role": r, "text": "t",
+         "tool": None, "ts": datetime(2024, 1, 1, 0, 0, 10 * i)}
+        for i, r in enumerate(["user", "assistant", "tool"])
+    ] + [
+        {"conv_id": "b", "turn_idx": 0, "role": "user", "text": "t",
+         "tool": None, "ts": datetime(2024, 1, 1, 0, 1, 0)},
+    ])
+    # batch 2: hours later → watermark passes a/b timeout
+    b2 = pd.DataFrame([
+        {"conv_id": "c", "turn_idx": 0, "role": "user", "text": "t",
+         "tool": None, "ts": datetime(2024, 1, 1, 6, 0, 0)},
+    ])
+    sdf1 = spark.createDataFrame(b1)
+    sdf1.write.parquet(src + "/p1")
+    stream = spark.readStream.schema(sdf1.schema) \
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    spark.createDataFrame(b2).write.parquet(src + "/p2")
+    q = (
+        sessionize_conversations(stream, gap="30 minutes",
+                                 watermark="1 minute")
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r["conv_id"]: r for r in
+            spark.sql("select * from sessions").collect()}
+    assert "a" in rows and "b" in rows and "c" not in rows
+    assert rows["a"]["n_turns"] == 3 and rows["a"]["n_tool_turns"] == 1
+    assert rows["b"]["n_turns"] == 1
+    assert rows["a"]["first_ts"] == datetime(2024, 1, 1, 0, 0, 0)
+    assert rows["a"]["last_ts"] == datetime(2024, 1, 1, 0, 0, 20)
