@@ -265,3 +265,111 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 
 SQL_QUERIES_RULES["tumbling_window"] = (q_tumbling_window, SQL_TUMBLING_WINDOW)
+
+
+# --------------------------------------------------------------------------
+# U2 CTC greedy decode contract (operators/recognize.py) — one-hot logit
+# frames synthesized from a deterministic symbol path; the full decode
+# (argmax → collapse repeats → drop blanks → vocab map) runs in Spark,
+# the oracle computes the same collapse/drop/map from the path.
+# --------------------------------------------------------------------------
+
+
+def q_ctc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .constants import VOCAB
+    from .operators.recognize import ctc_greedy_decode
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = []
+    for t in range(8):
+        sym = (F.col("doc_id") * 7 + t * 3) % 5
+        frames.append(F.array(*[
+            F.when(sym == s, F.lit(1.0)).otherwise(F.lit(0.0))
+            for s in range(5)
+        ]))
+    logits = F.array(*frames)
+    return docs.select(
+        "doc_id",
+        ctc_greedy_decode(logits, VOCAB).alias("decoded"),
+    ).orderBy("doc_id")
+
+
+def _sql_ctc_decode() -> str:
+    from .constants import VOCAB
+    vocab_sql = VOCAB.replace("'", "''")
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+    [(doc_id * 7 + (t - 1) * 3) % 5 FOR t IN generate_series(1, 8)] AS path
+  FROM documents
+), collapsed AS (
+  SELECT doc_id,
+    [path[i] FOR i IN generate_series(1, 8) IF i = 1 OR path[i] != path[i-1]]
+      AS kept
+  FROM src
+)
+SELECT doc_id,
+  array_to_string(
+    [substr('{vocab_sql}', CAST(c AS INT), 1)
+     FOR c IN list_filter(kept, c -> c != 0)], '') AS decoded
+FROM collapsed ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Skew machinery: two-phase salted count must equal the plain groupBy
+# --------------------------------------------------------------------------
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_count
+
+    events = _t(spark, sf_dir, "events")
+    return salted_count(events, "event_type").orderBy("event_type")
+
+
+SQL_SALTED_AGG = """
+SELECT event_type, COUNT(*) AS n FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# X18 resize ratios over typed media metadata
+# --------------------------------------------------------------------------
+
+
+def q_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import resize_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.struct(
+            (F.col("doc_id") % 640 + 32).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 24).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    out = resize_meta(media, target_w=512, target_h=256)
+    return out.select(
+        "media_id", "kind",
+        F.floor(F.col("ratio_w") * 1e6 + 0.5).cast("long").alias("rw_micro"),
+        F.floor(F.col("ratio_h") * 1e6 + 0.5).cast("long").alias("rh_micro"),
+    ).orderBy("media_id")
+
+
+SQL_RESIZE_META = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind,
+  CAST(floor(512.0 / (doc_id % 640 + 32) * 1e6 + 0.5) AS BIGINT) AS rw_micro,
+  CAST(floor(256.0 / (doc_id % 480 + 24) * 1e6 + 0.5) AS BIGINT) AS rh_micro
+FROM documents ORDER BY media_id
+"""
+
+
+SQL_QUERIES_RULES["ctc_decode"] = (q_ctc_decode, _sql_ctc_decode())
+SQL_QUERIES_RULES["salted_agg"] = (q_salted_agg, SQL_SALTED_AGG)
+SQL_QUERIES_RULES["resize_meta"] = (q_resize_meta, SQL_RESIZE_META)
