@@ -260,3 +260,44 @@ def test_jaccard_shingle_df_cap_drops_boilerplate(spark):
     assert (0, 1) in uncapped          # boilerplate-only similarity
     assert (0, 1) not in capped        # killed by the DF cap
     assert (0, 2) in capped            # true dup survives
+
+
+def test_ivf_partitioned_layout_prunes_at_scan(spark, tmp_path):
+    """The IVF scale path: embeddings written partitioned by ivf_bucket
+    are probed with a partition-pruned scan — the nprobe filter must
+    reach the file listing (PartitionFilters), not scan all buckets."""
+    import numpy as np
+    from icdar_2019_rrc_sroie_spark.operators.similarity import (
+        cosine_expr,
+        nearest_centroid_expr,
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, list(map(float, rng.standard_normal(8))))
+            for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_centroids(emb, k=4, iters=3, sample_size=400)
+
+    path = str(tmp_path / "ivf_table")
+    emb.withColumn(
+        "ivf_bucket", nearest_centroid_expr(F.col("embedding"), cents)
+    ).write.partitionBy("ivf_bucket").parquet(path)
+
+    table = spark.read.parquet(path)
+    probe = table.filter(F.col("ivf_bucket").isin([0, 1]))
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "ivf_bucket" in plan.split(
+        "PartitionFilters")[1][:200], plan
+
+    # pruned probe returns exactly the rows of the probed buckets and
+    # scoring works on the pruned set
+    full = spark.read.parquet(path)
+    want = full.filter(F.col("ivf_bucket").isin([0, 1])).count()
+    assert probe.count() == want > 0
+    q = [1.0] + [0.0] * 7
+    scored = probe.select(
+        "vec_id", cosine_expr(F.col("embedding"),
+                              F.array(*[F.lit(v) for v in q])).alias("c"))
+    assert scored.count() == want

@@ -106,3 +106,28 @@ def test_kernel_shuffles_keep_core_parallelism(spark):
     n = spark.sparkContext.defaultParallelism
     assert f"REPARTITION_BY_NUM, {n}" in plan or \
         f"hashpartitioning(doc_id" in plan and f", {n})" in plan, plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """SURVEY §4 bucketing claim: two tables bucketed+sorted on the join
+    key sort-merge-join with ZERO shuffle exchanges — the co-located
+    join strategy for repeated big-big joins at scale."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+        df = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        for t in ("t_bucket_a", "t_bucket_b"):
+            df.write.bucketBy(8, "k").sortBy("k").mode("overwrite") \
+                .saveAsTable(t)
+        j = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+        plan = _formatted_plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
