@@ -101,3 +101,26 @@ def package_submission_zip(df: DataFrame, zip_path: str,
             zf.writestr(f"{row[name_col]}.{ext}", row[payload_col] or "")
             n += 1
     return n
+
+
+def apply_corrections(spans: DataFrame, corrections: DataFrame,
+                      keys: tuple[str, ...] = ("doc_id", "label"),
+                      value_col: str = "text",
+                      corrected_col: str = "corrected") -> DataFrame:
+    """Keyed post-hoc corrections over extracted entities — the
+    reference's curated fix-up table workflow
+    (keyword_information_extraction/data/dataset/submission/
+    fix_ocr_mismatches.csv: per (filename, category) hand corrections
+    applied to final outputs).
+
+    ``corrections`` is small and curated by nature → broadcast left
+    join; a matching row replaces ``value_col``, everything else passes
+    through untouched. No shuffle of the spans side.
+    """
+    c = F.broadcast(corrections.select(*keys, corrected_col))
+    return (
+        spans.join(c, list(keys), "left")
+        .withColumn(value_col,
+                    F.coalesce(F.col(corrected_col), F.col(value_col)))
+        .drop(corrected_col)
+    )

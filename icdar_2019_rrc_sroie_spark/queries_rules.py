@@ -373,3 +373,46 @@ FROM documents ORDER BY media_id
 SQL_QUERIES_RULES["ctc_decode"] = (q_ctc_decode, _sql_ctc_decode())
 SQL_QUERIES_RULES["salted_agg"] = (q_salted_agg, SQL_SALTED_AGG)
 SQL_QUERIES_RULES["resize_meta"] = (q_resize_meta, SQL_RESIZE_META)
+
+
+# --------------------------------------------------------------------------
+# Curated-corrections workflow (fix_ocr_mismatches.csv parity): a small
+# broadcast patch table replaces values keyed by (doc, field)
+# --------------------------------------------------------------------------
+
+
+def q_apply_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sinks import apply_corrections
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("company").alias("label"),
+        F.upper(F.substring("text", 1, 20)).alias("text"),
+    )
+    corrections = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("company").alias("label"),
+        F.concat(F.lit("FIXED "), F.col("doc_id").cast("string"))
+        .alias("corrected"),
+    )
+    return apply_corrections(spans, corrections).orderBy("doc_id")
+
+
+SQL_APPLY_CORRECTIONS = """
+WITH spans AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'company' AS label,
+         upper(substr(text, 1, 20)) AS text
+  FROM documents
+), corr AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'company' AS label,
+         'FIXED ' || CAST(doc_id AS VARCHAR) AS corrected
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT s.doc_id, s.label, COALESCE(c.corrected, s.text) AS text
+FROM spans s LEFT JOIN corr c ON s.doc_id = c.doc_id AND s.label = c.label
+ORDER BY s.doc_id
+"""
+
+SQL_QUERIES_RULES["apply_corrections"] = (q_apply_corrections,
+                                          SQL_APPLY_CORRECTIONS)
