@@ -239,10 +239,46 @@ SQL_ANN_BUCKETED = _sql_ann_bucketed()
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (rows-only oracle: hex→int conv is not
-    portable SQL; correctness covered by tests/test_dedup.py)."""
+    """64-bit SimHash signatures, SQL-checked: DuckDB parses the same
+    md5 hex slices via CAST('0x…' AS BIGINT) and recomputes the
+    majority-bit packing, including the signed-long wraparound of the
+    high half."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_dedup(docs).orderBy("doc_id")
+
+
+SQL_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(
+    regexp_split_to_array(
+      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+')) AS ts
+  FROM documents
+), hashes AS (
+  SELECT doc_id, len(ts) AS n,
+    [CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) FOR t IN ts] AS los,
+    [CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) FOR t IN ts] AS his
+  FROM toks
+), halves AS (
+  SELECT doc_id,
+    CAST(list_sum([
+      CASE WHEN 2 * list_sum(
+        [CAST(floor(h / 2.0 ** j) AS BIGINT) % 2 FOR h IN los]) > n
+      THEN CAST(2 ** j AS BIGINT) ELSE 0 END
+      FOR j IN generate_series(0, 31)]) AS BIGINT) AS lo_sig,
+    CAST(list_sum([
+      CASE WHEN 2 * list_sum(
+        [CAST(floor(h / 2.0 ** j) AS BIGINT) % 2 FOR h IN his]) > n
+      THEN CAST(2 ** j AS BIGINT) ELSE 0 END
+      FOR j IN generate_series(0, 31)]) AS BIGINT) AS hi_sig
+  FROM hashes
+)
+SELECT doc_id,
+  CAST(CAST(hi_sig AS HUGEINT) * 4294967296 + lo_sig
+       - CASE WHEN hi_sig >= 2147483648
+              THEN CAST(18446744073709551616 AS HUGEINT)
+              ELSE 0 END AS BIGINT) AS simhash
+FROM halves ORDER BY doc_id
+"""
 
 
 def q_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,5 +312,5 @@ SQL_QUERIES_DEDUP = {
     "lsh_bands": (q_lsh_bands, SQL_LSH_BANDS),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
-    "simhash": (q_simhash, None),
+    "simhash": (q_simhash, SQL_SIMHASH),
 }

@@ -101,9 +101,46 @@ def q_entity_line_labels_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 fuzzy path: the company line is OCR-corrupted (3rd character
     dropped) so exact containment fails and the kernel must recover the
     noisy variant via the growing-error fuzzy search before labeling."""
-    parts = _receipt_parts(_t(spark, sf_dir, "documents").limit(300))
+    parts = _receipt_parts(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300))
     lines, entities = _lines_entities(parts, corrupt_company=True)
     return label_lines(lines, entities).orderBy("doc_id", "line_idx")
+
+
+# Structural oracle: the input is conflict-free by construction, so the
+# expected assignment is known without running fuzzy matching — line 0
+# (the OCR-corrupted company) must still be labeled company by the
+# {e<=n} recovery, the rest follow the exact path. DuckDB rebuilds the
+# same lines (with the 3rd character of the company line dropped) and
+# emits the expected labels positionally.
+SQL_ENTITY_LINE_LABELS_FUZZY = """
+WITH parts AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+    trim('C' || CAST(doc_id AS VARCHAR) || ' ' ||
+         trim(substr(upper(substr(text,1,60)), 1, 16))) AS company,
+    trim('A' || CAST(doc_id AS VARCHAR) || ' ' ||
+         trim(substr(upper(substr(text,1,60)), 17, 16))) AS address,
+    lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '/' ||
+      lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '/2018' AS date_s,
+    CAST((doc_id % 9000 + 100) // 100 AS VARCHAR) || '.' ||
+      lpad(CAST((doc_id % 9000 + 100) % 100 AS VARCHAR), 2, '0') AS amt,
+    CAST((doc_id % 9000 + 1100) // 100 AS VARCHAR) || '.' ||
+      lpad(CAST((doc_id % 9000 + 1100) % 100 AS VARCHAR), 2, '0') AS amt2
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id, line_idx, text, label, CAST(klass AS INT) AS "class"
+FROM (
+  SELECT doc_id, 0 AS line_idx,
+    substr(company, 1, 2) || substr(company, 4) AS text,
+    'company' AS label, 1 AS klass FROM parts
+  UNION ALL SELECT doc_id, 1, address, 'address', 3 FROM parts
+  UNION ALL SELECT doc_id, 2, 'DATE: ' || date_s, 'date', 2 FROM parts
+  UNION ALL SELECT doc_id, 3, '1 X ITEM ' || amt, 'none', 0 FROM parts
+  UNION ALL SELECT doc_id, 4, 'TOTAL RM' || amt, 'total', 4 FROM parts
+  UNION ALL SELECT doc_id, 5, 'CASH ' || amt2, 'none', 0 FROM parts
+  UNION ALL SELECT doc_id, 6, 'THANK YOU', 'none', 0 FROM parts
+) ORDER BY doc_id, line_idx
+"""
 
 
 _KW = "TOTAL|AMOUNT|DUE|AMT|ROUND|RND|RM|GST"
@@ -215,7 +252,9 @@ SQL_QUERIES_LABELING = {
     "entity_line_labels": (q_entity_line_labels, SQL_ENTITY_LINE_LABELS),
 }
 
+SQL_QUERIES_LABELING["entity_line_labels_fuzzy"] = (
+    q_entity_line_labels_fuzzy, SQL_ENTITY_LINE_LABELS_FUZZY)
+
 ROWS_ONLY_LABELING = {
-    "entity_line_labels_fuzzy": (q_entity_line_labels_fuzzy, None),
     "training_labels": (q_training_labels, None),
 }

@@ -255,7 +255,9 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit signatures, 4×16-bit pigeonhole words (65k buckets per
     word — candidate count stays ~linear in corpus size), bucket guard
-    against degenerate buckets."""
+    against degenerate buckets. SQL-checked: DuckDB recomputes the
+    signatures, unsigned word extraction, the bucket-size guard, and
+    bit_count(xor) verification."""
     from .operators.dedup import simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents")
@@ -266,10 +268,64 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+SQL_SIMHASH_NEAR_DUPS = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+), toks AS (
+  SELECT doc_id, list_distinct(
+    regexp_split_to_array(
+      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+')) AS ts
+  FROM corpus
+), hashes AS (
+  SELECT doc_id, len(ts) AS n,
+    [CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) FOR t IN ts] AS los,
+    [CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) FOR t IN ts] AS his
+  FROM toks
+), halves AS (
+  SELECT doc_id,
+    CAST(list_sum([
+      CASE WHEN 2 * list_sum(
+        [CAST(floor(h / 2.0 ** j) AS BIGINT) % 2 FOR h IN los]) > n
+      THEN CAST(2 ** j AS BIGINT) ELSE 0 END
+      FOR j IN generate_series(0, 31)]) AS BIGINT) AS lo_sig,
+    CAST(list_sum([
+      CASE WHEN 2 * list_sum(
+        [CAST(floor(h / 2.0 ** j) AS BIGINT) % 2 FOR h IN his]) > n
+      THEN CAST(2 ** j AS BIGINT) ELSE 0 END
+      FOR j IN generate_series(0, 31)]) AS BIGINT) AS hi_sig
+  FROM hashes
+), sigs AS (
+  SELECT doc_id,
+    CAST(CAST(hi_sig AS HUGEINT) * 4294967296 + lo_sig
+         - CASE WHEN hi_sig >= 2147483648
+                THEN CAST(18446744073709551616 AS HUGEINT)
+                ELSE 0 END AS BIGINT) AS simhash,
+    CAST(hi_sig AS HUGEINT) * 4294967296 + lo_sig AS us
+  FROM halves
+), words AS (
+  SELECT doc_id, simhash, w AS word_idx,
+    CAST(us // ([CAST(1 AS HUGEINT), 65536, 4294967296,
+                 281474976710656])[w + 1] % 65536 AS BIGINT) AS word
+  FROM sigs, generate_series(0, 3) g(w)
+), guarded AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY word_idx, word) AS bsz
+    FROM words) WHERE bsz <= 200
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM guarded a JOIN guarded b
+  ON a.word_idx = b.word_idx AND a.word = b.word AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 ROWS_ONLY_QUERIES = {
     "anchor_matching": (q_anchor_matching, SQL_ANCHOR_MATCHING),
     "ivf_ann": (q_ivf_ann, None),
-    "simhash_near_dups": (q_simhash_near_dups, None),
+    "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "nms": (q_nms, None),
     "detection_pipeline": (q_detection_pipeline, None),
     "deteval_corpus": (q_deteval, None),
