@@ -73,9 +73,11 @@ def class_expr(t: Column, line_idx: Column,
     comma = F.contains(t, F.lit(","))
     postcode = t.rlike(r"\d{5}")
     state = t.rlike(r"SELANGOR|JOHOR|MELAKA|PULAU|PERAK|KEDAH|KUALA")
+    venue = t.rlike(r"FLR|FLOOR|MALL|PLAZA|LEVEL")
     is_address = (
         (marker & (comma | postcode))
         | (comma & postcode)
+        | (comma & venue)
         | t.rlike(r"(LOT |NO ?\.? ?\d).*(JALAN|JLN)")
         | (postcode & state)
     )

@@ -66,9 +66,11 @@ def classify(lines: list[str]) -> list[tuple[int, float]]:
         postcode = re.search(r"\d{5}", t)
         state = re.search(
             r"SELANGOR|JOHOR|MELAKA|PULAU|PERAK|KEDAH|KUALA", t)
+        venue = re.search(r"FLR|FLOOR|MALL|PLAZA|LEVEL", t)
         is_address = (
             (marker and ("," in t or postcode))
             or ("," in t and postcode)
+            or ("," in t and venue)
             or re.search(r"(LOT |NO ?\.? ?\d).*(JALAN|JLN)", t)
             or (postcode and state)
         )

@@ -27,11 +27,9 @@ import pytest
 GOLDEN_DIR = ("/root/reference/keyword_information_extraction/data/"
               "dataset/submission/submit")
 
-# Addresses the heuristic line classifier genuinely cannot see as
-# addresses (no street marker, comma+postcode, or postcode+state —
-# e.g. 'G31 & G32, GRD FLR, IOI MALL'). The reference resolved these
-# with a learned classifier; the rule engine documents them as misses.
-KNOWN_ADDRESS_MISSES = {"X51005757233", "X51006334927"}
+# Addresses the heuristic line classifier cannot see (none at present;
+# kept as the escape hatch for future golden additions).
+KNOWN_ADDRESS_MISSES: set[str] = set()
 
 
 def _load_goldens():
