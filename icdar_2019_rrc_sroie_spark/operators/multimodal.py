@@ -4,10 +4,12 @@ Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages. The codec libraries are not available in this
 container, so the *byte-level decode* is a clearly marked deterministic
-fake (`_fake_decode`) behind the real Spark plumbing — schema, batch
-shape, partitioning and UDF signatures are production-shaped and
-tested. Swap ``_fake_decode`` for cv2/PIL/ffmpeg calls on a real
-cluster.
+fake (`_fake_decode`) for *compressed* containers, while library-free
+formats decode for real: uncompressed 24-bit BMP and PCM16 WAV are
+parsed byte-level in `decode_bmp`/`decode_wav` (round-trip tested), so
+the decode seam is proven, not just stubbed. `decode_payload`
+dispatches by magic bytes: BMP/WAV → real parse, else cv2 when
+importable, else the stub.
 
 Reference analog: `read_image` + Resize/Normalize transforms
 (functional/utils/dataset.py:95-111, transformation.py:39-164) — the
@@ -67,17 +69,128 @@ FRAME_SCHEMA = T.StructType(
 
 def _fake_decode(payload: bytes, width: int, height: int,
                  channels: int) -> np.ndarray:
-    """STUB — deterministic stand-in for a real image decoder.
+    """STUB — deterministic stand-in for codec-library decoders.
 
-    Real deployments replace this with e.g. ``cv2.imdecode``. The fake
-    expands the payload bytes into a (h, w, c) uint8 array via a rolling
-    hash so downstream numerics are deterministic and testable.
+    Used only for payloads whose container format needs an external
+    codec (JPEG/PNG/MP3/...; cv2/PIL/ffmpeg are absent in this
+    sandbox). The fake expands the payload bytes into a (h, w, c) uint8
+    array via a rolling hash so downstream numerics are deterministic
+    and testable.
     """
     need = width * height * channels
     seed = hashlib.md5(payload).digest()
     reps = need // len(seed) + 1
     buf = np.frombuffer((seed * reps)[:need], dtype=np.uint8)
     return buf.reshape(height, width, channels)
+
+
+# --------------------------------------------------------------------------
+# REAL decoders for library-free container formats. These prove the
+# decode seam with actual byte-level parsing: uncompressed 24-bit BMP
+# (bottom-up rows, 4-byte row padding, BGR order) and PCM16 WAV (RIFF
+# chunk walk). Compressed formats dispatch to cv2/PIL when available,
+# else the deterministic stub.
+# --------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    header_sz = struct.unpack_from("<I", payload, 14)[0]
+    if header_sz < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} comp={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * h, offset=data_off
+    ).reshape(h, row_stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BMP bytes (round-trip fixture)."""
+    import struct
+
+    h, w, _ = arr.shape
+    row_stride = (w * 3 + 3) & ~3
+    img = np.zeros((h, row_stride), dtype=np.uint8)
+    img[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, flip
+    data = img.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 WAV → ((n_samples, channels) int16, sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8: pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
+    samples = np.frombuffer(data, dtype="<i2").reshape(-1, n_ch)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n, channels) int16 → PCM16 WAV bytes (round-trip fixture)."""
+    import struct
+
+    n_ch = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2,
+                      n_ch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_payload(payload: bytes, width: int, height: int,
+                   channels: int) -> np.ndarray:
+    """Dispatch: real library-free decoders by magic bytes → optional
+    codec libraries → deterministic stub."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, _ = decode_wav(payload)
+        # uint8 view for the shared intensity/pooling feature path
+        return ((samples.astype(np.int32) + 32768) // 256).astype(np.uint8)
+    try:  # pragma: no cover - codec libs absent in this sandbox
+        import cv2
+
+        arr = cv2.imdecode(np.frombuffer(payload, np.uint8),
+                           cv2.IMREAD_COLOR)
+        if arr is not None:
+            return arr[:, :, ::-1]
+    except ImportError:
+        pass
+    return _fake_decode(payload, width, height, channels)
 
 
 def decode_and_featurize(media: DataFrame, feature_dim: int = 8) -> DataFrame:
@@ -92,7 +205,7 @@ def decode_and_featurize(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                 w = int(meta["width"] or 8)
                 h = int(meta["height"] or 8)
                 c = int(meta["channels"] or 1)
-                arr = _fake_decode(bytes(row.payload), w, h, c)
+                arr = decode_payload(bytes(row.payload), w, h, c)
                 pooled = arr.astype(np.float64).mean(axis=(0, 1))
                 feat = np.resize(pooled, feature_dim) / 255.0
                 out.append(
@@ -162,7 +275,7 @@ def channel_stats(media: DataFrame) -> DataFrame:
                 w = int(meta["width"] or 8)
                 h = int(meta["height"] or 8)
                 c = int(meta["channels"] or 1)
-                arr = _fake_decode(bytes(row.payload), w, h, c).astype(np.float64)
+                arr = decode_payload(bytes(row.payload), w, h, c).astype(np.float64)
                 for ch in range(c):
                     s = acc.setdefault(ch, [0.0, 0.0, 0])
                     s[0] += float(arr[:, :, ch].sum())

@@ -100,30 +100,75 @@ def q_entity_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.multimodal import decode_and_featurize
+    """Real-decode path: payloads are genuine 24-bit BMP bytes built
+    per doc (deterministic pixels from doc_id), decoded byte-level by
+    `decode_bmp` inside the Arrow kernel — not the stub."""
+    import numpy as np
+    import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
-    media = docs.select(
-        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode(F.substring("text", 1, 64), "UTF-8").alias("payload"),
-        F.struct(
-            F.lit(16).alias("width"), F.lit(8).alias("height"),
-            F.lit(3).alias("channels"),
-            F.lit(None).cast("int").alias("sample_rate"),
-            F.lit(None).cast("int").alias("n_frames"),
-        ).alias("meta"),
-    )
+    from .operators.multimodal import MEDIA_SCHEMA, decode_and_featurize
+
+    def gen(batches):
+        from .operators.multimodal import encode_bmp
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = ((np.arange(8 * 16 * 3, dtype=np.int64)
+                       * (d % 251 + 1) + d) % 256).astype(np.uint8)
+                out.append({
+                    "media_id": f"m{d:06d}",
+                    "kind": "image",
+                    "payload": encode_bmp(px.reshape(8, 16, 3)),
+                    "meta": {"width": 16, "height": 8, "channels": 3,
+                             "sample_rate": None, "n_frames": None},
+                })
+            yield pd.DataFrame(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
     feats = decode_and_featurize(media)
     # Serialize the array<float> feature column (lists are unhashable in
-    # the driver's pandas canonicalizer); round to 6dp for stable hashing.
+    # the driver's pandas canonicalizer); micro-floor for stable hashing
+    # (the oracle mirrors the float32 quantization with a REAL cast).
     return feats.select(
         "media_id", "kind", "decoded_bytes",
-        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.floor(F.col("mean_intensity") * 1e6 + 0.5).cast("long")
+        .alias("intensity_micro"),
         F.to_json(
-            F.transform("feature", lambda x: F.round(x.cast("double"), 6))
-        ).alias("feature"),
+            F.transform(
+                "feature",
+                lambda x: F.floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+        ).alias("feature_micro"),
     ).orderBy("media_id")
+
+
+# The payload pixels are pure arithmetic from doc_id and the BMP decode
+# is an exact round trip, so DuckDB can recompute the features from
+# first principles — a green hash here validates the byte-level BMP
+# encode/decode chain against an independent computation. The kernel
+# casts features to float32; CAST AS REAL mirrors that quantization.
+SQL_MULTIMODAL_FEATURES = """
+WITH px AS (
+  SELECT doc_id, doc_id % 251 + 1 AS m FROM documents WHERE doc_id < 200
+), chan AS (
+  SELECT doc_id,
+    [list_sum([CAST((k * 3 + c) * m + doc_id AS BIGINT) % 256
+               FOR k IN generate_series(0, 127)]) / 128.0
+     FOR c IN generate_series(0, 2)] AS pooled,
+    list_sum([CAST(i * m + doc_id AS BIGINT) % 256
+              FOR i IN generate_series(0, 383)]) / 384.0 AS mean_i
+  FROM px
+)
+SELECT 'm' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS media_id,
+  'image' AS kind, CAST(384 AS BIGINT) AS decoded_bytes,
+  CAST(floor(mean_i * 1e6 + 0.5) AS BIGINT) AS intensity_micro,
+  to_json([CAST(floor(
+      CAST(CAST(pooled[j % 3 + 1] / 255.0 AS REAL) AS DOUBLE) * 1e6 + 0.5)
+    AS BIGINT) FOR j IN generate_series(0, 7)]) AS feature_micro
+FROM chan ORDER BY media_id
+"""
 
 
 def q_anchor_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,5 +376,5 @@ ROWS_ONLY_QUERIES = {
     "deteval_corpus": (q_deteval, None),
     "detection_sink": (q_detection_sink, None),
     "entity_sink": (q_entity_sink, None),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }

@@ -120,3 +120,49 @@ def test_package_submission_zip(spark, tmp_path):
         assert sorted(zf.namelist()) == ["X001.txt", "X002.txt"]
         assert zf.read("X001.txt").decode() == "10,20,110,40\n10,50,110,70"
         assert zf.read("X002.txt").decode() == "5,5,50,25"
+
+
+def test_bmp_wav_real_decode_roundtrip(spark):
+    """The decode seam is real for library-free formats: random pixels
+    → BMP bytes → the distributed kernel decodes them back exactly
+    (incl. row padding for non-multiple-of-4 widths and BGR/bottom-up
+    layout); same for PCM16 WAV samples."""
+    import numpy as np
+    import pandas as pd
+
+    from icdar_2019_rrc_sroie_spark.operators.multimodal import (
+        decode_and_featurize,
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (5, 7, 3), dtype=np.uint8)  # w=7 → padding
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    audio = rng.randint(-32768, 32767, (100, 2)).astype(np.int16)
+    got, rate = decode_wav(encode_wav(audio, 16000))
+    assert rate == 16000 and np.array_equal(got, audio)
+
+    import pytest
+
+    # through the distributed kernel: mean_intensity must equal the
+    # true pixel mean, proving the real decoder ran (the stub's hash
+    # expansion would give a different mean)
+    rows = [{"media_id": "bmp0", "kind": "image",
+             "payload": encode_bmp(img),
+             "meta": {"width": 7, "height": 5, "channels": 3,
+                      "sample_rate": None, "n_frames": None}},
+            {"media_id": "wav0", "kind": "audio",
+             "payload": encode_wav(audio, 16000),
+             "meta": {"width": None, "height": None, "channels": 2,
+                      "sample_rate": 16000, "n_frames": None}}]
+    from icdar_2019_rrc_sroie_spark.operators.multimodal import MEDIA_SCHEMA
+    media = spark.createDataFrame(pd.DataFrame(rows), MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_and_featurize(media).collect()}
+    assert out["bmp0"]["decoded_bytes"] == img.size
+    assert out["bmp0"]["mean_intensity"] == pytest.approx(img.mean())
+    want_wav = ((audio.astype(np.int32) + 32768) // 256).mean()
+    assert out["wav0"]["mean_intensity"] == pytest.approx(want_wav)
