@@ -222,11 +222,32 @@ def decode_and_featurize(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     return media.mapInPandas(kernel, FEATURES_SCHEMA)
 
 
+def split_bmp_stream(payload: bytes) -> list[bytes]:
+    """REAL container parse for a concatenated-BMP video stream: each
+    frame's byte length is its own BMP file-size field (offset 2), so
+    the stream splits with no codec library. Raises on a malformed
+    frame boundary."""
+    import struct
+
+    frames, pos = [], 0
+    while pos < len(payload):
+        if payload[pos:pos + 2] != b"BM":
+            raise ValueError(f"bad frame magic at offset {pos}")
+        size = struct.unpack_from("<I", payload, pos + 2)[0]
+        if size < 54 or pos + size > len(payload):
+            raise ValueError(f"bad frame size {size} at offset {pos}")
+        frames.append(payload[pos:pos + size])
+        pos += size
+    return frames
+
+
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video payloads → sampled frame rows (1 row per kept frame).
 
-    Frame extraction itself is stubbed (slices of the payload); the
-    explode-shaped output contract matches a real ffmpeg-based kernel.
+    Concatenated-BMP streams split for real via each frame's own header
+    (``split_bmp_stream``); every kept frame is a decodable BMP payload.
+    Other containers (MP4 etc.) fall back to the stub slicing — ffmpeg
+    is absent in this sandbox — with the identical output contract.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -235,8 +256,15 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 if row.kind != "video":
                     continue
-                n_frames = int(row.meta["n_frames"] or 0)
                 payload = bytes(row.payload)
+                if payload[:2] == b"BM":  # real path
+                    frames = split_bmp_stream(payload)
+                    for idx in range(0, len(frames), every_n):
+                        out.append({"media_id": row.media_id,
+                                    "frame_idx": idx,
+                                    "frame": frames[idx]})
+                    continue
+                n_frames = int(row.meta["n_frames"] or 0)  # stub path
                 for idx in range(0, n_frames, every_n):
                     lo = idx % max(len(payload) - 4, 1)
                     out.append(

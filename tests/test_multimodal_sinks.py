@@ -166,3 +166,40 @@ def test_bmp_wav_real_decode_roundtrip(spark):
     assert out["bmp0"]["mean_intensity"] == pytest.approx(img.mean())
     want_wav = ((audio.astype(np.int32) + 32768) // 256).mean()
     assert out["wav0"]["mean_intensity"] == pytest.approx(want_wav)
+
+
+def test_video_frame_sampling_real_bmp_stream(spark):
+    """Concatenated-BMP video: the kernel splits frames via each BMP's
+    own size field and every sampled frame decodes back to the exact
+    source pixels."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from icdar_2019_rrc_sroie_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        encode_bmp,
+        sample_frames,
+        split_bmp_stream,
+    )
+
+    rng = np.random.RandomState(4)
+    frames = [rng.randint(0, 256, (4, 5, 3), dtype=np.uint8)
+              for _ in range(9)]
+    stream = b"".join(encode_bmp(f) for f in frames)
+    assert len(split_bmp_stream(stream)) == 9
+
+    rows = [{"media_id": "vid0", "kind": "video", "payload": stream,
+             "meta": {"width": 5, "height": 4, "channels": 3,
+                      "sample_rate": None, "n_frames": 9}}]
+    media = spark.createDataFrame(pd.DataFrame(rows), MEDIA_SCHEMA)
+    got = {r["frame_idx"]: bytes(r["frame"])
+           for r in sample_frames(media, every_n=4).collect()}
+    assert sorted(got) == [0, 4, 8]
+    for idx, frame_bytes in got.items():
+        assert np.array_equal(decode_bmp(frame_bytes), frames[idx])
+
+    # malformed stream: truncated final frame raises, not silently drops
+    with pytest.raises(Exception):
+        split_bmp_stream(stream[:-10])
