@@ -563,6 +563,8 @@ def _all_batches() -> dict:
     merged.update(SQL_QUERIES_RULES)
     merged.update(ROWS_ONLY_QUERIES)
     merged.update(ROWS_ONLY_LABELING)
+    from .queries_rules import q_extraction_f1
+    merged["extraction_f1"] = (q_extraction_f1, None)
     return merged
 
 

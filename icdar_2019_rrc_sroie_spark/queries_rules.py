@@ -416,3 +416,77 @@ ORDER BY s.doc_id
 
 SQL_QUERIES_RULES["apply_corrections"] = (q_apply_corrections,
                                           SQL_APPLY_CORRECTIONS)
+
+
+# --------------------------------------------------------------------------
+# §2.3/§2.4 breadth: five-table star join with selective filters — the
+# dim chain (region→nation→customer) broadcasts, lineitem⋈orders
+# shuffles on the key; Catalyst plans it, the oracle pins the numbers.
+# --------------------------------------------------------------------------
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    dims = (
+        cust.join(F.broadcast(nat),
+                  cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .filter(F.col("o_orderstatus") != "F")
+        .groupBy("r_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.floor(F.sum(revenue) * 100 + 0.5).cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("r_name", "o_orderpriority")
+    )
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT r.r_name, o.o_orderpriority,
+  COUNT(*) AS n_lines,
+  CAST(floor(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
+       AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus != 'F'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+SQL_QUERIES_RULES["orders_rollup"] = (q_orders_rollup, SQL_ORDERS_ROLLUP)
+
+
+# --------------------------------------------------------------------------
+# A6-adjacent: corpus extraction F1 (task-3 score) over the fixture
+# corpus — rows-only (fixture input), semantics pytest-pinned.
+# --------------------------------------------------------------------------
+
+
+def q_extraction_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .eval.extraction_f1 import extraction_scores
+    from .fixtures import gt_entities_df, transcripts_df
+    from .plans.extraction import extract_spans
+
+    spans = extract_spans(transcripts_df(spark, n_convs=40, seed=42))
+    gt = gt_entities_df(spark, n_convs=40, seed=42)
+    out = extraction_scores(spans.select("conv_id", "turn_idx",
+                                         "label", "text"), gt)
+    return out.select(
+        "label",
+        F.floor(F.col("precision") * 1e6 + 0.5).cast("long").alias("p_micro"),
+        F.floor(F.col("recall") * 1e6 + 0.5).cast("long").alias("r_micro"),
+        F.floor(F.col("hmean") * 1e6 + 0.5).cast("long").alias("h_micro"),
+    ).orderBy("label")
