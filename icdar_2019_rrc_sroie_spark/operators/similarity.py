@@ -238,3 +238,59 @@ def cosine_topk_arrow(df: DataFrame, query: list[float], k: int = 10,
 
     scored = df.select(F.col(id_col), cos(F.col(vec_col)).alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
+                        n_bits: int = 8, seed: int = 7,
+                        multiprobe: int = 1,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold) via sign-LSH bucketing — the embedding-space member of
+    the dedup family.
+
+    Candidates come from equi-joins on the random-hyperplane bucket id
+    (never a cross join): vectors within a small angle agree on most
+    hyperplane signs, so with ``multiprobe`` ≥ 1 the self-join also
+    probes buckets one bit-flip away (join on the masked bucket with
+    one hyperplane ignored — n_bits+1 equi-joins total, recall grows
+    with multiprobe at linear candidate cost). Exact cosine verifies
+    every candidate. Recall is probabilistic (standard sign-LSH);
+    brute-force parity is pinned by tests on planted duplicates.
+    """
+    if dim is None:
+        first = df.select(vec_col).first()
+        dim = len(first[0])
+    planes = random_hyperplanes(dim, n_bits, seed)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col),
+        sign_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    ).persist()
+
+    def pair_join(left, right, key):
+        return (
+            left.join(right, key)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+        )
+
+    l0 = bucketed.select(F.col(id_col).alias("id_a"),
+                         F.col(vec_col).alias("va"), "bucket")
+    r0 = bucketed.select(F.col(id_col).alias("id_b"),
+                         F.col(vec_col).alias("vb"), "bucket")
+    cands = pair_join(l0, r0, ["bucket"])
+    if multiprobe >= 1:
+        for i in range(n_bits):
+            mask = ~(1 << i) & ((1 << n_bits) - 1)
+            lm = l0.withColumn("mb", F.col("bucket").bitwiseAND(F.lit(mask)))
+            rm = r0.withColumn("mb", F.col("bucket").bitwiseAND(F.lit(mask)))
+            cands = cands.unionByName(
+                pair_join(lm.drop("bucket"), rm.drop("bucket"), ["mb"])
+                .select("id_a", "id_b", "va", "vb"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        cands.dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -314,3 +314,83 @@ SQL_QUERIES_DEDUP = {
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "simhash": (q_simhash, SQL_SIMHASH),
 }
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (dedup family, embedding space)
+# ---------------------------------------------------------------------------
+
+_ND_BITS = 8
+_ND_SEED = 7
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted exact duplicates (id+1e6, same vector) must all surface;
+    the SQL oracle replays the hyperplane bucketing, the 1-bit-masked
+    multiprobe unions and the exact cosine verification."""
+    from .operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                   "embedding"))
+    out = embedding_near_dups(corpus, threshold=0.95, n_bits=_ND_BITS,
+                              seed=_ND_SEED, multiprobe=1, dim=_ANN_DIM)
+    return out.select(
+        "id_a", "id_b", _micro(F.col("cosine")).alias("cosine_micro")
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_embedding_near_dups() -> str:
+    from .operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(_ANN_DIM, _ND_BITS, _ND_SEED)
+
+    def dot(col: str, h: list[float]) -> str:
+        return "(" + " + ".join(
+            f"CAST({col}[{j + 1}] AS DOUBLE) * ({x!r})"
+            for j, x in enumerate(h)) + ")"
+
+    bucket = "(" + " + ".join(
+        f"CASE WHEN {dot('embedding', h)} > 0 THEN {1 << i} ELSE 0 END"
+        for i, h in enumerate(planes)) + ")"
+    full = (1 << _ND_BITS) - 1
+    masked_joins = "\n  UNION ALL ".join(
+        f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bucketed a JOIN bucketed b
+        ON (a.bucket & {full ^ (1 << i)}) = (b.bucket & {full ^ (1 << i)})
+           AND a.vec_id < b.vec_id"""
+        for i in range(_ND_BITS))
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
+), bucketed AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM corpus
+), pairs AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    UNION ALL {masked_joins}
+  )
+), scored AS (
+  SELECT p.id_a, p.id_b,
+    list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+              FOR i IN generate_series(1, len(a.embedding))]) /
+    (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+              FOR i IN generate_series(1, len(a.embedding))])) *
+     sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+              FOR i IN generate_series(1, len(b.embedding))]))) AS cosine
+  FROM pairs p
+  JOIN bucketed a ON a.vec_id = p.id_a
+  JOIN bucketed b ON b.vec_id = p.id_b
+)
+SELECT id_a, id_b, CAST(floor(cosine*1e6+0.5) AS BIGINT) AS cosine_micro
+FROM scored WHERE cosine >= 0.95
+ORDER BY id_a, id_b
+"""
+
+
+SQL_QUERIES_DEDUP["embedding_near_dups"] = (
+    q_embedding_near_dups, _sql_embedding_near_dups())
