@@ -343,3 +343,51 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# GPT-style pretokenizer approximation, lookahead-free so both Spark
+# (Java regex) and DuckDB (RE2) evaluate it identically: optional-space
+# letter runs, digit runs, punctuation runs, residual whitespace.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count (pretokenizer granularity — the unit a BPE
+    vocabulary would split further)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 5,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken —
+    the rolling-hash fingerprinting family): hash every char k-gram of
+    the canonical text, slide a window of ``window`` hashes, keep each
+    window's minimum, dedup. Guarantees any shared substring of length
+    ≥ k + window - 1 yields a shared fingerprint — the containment
+    detector exact dedup and shingle Jaccard can't provide.
+
+    Pure Catalyst array algebra (hash per k-gram via md5 slice; a true
+    rolling polynomial is a constant-factor kernel optimization, same
+    fingerprints). Output: (id, fp) rows.
+    """
+    norm = normalized_text(F.col(text_col))
+    n = F.length(norm)
+    m = n - (k - 1)  # number of k-grams
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    n_windows = F.greatest(m - (window - 1), F.lit(1))
+    minima = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(grams, j, window)),
+    )
+    fps = F.when(n >= k, F.array_distinct(minima)) \
+        .otherwise(F.array().cast("array<bigint>"))
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(fps).alias("fp"))
+    )

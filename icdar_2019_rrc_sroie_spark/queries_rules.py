@@ -490,3 +490,65 @@ def q_extraction_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("recall") * 1e6 + 0.5).cast("long").alias("r_micro"),
         F.floor(F.col("hmean") * 1e6 + 0.5).cast("long").alias("h_micro"),
     ).orderBy("label")
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash dedup family) + BPE-ish tokens
+# --------------------------------------------------------------------------
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnow_fingerprints(docs, k=5, window=4) \
+        .orderBy("doc_id", "fp")
+
+
+SQL_WINNOW_FINGERPRINTS = r"""
+WITH norm AS (
+  SELECT doc_id,
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 100
+), grams AS (
+  SELECT doc_id, length(t) AS n,
+    [CAST('0x' || substr(md5(substr(t, i, 5)), 1, 8) AS BIGINT)
+     FOR i IN generate_series(1, greatest(length(t) - 4, 1))] AS g
+  FROM norm
+), minima AS (
+  SELECT doc_id,
+    CASE WHEN n >= 5 THEN list_distinct(
+      [list_min(g[j : j + 3])
+       FOR j IN generate_series(1, greatest(len(g) - 3, 1))])
+    ELSE [] END AS fps
+  FROM grams
+)
+SELECT doc_id, unnest(fps) AS fp FROM minima ORDER BY doc_id, fp
+"""
+
+SQL_QUERIES_RULES["winnow_fingerprints"] = (
+    q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS)
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import BPE_TOKEN_PATTERN, bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+SQL_BPE_TOKENS = r"""
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+    AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+    AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+SQL_QUERIES_RULES["bpe_tokens"] = (q_bpe_tokens, SQL_BPE_TOKENS)

@@ -339,3 +339,34 @@ def test_embedding_near_dups_finds_planted_pairs(spark):
     # recall on planted pairs with 1-bit multiprobe
     found_planted = set(got) & planted
     assert len(found_planted) / len(planted) >= 0.9, len(found_planted)
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a substring of length
+    >= k + window - 1 share at least one fingerprint; disjoint docs
+    share none (w.h.p. for these inputs)."""
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "the common plagiarized passage appears here verbatim"
+    docs = spark.createDataFrame(
+        [(0, "intro words before " + shared + " and a unique tail zero"),
+         (1, "different opening text " + shared + " closing remarks one"),
+         (2, "entirely unrelated content about physical plans and joins")],
+        "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(docs, k=5, window=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "shared passage must share a fingerprint"
+    assert not (fps[0] & fps[2] & fps[1])
+
+
+def test_bpe_token_count(spark):
+    from icdar_2019_rrc_sroie_spark.operators.dedup import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("Hello world, it's 42 degrees!",)], "t string")
+    got = df.select(bpe_token_count(F.col("t")).alias("n")).collect()[0]["n"]
+    # Hello| world|,| it|'|s| 42| degrees|! → 9 pretokens
+    assert got == 9
