@@ -97,4 +97,13 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
 
 
 if __name__ == "__main__":
-    sys.exit(main(only=sys.argv[1] if len(sys.argv) > 1 else None))
+    # usage: check_oracles.py [name-substring] [--sf-dir PATH]
+    args = sys.argv[1:]
+    kw = {}
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        kw["sf_dir"] = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    if args:
+        kw["only"] = args[0]
+    sys.exit(main(**kw))
