@@ -1,0 +1,103 @@
+"""Hypothesis property tests — shrinking counterexamples for the two
+most semantics-dense kernels: the entity→line labeler (vs the reference
+port) and winnowing's shared-substring guarantee. These run the pure
+per-doc functions (the distributed parity is covered by the Spark tests
+in test_labeling.py / test_dedup_similarity.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from icdar_2019_rrc_sroie_spark.operators.labeling import assign_labels_py
+
+TOKENS = ["KOPITIAM", "SDN", "BHD", "JALAN", "RM", "TOTAL", "12.50",
+          "CASH", "GST", "AA", "AMOUNT", "QTY", "TAX"]
+
+line_st = st.lists(st.sampled_from(TOKENS), min_size=1, max_size=5) \
+    .map(" ".join)
+lines_st = st.lists(line_st, min_size=1, max_size=10)
+
+
+def _entity_value(draw_lines: list[str], data) -> str:
+    mode = data.draw(st.integers(0, 2))
+    if mode == 0:
+        return ""
+    if mode == 1:  # substring of a real line (exact path)
+        line = data.draw(st.sampled_from(draw_lines))
+        a = data.draw(st.integers(0, max(len(line) - 3, 0)))
+        ln = data.draw(st.integers(3, 15))
+        return line[a:a + ln]
+    # corrupted variant (fuzzy path): drop one char
+    line = data.draw(st.sampled_from(draw_lines))
+    if len(line) < 5:
+        return line
+    p = data.draw(st.integers(1, len(line) - 2))
+    return line[:p] + line[p + 1:]
+
+
+@settings(max_examples=120, deadline=None)
+@given(lines=lines_st, data=st.data())
+def test_labeler_matches_reference_port(lines, data):
+    from test_labeling import ref_assign_labels, ref_entities_dict
+
+    items = [(name, _entity_value(lines, data))
+             for name in ("company", "date", "address", "total")]
+    assert assign_labels_py(lines, items) == ref_assign_labels(
+        lines, ref_entities_dict(items))
+
+
+def _winnow_py(text: str, k: int = 5, window: int = 4) -> set[int]:
+    """Pure-python mirror of operators/dedup.py::winnow_fingerprints."""
+    t = " ".join(text.lower().strip().split())
+    if len(t) < k:
+        return set()
+    grams = [
+        int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(t) - k + 1)
+    ]
+    n_windows = max(len(grams) - (window - 1), 1)
+    return {min(grams[j:j + window]) for j in range(n_windows)}
+
+
+@settings(max_examples=80, deadline=None)
+@given(prefix=st.text(alphabet="abc ", max_size=20),
+       shared=st.text(alphabet="xyz q", min_size=12, max_size=30),
+       suffix=st.text(alphabet="def ", max_size=20))
+def test_winnowing_shared_substring_guarantee(prefix, shared, suffix):
+    """Any substring of length >= k + window - 1 (= 8) surviving
+    normalization in both docs must yield a shared fingerprint."""
+    a = prefix + " " + shared + " tailone"
+    b = "othertext " + shared + " " + suffix
+    norm_shared = " ".join(shared.lower().split())
+    if len(norm_shared) < 8:
+        return
+    fa, fb = _winnow_py(a), _winnow_py(b)
+    # only guaranteed when the normalized shared run survives intact
+    na = " ".join(a.lower().split())
+    nb = " ".join(b.lower().split())
+    if norm_shared in na and norm_shared in nb:
+        assert fa & fb, (a, b)
+
+
+def test_winnow_py_matches_spark(spark):
+    """The pure-python mirror and the Catalyst implementation agree."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "sh",  # shorter than k → empty
+             "  Weird   SPACING   here  ",
+             "abcdefgh"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got: dict[int, set] = {i: set() for i in range(len(texts))}
+    for r in winnow_fingerprints(df, k=5, window=4).collect():
+        got[r["doc_id"]].add(r["fp"])
+    for i, t in enumerate(texts):
+        assert got[i] == _winnow_py(t), i
