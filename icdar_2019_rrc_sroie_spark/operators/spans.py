@@ -90,6 +90,44 @@ def _best_run_joined(entity_cls: int, runs: Column, texts: Column) -> Column:
     )
 
 
+def absorb_continuations(classes, texts, dates, totals):
+    """Address-continuation absorption: a none-classified, non-empty
+    line with no date/total signal directly following an address line
+    is part of the address (receipts print addresses over 2-3 lines;
+    the continuation half often has no street marker of its own —
+    measured on the reference's committed submissions). Cascades, so
+    any run of continuation lines is absorbed.
+
+    Implemented as ONE left fold over an arrays_zip so each input
+    column is referenced exactly once: in the stateless strategy the
+    classes array is a large inline expression, and a formulation that
+    references it k times k-plicates the whole tree after projection
+    collapse (measured: the streaming micro-batch went from seconds to
+    unbounded before this shape).
+    """
+    z = F.arrays_zip(
+        classes.alias("c"), texts.alias("t"),
+        dates.alias("d"), totals.alias("x"),
+    )
+    return F.aggregate(
+        z,
+        F.array().cast("array<int>"),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    (e["c"] == _NONE)
+                    & (F.try_element_at(acc, F.lit(-1)) == _ADDRESS)
+                    & (e["d"] == "")
+                    & (e["x"] == "")
+                    & (F.trim(e["t"]) != ""),
+                    F.lit(_ADDRESS),
+                ).otherwise(e["c"]).cast("int")
+            ),
+        ),
+    )
+
+
 def turns_with_lines(classified: DataFrame) -> DataFrame:
     """One row per turn: sorted arrays of per-line features.
 
@@ -109,15 +147,19 @@ def turns_with_lines(classified: DataFrame) -> DataFrame:
             )
         ).alias("L")
     )
-    return grouped.select(
+    base = grouped.select(
         *_TURN_KEYS,
         F.transform("L", lambda x: x["text"]).alias("texts"),
-        F.transform("L", lambda x: x["cls"]).alias("classes"),
-        F.transform("L", lambda x: prob_expr(x["cls"])).alias("probs"),
+        F.transform("L", lambda x: x["cls"]).alias("classes0"),
         F.transform("L", lambda x: x["date_ex"]).alias("dates"),
         F.transform("L", lambda x: x["total_ex"]).alias("totals"),
         F.transform("L", lambda x: x["ctx_ok"]).alias("ctxs"),
     )
+    classes = absorb_continuations(
+        F.col("classes0"), F.col("texts"), F.col("dates"), F.col("totals"))
+    return base.withColumn("classes", classes).drop("classes0") \
+        .withColumn("probs",
+                    F.transform(F.col("classes"), lambda c: prob_expr(c)))
 
 
 def assemble_spans(classified: DataFrame) -> DataFrame:

@@ -73,7 +73,12 @@ def turns_with_features(transcripts: DataFrame,
             F.element_at(F.col("totals"), i + 1),
         ),
     )
-    with_cls = with_feat.withColumn("classes", classes)
+    from ..operators.spans import absorb_continuations
+
+    with_cls = with_feat.withColumn("classes0", classes)
+    absorbed = absorb_continuations(
+        F.col("classes0"), F.col("texts"), F.col("dates"), F.col("totals"))
+    with_cls = with_cls.withColumn("classes", absorbed).drop("classes0")
     probs = F.transform(F.col("classes"), lambda c: prob_expr(c))
     return with_cls.withColumn("probs", probs)
 

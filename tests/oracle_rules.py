@@ -88,10 +88,24 @@ def classify(lines: list[str]) -> list[tuple[int, float]]:
     return out
 
 
+def absorb_continuations(lines, classes):
+    """Mirror of operators/spans.py::absorb_continuations (left fold,
+    cascading)."""
+    out = []
+    for i, c in enumerate(classes):
+        t = lines[i].strip()
+        if (c == 0 and out and out[-1] == 3 and t
+                and not extract_date(t) and not extract_total(t)):
+            out.append(3)
+        else:
+            out.append(c)
+    return out
+
+
 def extract_turn(lines: list[str]) -> dict[str, str]:
     """Full turn extraction: classifier + reference assembly rules."""
     cls_prob = classify(lines)
-    classes = [c for c, _ in cls_prob]
+    classes = absorb_continuations(lines, [c for c, _ in cls_prob])
     probs = [p for _, p in cls_prob]
 
     if 2 not in classes or 4 not in classes:
