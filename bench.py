@@ -63,20 +63,26 @@ def bench_embedding_kernels(spark, sf_dir: str,
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     query = list(emb.filter(F.col("vec_id") == 0)
                  .select("embedding").collect()[0][0])
-    big = (
-        emb.crossJoin(spark.range(100).withColumnRenamed("id", "rep"))
-        .select((F.col("vec_id") * 100 + F.col("rep")).alias("vec_id"),
-                "embedding")
-        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-        .cache()
-    )
-    big.count()
-    for name, fn in (("cosine_hof_100x", cosine_topk),
-                     ("cosine_arrow_100x", cosine_topk_arrow)):
-        t0 = time.perf_counter()
-        materialize(fn(big, query, k=10))
-        timings[name] = round(time.perf_counter() - t0, 3)
-    big.unpersist()
+    import tempfile
+
+    with tempfile.TemporaryDirectory(dir="/dev/shm") as tmp:
+        # materialize once to tmpfs parquet: both kernels then read the
+        # identical files, so timings aren't polluted by crossJoin
+        # recompute or cache-eviction variance
+        (
+            emb.crossJoin(spark.range(100).withColumnRenamed("id", "rep"))
+            .select((F.col("vec_id") * 100 + F.col("rep")).alias("vec_id"),
+                    "embedding")
+            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+            .write.mode("overwrite").parquet(f"{tmp}/big")
+        )
+        big = spark.read.parquet(f"{tmp}/big")
+        for name, fn in (("cosine_hof_100x", cosine_topk),
+                         ("cosine_arrow_100x", cosine_topk_arrow)):
+            materialize(fn(big, query, k=10))  # warm
+            t0 = time.perf_counter()
+            materialize(fn(big, query, k=10))
+            timings[name] = round(time.perf_counter() - t0, 3)
 
 
 def materialize(df) -> None:
