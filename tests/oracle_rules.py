@@ -106,7 +106,10 @@ def extract_turn(lines: list[str]) -> dict[str, str]:
     """Full turn extraction: classifier + reference assembly rules."""
     cls_prob = classify(lines)
     classes = absorb_continuations(lines, [c for c, _ in cls_prob])
-    probs = [p for _, p in cls_prob]
+    # prob is a pure function of the FINAL class (absorbed lines carry
+    # the address prob), matching classify.py::prob_expr
+    _probs_by_class = {0: 0.99, 1: 0.85, 2: 0.95, 3: 0.75, 4: 0.90}
+    probs = [_probs_by_class[c] for c in classes]
 
     if 2 not in classes or 4 not in classes:
         return {}

@@ -57,3 +57,34 @@ def test_stable_ordering(spark):
     keys = [(r["conv_id"], r["turn_idx"], r["label"]) for r in rows]
     # ordering must be reproducible partition-by-partition
     assert keys == sorted(keys)
+
+
+def test_absorbed_run_prob_parity(spark):
+    """Two competing address runs, one containing an absorbed
+    continuation line: engine and oracle must agree on which run wins
+    (probs are a function of the FINAL class, so the absorbed line
+    carries the address prob, not the none prob)."""
+    import pandas as pd
+    from datetime import datetime
+
+    from icdar_2019_rrc_sroie_spark.plans.extraction import extract_spans
+    from oracle_rules import extract_turn
+
+    body = [
+        "SOME STORE SDN BHD",
+        "NO 5, JALAN X, 81750 MASAI",   # address run 1 (evidence)
+        "BANDAR BARU CONTINUATION",      # absorbed into run 1
+        "DATE: 01/02/2018",
+        "LOT 9, JALAN Y, 40150 SHAH",    # address run 2 (evidence)
+        "1 X ITEM 2.00",
+        "TOTAL RM2.00",
+    ]
+    rows = [{"conv_id": "c0", "turn_idx": 0, "role": "tool",
+             "text": "\n".join(body), "tool": "receipt_scanner",
+             "ts": datetime(2021, 1, 1)}]
+    spans = extract_spans(
+        spark.createDataFrame(pd.DataFrame(rows))).toPandas()
+    got = {r.label: r.text for r in spans.itertuples()}
+    want = extract_turn(body)
+    assert got.get("address") == want.get("address")
+    assert got.get("address") == "NO 5, JALAN X, 81750 MASAI BANDAR BARU CONTINUATION"
