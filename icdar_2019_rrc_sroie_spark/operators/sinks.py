@@ -117,7 +117,10 @@ def apply_corrections(spans: DataFrame, corrections: DataFrame,
     join; a matching row replaces ``value_col``, everything else passes
     through untouched. No shuffle of the spans side.
     """
-    c = F.broadcast(corrections.select(*keys, corrected_col))
+    # one patch per key — a duplicated correction row must not fan out
+    # the spans side through the join
+    c = F.broadcast(
+        corrections.select(*keys, corrected_col).dropDuplicates(list(keys)))
     return (
         spans.join(c, list(keys), "left")
         .withColumn(value_col,

@@ -203,3 +203,15 @@ def test_video_frame_sampling_real_bmp_stream(spark):
     # malformed stream: truncated final frame raises, not silently drops
     with pytest.raises(Exception):
         split_bmp_stream(stream[:-10])
+
+
+def test_apply_corrections_duplicate_patch_rows_do_not_fan_out(spark):
+    from icdar_2019_rrc_sroie_spark.operators.sinks import apply_corrections
+
+    spans = spark.createDataFrame(
+        [("d1", "company", "OLD")], "doc_id string, label string, text string")
+    corr = spark.createDataFrame(
+        [("d1", "company", "NEW A"), ("d1", "company", "NEW B")],
+        "doc_id string, label string, corrected string")
+    out = apply_corrections(spans, corr).collect()
+    assert len(out) == 1 and out[0]["text"].startswith("NEW")
