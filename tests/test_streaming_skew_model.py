@@ -133,6 +133,15 @@ def test_sessionize_conversations_stateful(spark, tmp_path):
     stream = spark.readStream.schema(sdf1.schema) \
         .option("maxFilesPerTrigger", "1").parquet(src + "/*")
     spark.createDataFrame(b2).write.parquet(src + "/p2")
+    # FileStreamSource orders micro-batches by file modification time;
+    # sub-second writes can tie and flip the order, letting batch 2's
+    # event time advance the watermark past batch 1 (sessions dropped
+    # as late). Pin p1 strictly before p2.
+    import glob
+    import os
+    for d, ts in ((src + "/p1", 1_000_000_000), (src + "/p2", 2_000_000_000)):
+        for f in glob.glob(d + "/*"):
+            os.utime(f, (ts, ts))
     q = (
         sessionize_conversations(stream, gap="30 minutes",
                                  watermark="1 minute")
