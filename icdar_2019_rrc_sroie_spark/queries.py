@@ -563,8 +563,9 @@ def _all_batches() -> dict:
     merged.update(SQL_QUERIES_RULES)
     merged.update(ROWS_ONLY_QUERIES)
     merged.update(ROWS_ONLY_LABELING)
-    from .queries_rules import q_extraction_f1
+    from .queries_rules import q_extraction_f1, q_raster_stats
     merged["extraction_f1"] = (q_extraction_f1, None)
+    merged["raster_stats"] = (q_raster_stats, None)
     return merged
 
 

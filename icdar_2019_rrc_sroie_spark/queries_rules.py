@@ -552,3 +552,47 @@ FROM documents ORDER BY doc_id
 """
 
 SQL_QUERIES_RULES["bpe_tokens"] = (q_bpe_tokens, SQL_BPE_TOKENS)
+
+
+# --------------------------------------------------------------------------
+# X20 raster analysis over real BMP payloads (rows-only: Otsu/Sobel are
+# raster math with no tractable SQL form; semantics pytest-pinned vs
+# naive loop implementations in tests/test_multimodal_sinks.py)
+# --------------------------------------------------------------------------
+
+
+def q_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import MEDIA_SCHEMA, raster_stats
+
+    def gen(batches):
+        from .operators.multimodal import encode_bmp
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = ((np.arange(12 * 10 * 3, dtype=np.int64)
+                       * (d % 97 + 3) + d * 7) % 256).astype(np.uint8)
+                out.append({
+                    "media_id": f"r{d:06d}", "kind": "image",
+                    "payload": encode_bmp(px.reshape(12, 10, 3)),
+                    "meta": {"width": 10, "height": 12, "channels": 3,
+                             "sample_rate": None, "n_frames": None},
+                })
+            yield pd.DataFrame(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    out = raster_stats(media)
+    return out.select(
+        "media_id",
+        F.floor(F.col("otsu_t")).cast("long").alias("otsu_t"),
+        F.floor(F.col("fg_frac") * 1e6 + 0.5).cast("long").alias("fg_micro"),
+        F.floor(F.col("fg_frac_opened") * 1e6 + 0.5).cast("long")
+        .alias("fg_open_micro"),
+        F.floor(F.col("edge_mean") * 1e3 + 0.5).cast("long")
+        .alias("edge_milli"),
+    ).orderBy("media_id")

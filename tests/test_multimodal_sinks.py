@@ -215,3 +215,70 @@ def test_apply_corrections_duplicate_patch_rows_do_not_fan_out(spark):
         "doc_id string, label string, corrected string")
     out = apply_corrections(spans, corr).collect()
     assert len(out) == 1 and out[0]["text"].startswith("NEW")
+
+
+def test_raster_ops_vs_naive_reference(spark):
+    """Sobel/Otsu/morphology (X20) vs naive loop implementations on a
+    random image, then the distributed raster_stats kernel end-to-end
+    on a real BMP payload."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from icdar_2019_rrc_sroie_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        morph_close,
+        morph_open,
+        otsu_threshold,
+        raster_stats,
+        sobel_magnitude,
+        to_gray,
+    )
+
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (12, 10, 3), dtype=np.uint8)
+    gray = to_gray(img)
+
+    # naive Sobel with explicit loops (edge padding)
+    p = np.pad(gray, 1, mode="edge")
+    want = np.zeros_like(gray)
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], float)
+    ky = np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], float)
+    for y in range(gray.shape[0]):
+        for x in range(gray.shape[1]):
+            win = p[y:y + 3, x:x + 3]
+            want[y, x] = np.hypot((win * kx).sum(), (win * ky).sum())
+    assert np.allclose(sobel_magnitude(gray), want)
+
+    # naive Otsu: exhaustive threshold search
+    g8 = gray.clip(0, 255).astype(np.uint8).ravel()
+    best_t, best_v = 0, -1.0
+    for t in range(256):
+        lo, hi = g8[g8 <= t], g8[g8 > t]
+        if len(lo) == 0 or len(hi) == 0:
+            continue
+        v = len(lo) * len(hi) * (lo.mean() - hi.mean()) ** 2
+        if v > best_v:
+            best_v, best_t = v, t
+    assert otsu_threshold(gray) == pytest.approx(best_t, abs=1)
+
+    # morphology: open kills isolated pixels, close fills pinholes
+    b = np.zeros((9, 9), bool)
+    b[2:7, 2:7] = True
+    b[4, 4] = False          # pinhole
+    speck = b.copy()
+    speck[0, 8] = True       # isolated speck
+    assert not morph_open(speck)[0, 8]
+    assert morph_close(b)[4, 4]
+
+    # distributed kernel on a real BMP
+    rows = [{"media_id": "r0", "kind": "image", "payload": encode_bmp(img),
+             "meta": {"width": 10, "height": 12, "channels": 3,
+                      "sample_rate": None, "n_frames": None}}]
+    media = spark.createDataFrame(pd.DataFrame(rows), MEDIA_SCHEMA)
+    out = raster_stats(media).collect()[0]
+    assert out["otsu_t"] == pytest.approx(best_t, abs=1)
+    assert out["edge_mean"] == pytest.approx(want.mean())
+    fg = gray > out["otsu_t"]
+    assert out["fg_frac"] == pytest.approx(fg.mean())
