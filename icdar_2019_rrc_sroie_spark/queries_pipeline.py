@@ -1,7 +1,11 @@
-"""Query battery, batch 4: pipeline-level operators whose kernels are
-sequential per-document (applyInPandas) — recorded as rows-only checks
-by the driver; their exact semantics are pytest-verified against NumPy
-oracles (tests/test_detection.py, tests/test_deteval.py)."""
+"""Query battery, batch 4: pipeline-level operators.
+
+Sequential per-document kernels (NMS, connector, DetEval) are recorded
+as rows-only checks by the driver with pytest NumPy-oracle coverage
+(tests/test_detection.py, tests/test_deteval.py). anchor_matching,
+multimodal_features and simhash_near_dups graduated to full SQL
+oracles in round 2 (windowed relational algebra, first-principles BMP
+feature recomputation, and HUGEINT signature replay respectively)."""
 
 from __future__ import annotations
 
