@@ -89,6 +89,20 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def cpu_calibration() -> float:
+    """Spark-free single-thread work rate (Mops/s): the sandbox host
+    shows contention windows where ALL throughput (including this
+    loop) degrades together — recording it lets any bench run be read
+    against the machine speed at that moment (see BASELINE.md
+    'Measurement-window sensitivity')."""
+    n, acc = 4_000_000, 0
+    t0 = time.perf_counter()
+    for i in range(n):
+        acc += i * 31 & 1023
+    dt = time.perf_counter() - t0
+    return round(n / dt / 1e6, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
@@ -96,6 +110,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    calib_before = cpu_calibration()
     total_start = time.perf_counter()
 
     # Flagship: transcript span extraction. Corpus size scales with sf
@@ -133,6 +148,7 @@ def main() -> None:
         "sf": sf,
         "flagship_turns": n_turns,
         "flagship_turns_per_sec": round(n_turns / flagship_sec, 1),
+        "cpu_calib_mops": [calib_before, cpu_calibration()],
     }))
 
 
