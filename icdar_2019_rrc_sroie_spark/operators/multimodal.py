@@ -174,13 +174,24 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 def decode_payload(payload: bytes, width: int, height: int,
                    channels: int) -> np.ndarray:
     """Dispatch: real library-free decoders by magic bytes → optional
-    codec libraries → deterministic stub."""
+    codec libraries → deterministic stub. A payload that merely starts
+    with a known magic but fails to parse (truncated, wrong bpp) falls
+    through to the stub instead of crashing the Arrow kernel."""
+    import struct
+
     if payload[:2] == b"BM":
-        return decode_bmp(payload)
+        try:
+            return decode_bmp(payload)
+        except (ValueError, struct.error):
+            pass
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        samples, _ = decode_wav(payload)
-        # uint8 view for the shared intensity/pooling feature path
-        return ((samples.astype(np.int32) + 32768) // 256).astype(np.uint8)
+        try:
+            samples, _ = decode_wav(payload)
+            # uint8 view for the shared intensity/pooling feature path
+            return ((samples.astype(np.int32) + 32768) // 256) \
+                .astype(np.uint8)
+        except (ValueError, struct.error):
+            pass
     try:  # pragma: no cover - codec libs absent in this sandbox
         import cv2
 
@@ -304,11 +315,14 @@ def channel_stats(media: DataFrame) -> DataFrame:
                 h = int(meta["height"] or 8)
                 c = int(meta["channels"] or 1)
                 arr = decode_payload(bytes(row.payload), w, h, c).astype(np.float64)
-                for ch in range(c):
+                # 3-D images and 2-D audio (samples, channels) both
+                # flatten to (n, last_axis) for per-channel stats
+                flat = arr.reshape(-1, arr.shape[-1])
+                for ch in range(flat.shape[-1]):
                     s = acc.setdefault(ch, [0.0, 0.0, 0])
-                    s[0] += float(arr[:, :, ch].sum())
-                    s[1] += float((arr[:, :, ch] ** 2).sum())
-                    s[2] += arr.shape[0] * arr.shape[1]
+                    s[0] += float(flat[:, ch].sum())
+                    s[1] += float((flat[:, ch] ** 2).sum())
+                    s[2] += flat.shape[0]
             if acc:
                 yield pd.DataFrame(
                     [{"channel": ch, "px_sum": v[0], "px_sumsq": v[1],

@@ -68,7 +68,10 @@ def train_centroids(df: DataFrame, k: int = 8, iters: int = 10,
     # xxhash64 is seed-stable across runs and engines.
     n_rows = df.count()
     frac = min(1.0, (3.0 * sample_size) / max(n_rows, 1))
-    threshold = int(frac * (1 << 62))
+    # abs(xxhash64) is uniform over [0, 2^63): acceptance = frac
+    # requires a 2^63 scale (2^62 silently halves the sample — caught
+    # in round-2 review); clamp to Long.MAX for the JVM literal
+    threshold = min(int(frac * (1 << 63)), (1 << 63) - 1)
     h = F.abs(F.xxhash64(F.col(id_col).cast("string")))
     sample = (
         df.filter(h < threshold)

@@ -245,7 +245,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("n"),
-             F.floor(F.sum("value") * 100 + 0.5).cast("long")
+             F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
              .alias("value_cents"))
     )
     return out.select(
@@ -258,7 +258,8 @@ SQL_TUMBLING_WINDOW = """
 SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
                 '%Y-%m-%d %H:%M:%S') AS w_start,
        event_type, COUNT(*) AS n,
-       CAST(floor(SUM(value) * 100 + 0.5) AS BIGINT) AS value_cents
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_cents
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -445,7 +446,10 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.floor(F.sum(revenue) * 100 + 0.5).cast("long")
+            # per-row round THEN integer sum: a floating SUM is
+            # partition-order-dependent and can flip floor(.+0.5) at
+            # exact half-cent boundaries (repo idiom, queries.py)
+            F.sum(F.floor(revenue * 100 + 0.5).cast("long"))
             .alias("revenue_cents"),
         )
         .orderBy("r_name", "o_orderpriority")
@@ -455,8 +459,8 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ORDERS_ROLLUP = """
 SELECT r.r_name, o.o_orderpriority,
   COUNT(*) AS n_lines,
-  CAST(floor(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
-       AS BIGINT) AS revenue_cents
+  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+       AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey

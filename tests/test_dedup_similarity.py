@@ -370,3 +370,21 @@ def test_bpe_token_count(spark):
     got = df.select(bpe_token_count(F.col("t")).alias("n")).collect()[0]["n"]
     # Hello| world|,| it|'|s| 42| degrees|! → 9 pretokens
     assert got == 9
+
+
+def test_train_centroids_small_corpus_keeps_everything(spark):
+    """frac=1.0 must accept (virtually) every row — the 2^62 threshold
+    bug silently dropped ~half the corpus; with 2^63 a corpus smaller
+    than sample_size yields a full sample and k valid centroids."""
+    import numpy as np
+    from icdar_2019_rrc_sroie_spark.operators.similarity import (
+        train_centroids,
+    )
+
+    rng = np.random.RandomState(13)
+    rows = [(i, list(map(float, rng.standard_normal(4))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_centroids(df, k=4, iters=2, sample_size=100)
+    assert len(cents) == 4
+    assert all(len(c) == 4 for c in cents)

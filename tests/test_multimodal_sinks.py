@@ -282,3 +282,47 @@ def test_raster_ops_vs_naive_reference(spark):
     assert out["edge_mean"] == pytest.approx(want.mean())
     fg = gray > out["otsu_t"]
     assert out["fg_frac"] == pytest.approx(fg.mean())
+
+
+def test_decode_payload_malformed_magic_falls_back(spark):
+    """A payload that merely starts with 'BM'/'RIFF…WAVE' but fails to
+    parse must fall through to the stub, not crash the kernel."""
+    import numpy as np
+
+    from icdar_2019_rrc_sroie_spark.operators.multimodal import (
+        _fake_decode,
+        decode_payload,
+    )
+
+    for bad in (b"BMxx", b"BM" + b"\x00" * 30,
+                b"RIFF\x00\x00\x00\x00WAVExx"):
+        got = decode_payload(bad, 8, 8, 1)
+        assert np.array_equal(got, _fake_decode(bad, 8, 8, 1))
+
+
+def test_channel_stats_handles_audio_rows(spark):
+    """channel_stats on a 2-D WAV decode (samples, channels) — per-
+    channel stats over the flattened last axis, no IndexError."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from icdar_2019_rrc_sroie_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        channel_stats,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(2)
+    audio = rng.randint(-32768, 32767, (64, 2)).astype(np.int16)
+    rows = [{"media_id": "a0", "kind": "audio",
+             "payload": encode_wav(audio, 8000),
+             "meta": {"width": None, "height": None, "channels": 2,
+                      "sample_rate": 8000, "n_frames": None}}]
+    media = spark.createDataFrame(pd.DataFrame(rows), MEDIA_SCHEMA)
+    out = {r["channel"]: r for r in channel_stats(media).collect()}
+    u8 = ((audio.astype(np.int32) + 32768) // 256).astype(np.float64)
+    for ch in (0, 1):
+        assert out[ch]["n_pixels"] == 64
+        assert out[ch]["mean"] == pytest.approx(u8[:, ch].mean())
+        assert out[ch]["std"] == pytest.approx(u8[:, ch].std())

@@ -92,6 +92,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
                 print("  duck :", b.loc[i].to_dict())
         else:
             print(f"PASS {name} ({len(a)} rows)")
+        # operators persist index tables (LSH bands, simhash words,
+        # LSH buckets) with no unpersist hook; bound harness memory
+        # across the 60+ query battery
+        spark.catalog.clearCache()
     print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
     return 1 if failures else 0
 
