@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .indexes import track_persist
+
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a narrow input before a CPU-heavy projection.
@@ -139,7 +141,7 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
     bands table is the (small) index you would materialize anyway.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
-    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band).persist()
+    bands = track_persist(lsh_bands(sigs, id_col, num_hashes, rows_per_band))
     left = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -328,7 +330,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("bucket_sz") <= max_bucket_size)
             .drop("bucket_sz")
         )
-    exploded = exploded.persist()
+    exploded = track_persist(exploded)
     left = exploded.select(F.col(id_col).alias("id_a"),
                            F.col("simhash").alias("sig_a"),
                            "word_idx", "word")

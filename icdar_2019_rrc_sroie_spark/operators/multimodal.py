@@ -20,6 +20,7 @@ executor-side Arrow batches.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -269,12 +270,20 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                     continue
                 payload = bytes(row.payload)
                 if payload[:2] == b"BM":  # real path
-                    frames = split_bmp_stream(payload)
-                    for idx in range(0, len(frames), every_n):
-                        out.append({"media_id": row.media_id,
-                                    "frame_idx": idx,
-                                    "frame": frames[idx]})
-                    continue
+                    # a BM-prefixed but malformed stream falls through to
+                    # the stub slicing below (same policy as
+                    # decode_payload: one corrupt row must not fail the
+                    # whole Arrow stage)
+                    try:
+                        frames = split_bmp_stream(payload)
+                    except (ValueError, struct.error):
+                        frames = None
+                    if frames is not None:
+                        for idx in range(0, len(frames), every_n):
+                            out.append({"media_id": row.media_id,
+                                        "frame_idx": idx,
+                                        "frame": frames[idx]})
+                        continue
                 n_frames = int(row.meta["n_frames"] or 0)  # stub path
                 for idx in range(0, n_frames, every_n):
                     lo = idx % max(len(payload) - 4, 1)

@@ -6,11 +6,16 @@ same visual row (|Δy| ≤ 14) order by x, otherwise by y
 is not transitive, so it has no exact relational equivalent; the engine
 offers:
 
-* ``reading_order`` — the scale path: tolerance-bucketed
-  ``(floor(y/14), x)`` window ordering, pure Catalyst;
-* ``reading_order_exact`` — per-doc ``applyInPandas`` running the exact
-  comparator via a stable insertion-order sort (Python ``sorted`` with
-  ``cmp_to_key``), for parity testing on small groups.
+* ``reading_order`` — DEFAULT (since round 2): the EXACT reference
+  comparator via the per-doc Arrow kernel (``reading_order_exact``).
+  Documents are layout-bounded, so the kernel scales like the window;
+  callers that want the pure-Catalyst approximation pass
+  ``exact=False``.
+* ``reading_order_bucketed`` — tolerance-bucketed ``(floor(y/14), x)``
+  window ordering, pure Catalyst; identical except for boxes straddling
+  a bucket edge within the tolerance.
+* ``reading_order_exact`` — the per-doc ``applyInPandas`` kernel
+  (stable ``sorted`` with ``cmp_to_key``), callable directly.
 
 Turn-order restore (W2) is a plain window over ``turn_idx``.
 """

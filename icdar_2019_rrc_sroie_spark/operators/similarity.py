@@ -15,6 +15,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .indexes import track_persist
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -243,12 +245,26 @@ def cosine_topk_arrow(df: DataFrame, query: list[float], k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def scaled_n_bits(n_rows: int, floor_bits: int = 8,
+                  target_bucket_rows: int = 1024) -> int:
+    """Hyperplane count that grows with the corpus so the *expected*
+    bucket size stays ~constant: 2^n_bits ≈ n / target_bucket_rows.
+    At 10^9 vectors this gives ~20 bits (1M buckets); small corpora
+    keep the floor."""
+    import math
+
+    need = math.ceil(math.log2(max(n_rows, 2) / target_bucket_rows))
+    return max(floor_bits, need)
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
-                        n_bits: int = 8, seed: int = 7,
+                        n_bits: int | None = None, seed: int = 7,
                         multiprobe: int = 1,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        dim: int | None = None) -> DataFrame:
+                        dim: int | None = None,
+                        max_bucket_size: int | None = 200,
+                        log_candidates: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold) via sign-LSH bucketing — the embedding-space member of
     the dedup family.
@@ -261,15 +277,42 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     with multiprobe at linear candidate cost). Exact cosine verifies
     every candidate. Recall is probabilistic (standard sign-LSH);
     brute-force parity is pinned by tests on planted duplicates.
+
+    Scale parameterization (mirrors ``simhash_near_dups``):
+
+    * ``n_bits=None`` (default) scales the bucket key space with the
+      corpus — ``2^n_bits ≈ n/1024`` with a floor of 8 bits — so the
+      per-bucket candidate count stays ~constant instead of Θ(n²/256).
+      Pass an explicit ``n_bits`` for oracle determinism.
+    * ``max_bucket_size`` drops rows in full-signature buckets larger
+      than the cap before the self-join (bounded recall loss for a
+      hard fan-out bound). Because every masked bucket is the union of
+      exactly two full buckets, capping full buckets also bounds each
+      multiprobe join key at ``2*max_bucket_size`` rows.
+    * ``log_candidates=True`` counts the deduped candidate set (one
+      extra action over the persisted index) and logs it — the
+      monitoring hook for skew triage on a real corpus.
     """
     if dim is None:
         first = df.select(vec_col).first()
         dim = len(first[0])
+    if n_bits is None:
+        n_bits = scaled_n_bits(df.count())
     planes = random_hyperplanes(dim, n_bits, seed)
     bucketed = df.select(
         F.col(id_col), F.col(vec_col),
         sign_bucket_expr(F.col(vec_col), planes).alias("bucket"),
-    ).persist()
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        sz = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+        bucketed = (
+            bucketed.withColumn("_sz", sz)
+            .filter(F.col("_sz") <= max_bucket_size)
+            .drop("_sz")
+        )
+    bucketed = track_persist(bucketed)
 
     def pair_join(left, right, key):
         return (
@@ -291,9 +334,15 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
             cands = cands.unionByName(
                 pair_join(lm.drop("bucket"), rm.drop("bucket"), ["mb"])
                 .select("id_a", "id_b", "va", "vb"))
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    if log_candidates:
+        import logging
+
+        n_cands = cands.count()
+        logging.getLogger(__name__).info(
+            "embedding_near_dups: n_bits=%d candidates=%d", n_bits, n_cands)
     cos = cosine_expr(F.col("va"), F.col("vb"))
     return (
-        cands.dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", cos.alias("cosine"))
+        cands.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

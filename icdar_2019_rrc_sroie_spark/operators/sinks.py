@@ -96,9 +96,19 @@ def package_submission_zip(df: DataFrame, zip_path: str,
     from zipfile import ZIP_DEFLATED, ZipFile
 
     n = 0
+    seen: set[str] = set()
     with ZipFile(zip_path, "w", ZIP_DEFLATED) as zf:
         for row in df.select(name_col, payload_col).toLocalIterator():
-            zf.writestr(f"{row[name_col]}.{ext}", row[payload_col] or "")
+            name = f"{row[name_col]}.{ext}"
+            # duplicate entry names would silently shadow each other in
+            # the archive (the contest server sees an ambiguous zip) —
+            # fail loudly instead
+            if name in seen:
+                raise ValueError(
+                    f"duplicate submission key {row[name_col]!r}: zip "
+                    f"entry {name} already written")
+            seen.add(name)
+            zf.writestr(name, row[payload_col] or "")
             n += 1
     return n
 

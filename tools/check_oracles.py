@@ -54,6 +54,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
     for name, fn in qs.items():
         if only and only not in name:
             continue
+        # operators persist index tables (LSH bands, simhash words,
+        # LSH buckets) with no unpersist hook; release at the TOP of
+        # each iteration so rows-only and failed queries (which
+        # `continue` before the end of the loop body) don't leak
+        # cache across the 60+ query battery
+        spark.catalog.clearCache()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -92,10 +98,6 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
                 print("  duck :", b.loc[i].to_dict())
         else:
             print(f"PASS {name} ({len(a)} rows)")
-        # operators persist index tables (LSH bands, simhash words,
-        # LSH buckets) with no unpersist hook; bound harness memory
-        # across the 60+ query battery
-        spark.catalog.clearCache()
     print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
     return 1 if failures else 0
 
