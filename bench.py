@@ -23,15 +23,18 @@ from icdar_2019_rrc_sroie_spark.session import get_spark  # noqa: E402
 
 # Keep this tuple append-only so BENCH_r{N} diffs stay mechanical.
 # "reading_order" switched to the exact per-doc kernel in round 2
-# (the bucketed window is benched separately).
+# (the bucketed window is benched separately). Round-3 registry merges
+# renamed two entries: date_extract -> date_total_extract (+ the total
+# regex) and token_stats -> doc_text_profile (+ BPE count +
+# fingerprint) — both strictly supersets of the old work.
 BENCH_QUERIES = (
-    "date_extract",
+    "date_total_extract",
     "reading_order",
     "runs_islands",
     "topk_per_group",
     "mean_std",
     "join_intersection",
-    "token_stats",
+    "doc_text_profile",
     "dedup_exact",
     "minhash_candidates",
     "jaccard_pairs",

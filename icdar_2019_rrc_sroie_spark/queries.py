@@ -35,11 +35,14 @@ def _micro(col):
 _MONTHS_SQL = "['JAN','FEB','MAR','APR','MAY','JUN','JUL','AUG','SEP','OCT','NOV','DEC']"
 
 # ---------------------------------------------------------------------------
-# X1 date extraction over synthesized receipt lines (3 formats, keyed by id)
+# X1+X2 date + total extraction over synthesized receipt lines
+# (merged into one driver row in round 3 — the CORRECTNESS gate checks
+# queries()[:50], so small single-operator queries pair up; the per-
+# operator coverage mapping lives in COVERAGE.md §2)
 # ---------------------------------------------------------------------------
 
 
-def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_date_total_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     day = F.col("doc_id") % 28 + 1
     month = F.col("doc_id") % 12 + 1
@@ -62,10 +65,24 @@ def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_1 = F.regexp_extract(line, DATE_PATTERN_1, 0)
     m_2 = F.regexp_extract(line, DATE_PATTERN_2, 0)
     date = F.trim(F.when(m_1 != "", m_1).otherwise(m_2))
-    return docs.select(F.col("doc_id"), date.alias("date")).orderBy("doc_id")
+    # X2 total extraction over a second synthesized amount line
+    whole = F.col("doc_id") % 300 + 1
+    cents = F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")
+    amount = F.concat(whole.cast("string"), F.lit("."), cents)
+    tstyle = F.col("doc_id") % 4
+    tline = (
+        F.when(tstyle == 0, F.concat(F.lit("TOTAL RM"), amount))
+        .when(tstyle == 1, F.concat(F.lit("AMOUNT DUE "), amount))
+        .when(tstyle == 2, F.concat(F.lit("- "), amount))
+        .otherwise(F.concat(F.lit("$"), amount, F.lit(" NETT")))
+    )
+    total = F.trim(F.regexp_extract(F.trim(tline), TOTAL_PATTERN, 0))
+    return docs.select(
+        F.col("doc_id"), date.alias("date"), total.alias("total")
+    ).orderBy("doc_id")
 
 
-SQL_DATE_EXTRACT = rf"""
+SQL_DATE_TOTAL_EXTRACT = rf"""
 WITH src AS (
   SELECT doc_id,
          doc_id % 28 + 1 AS day, doc_id % 12 + 1 AS month,
@@ -79,48 +96,22 @@ WITH src AS (
          ELSE lpad(CAST(day AS VARCHAR),2,'0') || ' ' || {_MONTHS_SQL}[month] || ' ' || lpad(CAST(year % 100 AS VARCHAR),2,'0')
     END || ' POS 3' AS line
   FROM src
-)
-SELECT doc_id,
-  trim(CASE WHEN regexp_extract(line, '{DATE_PATTERN_1}', 0) <> ''
-            THEN regexp_extract(line, '{DATE_PATTERN_1}', 0)
-            ELSE regexp_extract(line, '{DATE_PATTERN_2}', 0) END) AS date
-FROM built ORDER BY doc_id
-"""
-
-# ---------------------------------------------------------------------------
-# X2 total extraction (TOTAL_PATTERN) over synthesized amount lines
-# ---------------------------------------------------------------------------
-
-
-def q_total_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    whole = F.col("doc_id") % 300 + 1
-    cents = F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")
-    amount = F.concat(whole.cast("string"), F.lit("."), cents)
-    style = F.col("doc_id") % 4
-    line = (
-        F.when(style == 0, F.concat(F.lit("TOTAL RM"), amount))
-        .when(style == 1, F.concat(F.lit("AMOUNT DUE "), amount))
-        .when(style == 2, F.concat(F.lit("- "), amount))
-        .otherwise(F.concat(F.lit("$"), amount, F.lit(" NETT")))
-    )
-    total = F.trim(F.regexp_extract(F.trim(line), TOTAL_PATTERN, 0))
-    return docs.select("doc_id", total.alias("total")).orderBy("doc_id")
-
-
-SQL_TOTAL_EXTRACT = rf"""
-WITH built AS (
+), tbuilt AS (
   SELECT doc_id,
     CASE doc_id % 4
       WHEN 0 THEN 'TOTAL RM' || (doc_id % 300 + 1) || '.' || lpad(CAST(doc_id % 100 AS VARCHAR),2,'0')
       WHEN 1 THEN 'AMOUNT DUE ' || (doc_id % 300 + 1) || '.' || lpad(CAST(doc_id % 100 AS VARCHAR),2,'0')
       WHEN 2 THEN '- ' || (doc_id % 300 + 1) || '.' || lpad(CAST(doc_id % 100 AS VARCHAR),2,'0')
       ELSE '$' || (doc_id % 300 + 1) || '.' || lpad(CAST(doc_id % 100 AS VARCHAR),2,'0') || ' NETT'
-    END AS line
+    END AS tline
   FROM documents
 )
-SELECT doc_id, trim(regexp_extract(trim(line), '{TOTAL_PATTERN}', 0)) AS total
-FROM built ORDER BY doc_id
+SELECT b.doc_id,
+  trim(CASE WHEN regexp_extract(b.line, '{DATE_PATTERN_1}', 0) <> ''
+            THEN regexp_extract(b.line, '{DATE_PATTERN_1}', 0)
+            ELSE regexp_extract(b.line, '{DATE_PATTERN_2}', 0) END) AS date,
+  trim(regexp_extract(trim(t.tline), '{TOTAL_PATTERN}', 0)) AS total
+FROM built b JOIN tbuilt t ON b.doc_id = t.doc_id ORDER BY b.doc_id
 """
 
 # ---------------------------------------------------------------------------
@@ -364,26 +355,34 @@ ORDER BY o_orderkey
 """
 
 # ---------------------------------------------------------------------------
-# Text analysis: token counting + quality scoring (training-data ops)
+# Text analysis (merged driver rows, round 3 — see COVERAGE.md §2):
+#   doc_text_profile  = token stats/TTR + BPE-ish token count (dedup
+#                       family pretokenizer) + md5 fingerprint
+#   text_quality_lang = quality scoring + language-ID heuristic
 # ---------------------------------------------------------------------------
 
 
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import bpe_token_count
+
     docs = _t(spark, sf_dir, "documents")
     tokens = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(tokens).cast("long")
     n_uniq = F.size(F.array_distinct(tokens)).cast("long")
     n_chars = F.length("text").cast("long")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_uniq.alias("n_uniq"),
         n_chars.alias("n_chars_actual"),
         _micro(n_uniq / n_tokens).alias("ttr_micro"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        F.md5(normalized).alias("fingerprint"),
     ).orderBy("doc_id")
 
 
-SQL_TOKEN_STATS = r"""
+SQL_DOC_TEXT_PROFILE = r"""
 WITH toks AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS tokens
   FROM documents
@@ -392,12 +391,15 @@ SELECT doc_id,
   CAST(len(tokens) AS BIGINT) AS n_tokens,
   CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq,
   CAST(length(text) AS BIGINT) AS n_chars_actual,
-  CAST(floor(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) * 1e6 + 0.5) AS BIGINT) AS ttr_micro
+  CAST(floor(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) * 1e6 + 0.5) AS BIGINT) AS ttr_micro,
+  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+    AS BIGINT) AS n_bpe_tokens,
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
 FROM toks ORDER BY doc_id
 """
 
 
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     text = F.col("text")
     n_chars = F.length(text)
@@ -412,24 +414,29 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (stop_hits / n_tokens >= 0.05)
         & (mean_tok_len >= 2.0)
     ).cast("int")
+    en_hits = F.size(F.filter(tokens, lambda t: t.isin("the", "a", "of", "and")))
+    pred = F.when(en_hits / n_tokens >= 0.02, F.lit("en")).otherwise(F.lit("other"))
+    agree = (pred == F.col("lang")).cast("int")
     return docs.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         stop_hits.cast("long").alias("stop_hits"),
         _micro(stop_hits / n_tokens).alias("stop_ratio_micro"),
         quality.alias("is_quality"),
+        F.col("lang"), pred.alias("pred_lang"), agree.alias("agree"),
     ).orderBy("doc_id")
 
 
-SQL_QUALITY_SCORE = r"""
+SQL_TEXT_QUALITY_LANG = r"""
 WITH toks AS (
-  SELECT doc_id, n_chars, length(text) AS len_chars,
+  SELECT doc_id, lang, n_chars, length(text) AS len_chars,
          regexp_split_to_array(trim(text), '\s+') AS tokens
   FROM documents
 ), feat AS (
-  SELECT doc_id, n_chars, len_chars,
+  SELECT doc_id, lang, n_chars, len_chars,
          len(tokens) AS n_tokens,
-         len(list_filter(tokens, t -> t IN ('the','a','of','and','is'))) AS stop_hits
+         len(list_filter(tokens, t -> t IN ('the','a','of','and','is'))) AS stop_hits,
+         len(list_filter(tokens, t -> t IN ('the','a','of','and'))) AS en_hits
   FROM toks
 )
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -438,36 +445,8 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(CASE WHEN n_chars >= 100
              AND CAST(stop_hits AS DOUBLE)/n_tokens >= 0.05
              AND CAST(len_chars - n_tokens + 1 AS DOUBLE)/n_tokens >= 2.0
-        THEN 1 ELSE 0 END AS INT) AS is_quality
-FROM feat ORDER BY doc_id
-"""
-
-# ---------------------------------------------------------------------------
-# Language-ID heuristic (n-gram/stopword evidence)
-# ---------------------------------------------------------------------------
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    tokens = F.split(F.trim(F.col("text")), r"\s+")
-    en_hits = F.size(F.filter(tokens, lambda t: t.isin("the", "a", "of", "and")))
-    n_tokens = F.size(tokens)
-    pred = F.when(en_hits / n_tokens >= 0.02, F.lit("en")).otherwise(F.lit("other"))
-    agree = (pred == F.col("lang")).cast("int")
-    return docs.select(
-        "doc_id", "lang", pred.alias("pred_lang"), agree.alias("agree")
-    ).orderBy("doc_id")
-
-
-SQL_LANG_ID = r"""
-WITH feat AS (
-  SELECT doc_id, lang,
-    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        t -> t IN ('the','a','of','and'))) AS en_hits,
-    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
-  FROM documents
-)
-SELECT doc_id, lang,
+        THEN 1 ELSE 0 END AS INT) AS is_quality,
+  lang,
   CASE WHEN CAST(en_hits AS DOUBLE)/n_tokens >= 0.02 THEN 'en' ELSE 'other' END AS pred_lang,
   CAST(CASE WHEN (CASE WHEN CAST(en_hits AS DOUBLE)/n_tokens >= 0.02 THEN 'en' ELSE 'other' END) = lang
         THEN 1 ELSE 0 END AS INT) AS agree
@@ -475,22 +454,9 @@ FROM feat ORDER BY doc_id
 """
 
 # ---------------------------------------------------------------------------
-# Document fingerprinting + exact dedup
+# Exact dedup (fingerprint groupBy; the per-doc fingerprint itself is
+# attested inside doc_text_profile)
 # ---------------------------------------------------------------------------
-
-
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    return docs.select(
-        "doc_id", F.md5(normalized).alias("fingerprint")
-    ).orderBy("doc_id")
-
-
-SQL_FINGERPRINT = r"""
-SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-FROM documents ORDER BY doc_id
-"""
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,8 +493,7 @@ FROM unioned GROUP BY fp ORDER BY keep_doc_id
 # ---------------------------------------------------------------------------
 
 SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "date_extract": (q_date_extract, SQL_DATE_EXTRACT),
-    "total_extract": (q_total_extract, SQL_TOTAL_EXTRACT),
+    "date_total_extract": (q_date_total_extract, SQL_DATE_TOTAL_EXTRACT),
     "reading_order": (q_reading_order, None),
     "reading_order_bucketed": (q_reading_order_bucketed, SQL_READING_ORDER),
     "runs_islands": (q_runs_islands, SQL_RUNS_ISLANDS),
@@ -537,10 +502,8 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "class_weights": (q_class_weights, SQL_CLASS_WEIGHTS),
     "join_intersection": (q_join_intersection, SQL_JOIN_INTERSECTION),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
-    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "doc_text_profile": (q_doc_text_profile, SQL_DOC_TEXT_PROFILE),
+    "text_quality_lang": (q_text_quality_lang, SQL_TEXT_QUALITY_LANG),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
 }
 
@@ -566,7 +529,17 @@ def _all_batches() -> dict:
     from .queries_rules import q_extraction_f1, q_raster_stats
     merged["extraction_f1"] = (q_extraction_f1, None)
     merged["raster_stats"] = (q_raster_stats, None)
-    return merged
+    # The driver's CORRECTNESS gate checks exactly queries()[:50] in
+    # registry order — every oracle-backed query must sit inside that
+    # window, rows-only entries go after it. Small single-operator
+    # queries were merged (round 3) until the oracled set fits;
+    # tests/test_registry.py pins both invariants.
+    oracled = {n: v for n, v in merged.items() if v[1] is not None}
+    rows_only = {n: v for n, v in merged.items() if v[1] is None}
+    assert len(oracled) <= 50, (
+        f"{len(oracled)} oracle-backed queries won't fit the driver's "
+        "50-entry correctness window; merge queries, don't spill")
+    return {**oracled, **rows_only}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

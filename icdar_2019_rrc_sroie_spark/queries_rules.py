@@ -39,16 +39,33 @@ _FALLBACK_CASES = [
 ]
 
 
-def q_company_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_entity_fallbacks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 first-two-lines company fallback + X6 rounding adjustment,
+    merged into one driver row (round 3): per doc, a synthesized
+    two-line header drives the company fallback and a synthesized
+    receipt tail (with/without a ROUNDING note) drives the total
+    fallback."""
     docs = _t(spark, sf_dir, "documents")
     n = len(_FALLBACK_CASES)
     l0 = F.element_at(F.array(*[F.lit(a) for a, _ in _FALLBACK_CASES]),
                       (F.col("doc_id") % n + 1).cast("int"))
     l1 = F.element_at(F.array(*[F.lit(b) for _, b in _FALLBACK_CASES]),
                       (F.col("doc_id") % n + 1).cast("int"))
+    cents = (F.col("doc_id") % 5000 + 100)
+    amt = F.concat((cents / 100).cast("long").cast("string"), F.lit("."),
+                   F.lpad((cents % 100).cast("string"), 2, "0"))
+    noisy = F.col("doc_id") % 2 == 0
+    tail = F.array(
+        F.lit("SOME STORE"),
+        F.lit("TOTAL DUE"),
+        F.concat(F.lit("AMOUNT "), amt),
+        F.when(noisy, F.lit("ROUNDING ADJ 0.05")).otherwise(F.lit("CASH")),
+    )
     return docs.select(
         "doc_id", l0.alias("line0"), l1.alias("line1"),
         company_fallback_expr(F.array(l0, l1)).alias("company"),
+        amt.alias("amt"), noisy.alias("noisy"),
+        total_fallback_expr(tail).alias("total"),
     ).orderBy("doc_id")
 
 
@@ -74,11 +91,14 @@ def _fallback_value_sql(col: str) -> str:
             f"ELSE {_clean_sql(col)} END")
 
 
-SQL_COMPANY_FALLBACK = f"""
+SQL_ENTITY_FALLBACKS = f"""
 WITH src AS (
   SELECT doc_id,
     ({_cases_sql([a for a, _ in _FALLBACK_CASES])})[CAST(doc_id % {len(_FALLBACK_CASES)} + 1 AS INT)] AS line0,
-    ({_cases_sql([b for _, b in _FALLBACK_CASES])})[CAST(doc_id % {len(_FALLBACK_CASES)} + 1 AS INT)] AS line1
+    ({_cases_sql([b for _, b in _FALLBACK_CASES])})[CAST(doc_id % {len(_FALLBACK_CASES)} + 1 AS INT)] AS line1,
+    CAST((doc_id % 5000 + 100) // 100 AS VARCHAR) || '.' ||
+      lpad(CAST((doc_id % 5000 + 100) % 100 AS VARCHAR), 2, '0') AS amt,
+    doc_id % 2 = 0 AS noisy
   FROM documents
 ), ok AS (
   SELECT *,
@@ -91,90 +111,31 @@ WITH src AS (
 SELECT doc_id, line0, line1,
   CASE WHEN ok0 THEN {_fallback_value_sql('line0')}
        WHEN ok1 THEN {_fallback_value_sql('line1')}
-       ELSE '' END AS company
+       ELSE '' END AS company,
+  amt, noisy,
+  CASE WHEN noisy
+       THEN CAST(CAST(amt AS DOUBLE) + 0.05 AS VARCHAR)
+       ELSE amt END AS total
 FROM ok ORDER BY doc_id
 """
 
 # --------------------------------------------------------------------------
-# X6 rounding adjustment inside the total fallback
-# (entity_matching.py:230-244)
-# --------------------------------------------------------------------------
-
-
-def q_rounding_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two layouts per doc: with and without a ROUNDING note; the
-    fallback must add the rounding value when the accepted total has
-    no 'RM' prefix."""
-    docs = _t(spark, sf_dir, "documents")
-    cents = (F.col("doc_id") % 5000 + 100)
-    amt = F.concat((cents / 100).cast("long").cast("string"), F.lit("."),
-                   F.lpad((cents % 100).cast("string"), 2, "0"))
-    noisy = F.col("doc_id") % 2 == 0
-    lines = F.array(
-        F.lit("SOME STORE"),
-        F.lit("TOTAL DUE"),
-        F.concat(F.lit("AMOUNT "), amt),
-        F.when(noisy, F.lit("ROUNDING ADJ 0.05")).otherwise(F.lit("CASH")),
-    )
-    return docs.select(
-        "doc_id",
-        amt.alias("amt"),
-        noisy.alias("noisy"),
-        total_fallback_expr(lines).alias("total"),
-    ).orderBy("doc_id")
-
-
-SQL_ROUNDING_TOTAL = """
-WITH src AS (
-  SELECT doc_id,
-    CAST((doc_id % 5000 + 100) // 100 AS VARCHAR) || '.' ||
-      lpad(CAST((doc_id % 5000 + 100) % 100 AS VARCHAR), 2, '0') AS amt,
-    doc_id % 2 = 0 AS noisy
-  FROM documents
-)
-SELECT doc_id, amt, noisy,
-  CASE WHEN noisy
-       THEN CAST(CAST(amt AS DOUBLE) + 0.05 AS VARCHAR)
-       ELSE amt END AS total
-FROM src ORDER BY doc_id
-"""
-
-# --------------------------------------------------------------------------
-# X8 is_number
+# X8 is_number + X12 clockwise ordering + X15 shift (merged, round 3)
 # --------------------------------------------------------------------------
 
 _NUMBER_CASES = ["12345", "12.34", "", "00", "1A2", " 42", "999999999", "-1"]
 
 
-def q_is_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_rule_kernels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 is_number over cycled string cases, plus X12/X15: build a
+    quad with distinct corner coords, present its corners in a
+    doc-dependent rotation, order clockwise, then shift by (dx, dy);
+    emit the flattened coords. One driver row for three scalar
+    kernels (round-3 merge)."""
     docs = _t(spark, sf_dir, "documents")
-    n = len(_NUMBER_CASES)
+    nc = len(_NUMBER_CASES)
     t = F.element_at(F.array(*[F.lit(c) for c in _NUMBER_CASES]),
-                     (F.col("doc_id") % n + 1).cast("int"))
-    return docs.select(
-        "doc_id", t.alias("t"), is_number_expr(t).alias("is_num"),
-    ).orderBy("doc_id")
-
-
-SQL_IS_NUMBER = f"""
-SELECT doc_id, t, NOT regexp_matches(t, '[^0-9]') AS is_num
-FROM (
-  SELECT doc_id,
-    ({_cases_sql(_NUMBER_CASES)})[CAST(doc_id % {len(_NUMBER_CASES)} + 1 AS INT)] AS t
-  FROM documents
-) ORDER BY doc_id
-"""
-
-# --------------------------------------------------------------------------
-# X12 order_point_clockwise + X15 shift over synthesized quads
-# --------------------------------------------------------------------------
-
-
-def q_clockwise_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build a quad with distinct corner coords, present its corners in
-    a doc-dependent rotation, order clockwise (X12), then shift by
-    (dx, dy) (X15); emit the flattened coords."""
-    docs = _t(spark, sf_dir, "documents")
+                     (F.col("doc_id") % nc + 1).cast("int"))
     x0 = (F.col("doc_id") % 50) * 10.0
     y0 = (F.col("doc_id") % 30) * 10.0
     tl = F.struct(x0.alias("x"), y0.alias("y"))
@@ -196,6 +157,7 @@ def q_clockwise_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted = F.element_at(shift_boxes(F.array(box), dx, dy), 1)
     return docs.select(
         "doc_id",
+        t.alias("t"), is_number_expr(t).alias("is_num"),
         *[ordered[i][c].cast("long").alias(f"p{i}{c}")
           for i in range(4) for c in ("x", "y")],
         shifted["xmin"].cast("long").alias("sxmin"),
@@ -205,14 +167,16 @@ def q_clockwise_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-SQL_CLOCKWISE_SHIFT = """
+SQL_RULE_KERNELS = f"""
 WITH src AS (
   SELECT doc_id,
+    ({_cases_sql(_NUMBER_CASES)})[CAST(doc_id % {len(_NUMBER_CASES)} + 1 AS INT)] AS t,
     (doc_id % 50) * 10.0 AS x0, (doc_id % 30) * 10.0 AS y0,
     CAST(doc_id % 7 AS DOUBLE) AS dx, CAST(doc_id % 11 AS DOUBLE) AS dy
   FROM documents
 )
 SELECT doc_id,
+  t, NOT regexp_matches(t, '[^0-9]') AS is_num,
   CAST(x0 AS BIGINT) AS p0x, CAST(y0 AS BIGINT) AS p0y,
   CAST(x0 + 80 AS BIGINT) AS p1x, CAST(y0 + 3 AS BIGINT) AS p1y,
   CAST(x0 + 83 AS BIGINT) AS p2x, CAST(y0 + 21 AS BIGINT) AS p2y,
@@ -224,10 +188,8 @@ FROM src ORDER BY doc_id
 
 
 SQL_QUERIES_RULES = {
-    "company_fallback": (q_company_fallback, SQL_COMPANY_FALLBACK),
-    "rounding_total": (q_rounding_total, SQL_ROUNDING_TOTAL),
-    "is_number": (q_is_number, SQL_IS_NUMBER),
-    "clockwise_shift": (q_clockwise_shift, SQL_CLOCKWISE_SHIFT),
+    "entity_fallbacks": (q_entity_fallbacks, SQL_ENTITY_FALLBACKS),
+    "rule_kernels": (q_rule_kernels, SQL_RULE_KERNELS),
 }
 
 
@@ -534,28 +496,8 @@ SQL_QUERIES_RULES["winnow_fingerprints"] = (
     q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS)
 
 
-def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import BPE_TOKEN_PATTERN, bpe_token_count
-
-    docs = _t(spark, sf_dir, "documents")
-    ws = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
-    return docs.select(
-        "doc_id",
-        ws.alias("n_ws_tokens"),
-        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
-
-
-SQL_BPE_TOKENS = r"""
-SELECT doc_id,
-  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-    AS n_ws_tokens,
-  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
-    AS BIGINT) AS n_bpe_tokens
-FROM documents ORDER BY doc_id
-"""
-
-SQL_QUERIES_RULES["bpe_tokens"] = (q_bpe_tokens, SQL_BPE_TOKENS)
+# BPE-ish token counting moved into queries.py::q_doc_text_profile
+# (round-3 merge — one driver row per small scalar family).
 
 
 # --------------------------------------------------------------------------
