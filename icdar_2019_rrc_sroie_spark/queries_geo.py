@@ -494,8 +494,103 @@ FROM padded ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Detection-pipeline SQL-expressible prefix (X17 grid ⋈ X14 decode →
+# F2 clip → F1 score filter): everything before the sequential NMS
+# kernel is pure Catalyst, so it gets a full value oracle; the kernel
+# tail stays rows-only in q_detection_pipeline. Mirrors
+# plans/detection.py:detect_text_lines up to the nms_per_doc call.
+# ---------------------------------------------------------------------------
+
+
+def q_detection_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_orderkey") % 100 == 0) \
+        .select("l_orderkey").distinct()
+    anchors = anchor_grid(spark, feat_h=8, feat_w=16, heights=(11, 15, 22))
+    # deterministic engine-portable prediction synthesis: two 32-bit
+    # md5 slices drive (vc, vh, score) — xxhash64 (used by the
+    # rows-only pipeline query) has no DuckDB equivalent
+    key = F.concat(F.col("l_orderkey").cast("string"), F.lit("_"),
+                   F.col("anchor_id").cast("string"))
+    h1 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long")
+    preds = li.crossJoin(F.broadcast(anchors)).select(
+        "l_orderkey", "anchor_id",
+        ((h1 % 21 - 10) / 20.0).alias("vc"),
+        ((h2 % 13 - 6) / 10.0).alias("vh"),
+        ((h1 % 1000) / 1000.0).alias("score"),
+        "xmin", "ymin", "xmax", "ymax",
+    )
+    d_ymin, d_ymax = decode_box(
+        F.col("vc"), F.col("vh"), F.col("ymin"), F.col("ymax"))
+    img_w, img_h = 256.0, 128.0
+    out = preds.select(
+        "l_orderkey", "anchor_id",
+        clip_expr(F.col("xmin"), F.lit(img_w)).alias("cxmin"),
+        clip_expr(d_ymin, F.lit(img_h)).alias("cymin"),
+        clip_expr(F.col("xmax"), F.lit(img_w)).alias("cxmax"),
+        clip_expr(d_ymax, F.lit(img_h)).alias("cymax"),
+        "score",
+    ).filter(F.col("score") > 0.7)
+    return out.select(
+        "l_orderkey", "anchor_id",
+        _micro(F.col("cxmin")).alias("xmin_micro"),
+        _micro(F.col("cymin")).alias("ymin_micro"),
+        _micro(F.col("cxmax")).alias("xmax_micro"),
+        _micro(F.col("cymax")).alias("ymax_micro"),
+        _micro(F.col("score")).alias("score_micro"),
+    ).orderBy("l_orderkey", "anchor_id")
+
+
+SQL_DETECTION_PREFIX = """
+WITH hs(hi, h) AS (VALUES (0,11.0),(1,15.0),(2,22.0)),
+grid AS (
+  SELECT (fy*16 + fx)*3 + hi AS anchor_id,
+         fx*16 + 7.5 - 8.0 AS xmin, fy*16 + 7.5 - h/2 AS ymin,
+         fx*16 + 7.5 + 8.0 AS xmax, fy*16 + 7.5 + h/2 AS ymax
+  FROM generate_series(0,7) g1(fy)
+  CROSS JOIN generate_series(0,15) g2(fx) CROSS JOIN hs
+), keys AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 100 = 0
+), preds AS (
+  SELECT l_orderkey, anchor_id, xmin, ymin, xmax, ymax,
+    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+         CAST(anchor_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+         CAST(anchor_id AS VARCHAR)), 9, 8) AS BIGINT) AS h2
+  FROM keys CROSS JOIN grid
+), decoded AS (
+  SELECT l_orderkey, anchor_id,
+    (h1 % 1000) / 1000.0 AS score,
+    xmin, xmax,
+    ((h1 % 21 - 10) / 20.0) * (ymax - ymin + 1.0)
+      + (ymin + ymax) / 2.0 AS vcy,
+    exp((h2 % 13 - 6) / 10.0) * (ymax - ymin + 1.0) AS vhx
+  FROM preds
+), clipped AS (
+  SELECT l_orderkey, anchor_id,
+    greatest(0.0, least(xmin, 255.0)) AS cxmin,
+    greatest(0.0, least(vcy - vhx/2.0, 127.0)) AS cymin,
+    greatest(0.0, least(xmax, 255.0)) AS cxmax,
+    greatest(0.0, least(vcy + vhx/2.0, 127.0)) AS cymax,
+    score
+  FROM decoded
+)
+SELECT l_orderkey, anchor_id,
+  CAST(floor(cxmin*1e6+0.5) AS BIGINT) AS xmin_micro,
+  CAST(floor(cymin*1e6+0.5) AS BIGINT) AS ymin_micro,
+  CAST(floor(cxmax*1e6+0.5) AS BIGINT) AS xmax_micro,
+  CAST(floor(cymax*1e6+0.5) AS BIGINT) AS ymax_micro,
+  CAST(floor(score*1e6+0.5) AS BIGINT) AS score_micro
+FROM clipped WHERE score > 0.7
+ORDER BY l_orderkey, anchor_id
+"""
+
+
 SQL_QUERIES_GEO = {
     "iou_pairs": (q_iou_pairs, SQL_IOU_PAIRS),
+    "detection_prefix": (q_detection_prefix, SQL_DETECTION_PREFIX),
     "anchor_grid": (q_anchor_grid, SQL_ANCHOR_GRID),
     "box_encode_decode": (q_box_encode_decode, SQL_BOX_ENCODE_DECODE),
     "clip_split": (q_clip_split, SQL_CLIP_SPLIT),
