@@ -481,3 +481,200 @@ def raster_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(kernel, RASTER_STATS_SCHEMA)
+
+# --------------------------------------------------------------------------
+# Crop-preprocess raster kernels (X20 end-to-end composition) — semantic
+# NumPy reimplementations of the reference's scale-variation fix
+# (functional/data/preprocessing/split_labels.py:71-136 via
+# functional/data/transformation/computer_vision/transformation.py:
+# ToSobelGradient :195-219, ToMorphology :222-240, CropImage :243-281).
+# cv2 is absent in this sandbox; each kernel is pinned by pytest against
+# an independent straight-loop NumPy oracle.
+# --------------------------------------------------------------------------
+
+
+def gaussian_blur9(gray: np.ndarray) -> np.ndarray:
+    """9×9 Gaussian blur, sigma from OpenCV's ksize rule
+    (0.3*((k-1)*0.5 - 1) + 0.8 = 1.85 for k=9), separable, reflect-101
+    padding like cv2's default border."""
+    k = 9
+    sigma = 0.3 * ((k - 1) * 0.5 - 1) + 0.8
+    xs = np.arange(k, dtype=np.float64) - (k - 1) / 2
+    w = np.exp(-(xs ** 2) / (2 * sigma ** 2))
+    w /= w.sum()
+    r = k // 2
+    p = np.pad(gray.astype(np.float64), ((0, 0), (r, r)), mode="reflect")
+    h = sum(w[i] * p[:, i:i + gray.shape[1]] for i in range(k))
+    p = np.pad(h, ((r, r), (0, 0)), mode="reflect")
+    return sum(w[i] * p[i:i + gray.shape[0], :] for i in range(k))
+
+
+def sobel_subtract(gray: np.ndarray) -> np.ndarray:
+    """|gradX - gradY| saturated to [0, 255] — the reference's
+    ``convertScaleAbs(cv2.subtract(gradX, gradY))`` binarization input
+    (ToSobelGradient.apply), NOT the hypot magnitude used by
+    sobel_magnitude."""
+    p = np.pad(gray.astype(np.float64), 1, mode="reflect")
+    gx = (
+        (p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+        - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])
+    )
+    gy = (
+        (p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+        - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:])
+    )
+    return np.clip(np.abs(gx - gy), 0, 255)
+
+
+def _dilate_rect(b: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    """Binary dilation with a kh×kw rect kernel (separable: any-in-
+    window along each axis), center anchor."""
+    out = b
+    if kw > 1:
+        p = np.pad(out, ((0, 0), (kw // 2, kw - 1 - kw // 2)),
+                   mode="constant", constant_values=False)
+        out = np.logical_or.reduce(
+            [p[:, i:i + b.shape[1]] for i in range(kw)])
+    if kh > 1:
+        p = np.pad(out, ((kh // 2, kh - 1 - kh // 2), (0, 0)),
+                   mode="constant", constant_values=False)
+        out = np.logical_or.reduce(
+            [p[i:i + b.shape[0], :] for i in range(kh)])
+    return out
+
+
+def _erode_rect(b: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    """Binary erosion with a kh×kw rect kernel (all-in-window)."""
+    out = b
+    if kw > 1:
+        p = np.pad(out, ((0, 0), (kw // 2, kw - 1 - kw // 2)),
+                   mode="constant", constant_values=True)
+        out = np.logical_and.reduce(
+            [p[:, i:i + b.shape[1]] for i in range(kw)])
+    if kh > 1:
+        p = np.pad(out, ((kh // 2, kh - 1 - kh // 2), (0, 0)),
+                   mode="constant", constant_values=True)
+        out = np.logical_and.reduce(
+            [p[i:i + b.shape[0], :] for i in range(kh)])
+    return out
+
+
+def morph_close_rect(b: np.ndarray, kh: int, kw: int) -> np.ndarray:
+    """Dilate→erode with a rect structuring element (ToMorphology's
+    MORPH_CLOSE with kernel (w/40, h/18))."""
+    return _erode_rect(_dilate_rect(b, kh, kw), kh, kw)
+
+
+def largest_component_bbox(b: np.ndarray) -> tuple[int, int, int, int] | None:
+    """Bounding box (x1, y1, x2, y2; exclusive max) of the largest
+    8-connected foreground component — the axis-aligned analog of the
+    reference's largest-contour minAreaRect bounding (CropImage.apply;
+    identical for upright blobs). BFS flood fill, linear in pixels;
+    returns None on an all-background image."""
+    from collections import deque
+
+    h, w = b.shape
+    seen = np.zeros_like(b, dtype=bool)
+    best = None
+    best_size = 0
+    for sy, sx in zip(*np.nonzero(b)):
+        if seen[sy, sx]:
+            continue
+        q = deque([(int(sy), int(sx))])
+        seen[sy, sx] = True
+        size = 0
+        y1 = y2 = int(sy)
+        x1 = x2 = int(sx)
+        while q:
+            y, x = q.popleft()
+            size += 1
+            y1, y2 = min(y1, y), max(y2, y)
+            x1, x2 = min(x1, x), max(x2, x)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ny, nx = y + dy, x + dx
+                    if 0 <= ny < h and 0 <= nx < w and b[ny, nx] \
+                            and not seen[ny, nx]:
+                        seen[ny, nx] = True
+                        q.append((ny, nx))
+        if size > best_size:
+            best_size = size
+            best = (x1, y1, x2 + 1, y2 + 1)
+    return best
+
+
+def crop_bbox_for_image(arr: np.ndarray, erode_iterations: int = 6,
+                        dilate_iterations: int = 6
+                        ) -> tuple[int, int, int, int]:
+    """The full crop decision for one decoded image: gray → blur →
+    |Sobel_x − Sobel_y| → blur → Otsu binarize → rect-kernel close →
+    erode×N → dilate×N → largest component bbox, clamped to the image
+    (split_labels.py:108-126 order). Returns (x1, y1, x2, y2); falls
+    back to the full frame when morphology empties the mask."""
+    gray = to_gray(arr)
+    h, w = gray.shape
+    grad = gaussian_blur9(sobel_subtract(gaussian_blur9(gray)))
+    t = otsu_threshold(grad)
+    binary = grad > t
+    kh, kw = max(int(h / 18), 1), max(int(w / 40), 1)
+    m = morph_close_rect(binary, kh, kw)
+    for _ in range(erode_iterations):
+        m = _erode(m)
+    for _ in range(dilate_iterations):
+        m = _dilate(m)
+    box = largest_component_bbox(m)
+    if box is None:
+        return (0, 0, w, h)
+    x1, y1, x2, y2 = box
+    return (max(x1, 0), max(y1, 0), min(x2, w), min(y2, h))
+
+
+CROP_OFFSETS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("method", T.StringType(), False),
+    T.StructField("dx", T.IntegerType(), False),
+    T.StructField("dy", T.IntegerType(), False),
+    T.StructField("crop_w", T.IntegerType(), False),
+    T.StructField("crop_h", T.IntegerType(), False),
+])
+
+
+def crop_offsets(media: DataFrame, width_threshold: int = 990,
+                 erode_iterations: int = 6,
+                 dilate_iterations: int = 6) -> DataFrame:
+    """Per-image crop decision, Arrow-batched: images at or under the
+    width gate pass through untouched ('copied', offsets 0); wider
+    images run the Sobel→Otsu→morphology→largest-component pipeline
+    ('cropped') — the distributed form of the reference's build-once
+    preprocessing loop (split_labels.py:103-126). Emits the offsets
+    every downstream consumer needs: the crop itself is a cheap slice,
+    the label shift is relational (geometry.shift_boxes with
+    (-dx, -dy))."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                meta = row.meta
+                w = int(meta["width"] or 8)
+                h = int(meta["height"] or 8)
+                if w <= width_threshold:
+                    out.append({"media_id": row.media_id,
+                                "method": "copied",
+                                "dx": 0, "dy": 0,
+                                "crop_w": w, "crop_h": h})
+                    continue
+                arr = decode_payload(bytes(row.payload), w, h,
+                                     int(meta["channels"] or 1))
+                x1, y1, x2, y2 = crop_bbox_for_image(
+                    arr, erode_iterations, dilate_iterations)
+                out.append({"media_id": row.media_id,
+                            "method": "cropped",
+                            "dx": int(x1), "dy": int(y1),
+                            "crop_w": int(x2 - x1),
+                            "crop_h": int(y2 - y1)})
+            yield pd.DataFrame(
+                out, columns=["media_id", "method", "dx", "dy",
+                              "crop_w", "crop_h"])
+
+    return media.mapInPandas(kernel, CROP_OFFSETS_SCHEMA)

@@ -371,8 +371,52 @@ ORDER BY id_a, id_b
 """
 
 
+def q_raster_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20 composed end-to-end (rows-only: Sobel/Otsu/morphology have
+    no SQL form; kernels pinned vs loop oracles in
+    tests/test_crop_job.py): real BMP payloads with planted content at
+    doc-dependent offsets run the crop-preprocess decision — gray →
+    blur → |Sx−Sy| → Otsu → close → erode/dilate → largest-component
+    bbox (split_labels.py:71-136)."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import MEDIA_SCHEMA, crop_offsets
+
+    def gen(batches):
+        from .operators.multimodal import encode_bmp
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = 64, 96
+                y0, x0 = 8 + d % 12, 10 + d % 20
+                y1, x1 = y0 + 30, x0 + 48
+                arr = np.full((h, w, 3), 245, dtype=np.uint8)
+                yy, xx = np.mgrid[y0:y1, x0:x1]
+                tex = (40 + 60 * ((yy + xx) % 3)).astype(np.uint8)
+                arr[y0:y1, x0:x1, :] = tex[:, :, None]
+                out.append({
+                    "media_id": f"c{d:06d}", "kind": "image",
+                    "payload": encode_bmp(arr),
+                    "meta": {"width": w, "height": h, "channels": 3,
+                             "sample_rate": None, "n_frames": None},
+                })
+            yield pd.DataFrame(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    media = docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    # width gate 80 < 96: every image takes the crop path; erode/dilate
+    # 2 (the content block is 30px tall; the reference's 6 is sized for
+    # full receipts)
+    return crop_offsets(media, width_threshold=80, erode_iterations=2,
+                        dilate_iterations=2).orderBy("media_id")
+
+
 ROWS_ONLY_QUERIES = {
     "anchor_matching": (q_anchor_matching, SQL_ANCHOR_MATCHING),
+    "raster_crop": (q_raster_crop, None),
     "ivf_ann": (q_ivf_ann, None),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "nms": (q_nms, None),
