@@ -103,3 +103,138 @@ def classify_lines_model(lines: DataFrame, params: dict | None = None) -> DataFr
             )
 
     return lines.mapInPandas(infer, OUT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Trained path: REAL frozen weights through the same broadcast +
+# Arrow-batch seam. charlm_lite is a hashed-char-trigram + rule-feature
+# multinomial logistic regression trained offline in NumPy
+# (tools/train_charlm_lite.py regenerates it deterministically) and
+# committed as models/charlm_lite.npz — the engine analog of the
+# reference's CharLM checkpoint restore
+# (keyword_information_extraction/model/charlm/architecture.py:118-170
+# consuming functional/saving/checkpoint.py:22-63 state).
+# --------------------------------------------------------------------------
+
+NGRAM_DIM = 256
+_DENSE_PATTERNS: tuple[tuple[str, bool], ...] = (
+    # (regex, is_regex) — order defines dense feature positions; keep
+    # in lockstep between training and inference (same function).
+    (r"(?:\d{4}|\d{2}|\d)[-/.](?:\d{2}|\d)[-/.](?:\d{4}|\d{2}|\d)", True),
+    (r"(?:\d{4}|\d{2}|\d)[-/.]*\s*"
+     r"(?:JAN|FEB|MAR|APR|MAY|JUN|JUL|AUG|SEP|OCT|NOV|DEC)"
+     r"[-/.]*\s*(?:\d{4}|\d{2}|\d)", True),
+    (r"(?:\d{3}|\d{2}|\d|\d\,\d{3})\.(?:\d{2}|\d)", True),
+    (r"TOTAL|AMOUNT|DUE|AMT|ROUND|RND|RM|GST", True),
+    (r"JALAN|JLN|LRG|LOT |NO ?\.? ?\d", True),
+    (",", False),
+    (r"\d{5}", True),
+    (r"SELANGOR|JOHOR|MELAKA|PULAU|PERAK|KEDAH|KUALA", True),
+    (r"FLR|FLOOR|MALL|PLAZA|LEVEL", True),
+    (r"SDN|BHD|ENTERPRISE|TRADING|MART", True),
+    (r"^DATE", True),
+    (r"^\d+$", True),
+)
+# + digit frac + length + first-line flag + 4 rule-conjunction flags
+N_DENSE = len(_DENSE_PATTERNS) + 7
+
+
+def featurize_lines(texts: pd.Series,
+                    line_idx: np.ndarray | None = None) -> np.ndarray:
+    """(n,) text series → (n, N_DENSE + NGRAM_DIM) float features:
+    rule-shaped dense flags (the classifier's evidence set, classify.py)
+    + digit fraction, length, first-line positional flag, then
+    L1-normalized hashed char-trigram counts. Shared verbatim by
+    offline training and the Arrow inference kernel, so a weights file
+    IS the model."""
+    upper = texts.fillna("").str.upper().str.strip()
+    n = len(upper)
+    X = np.zeros((n, N_DENSE + NGRAM_DIM), dtype=np.float64)
+    for j, (pat, is_regex) in enumerate(_DENSE_PATTERNS):
+        X[:, j] = upper.str.contains(pat, regex=is_regex).to_numpy()
+    lengths = upper.str.len().to_numpy().astype(np.float64)
+    digits = upper.str.count(r"\d").to_numpy().astype(np.float64)
+    X[:, len(_DENSE_PATTERNS)] = digits / np.maximum(lengths, 1.0)
+    X[:, len(_DENSE_PATTERNS) + 1] = np.minimum(lengths / 50.0, 2.0)
+    first_line = np.zeros(n)
+    if line_idx is not None:
+        first_line = (np.asarray(line_idx) == 0).astype(np.float64)
+    X[:, len(_DENSE_PATTERNS) + 2] = first_line
+    # rule-conjunction features (classify.py's class evidence — the
+    # linear model can't form conjunctions of flags itself; feeding it
+    # the rule outputs is standard rule-informed featurization and lets
+    # the trained weights subsume the deterministic scorer)
+    d1, d2, amt, ctx, marker, comma, postcode, state, venue = \
+        (X[:, j] for j in range(9))
+    lot_jalan = upper.str.contains(
+        r"(?:LOT |NO ?\.? ?\d).*(?:JALAN|JLN)", regex=True).to_numpy()
+    unwanted = upper.str.contains(
+        r"TAX|RECEIPT|INVOICE", regex=True).to_numpy()
+    only_digits = upper.str.fullmatch(r"\d*").to_numpy()
+    o = len(_DENSE_PATTERNS) + 3
+    X[:, o + 0] = np.maximum(d1, d2)                       # date rule
+    X[:, o + 1] = amt * ctx                                # total rule
+    X[:, o + 2] = np.clip(                                 # address rule
+        marker * np.maximum(comma, postcode) + comma * postcode
+        + comma * venue + lot_jalan + postcode * state, 0, 1)
+    X[:, o + 3] = first_line * (1 - unwanted) * (1 - only_digits)
+    base = N_DENSE
+    for i, s in enumerate(upper.to_numpy()):
+        if len(s) < 3:
+            continue
+        codes = np.frombuffer(s.encode("utf-8", "replace"),
+                              dtype=np.uint8).astype(np.int64)
+        tri = (codes[:-2] * 961 + codes[1:-1] * 31 + codes[2:]) % NGRAM_DIM
+        counts = np.bincount(tri, minlength=NGRAM_DIM).astype(np.float64)
+        X[i, base:] = counts / max(len(tri), 1)
+    return X
+
+
+def default_weights_path() -> str:
+    import os.path as osp
+
+    return osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                    "models", "charlm_lite.npz")
+
+
+def load_trained_params(path: str | None = None) -> dict:
+    """Frozen checkpoint → broadcastable params dict {W, b}."""
+    with np.load(path or default_weights_path()) as z:
+        return {"W": z["W"].astype(np.float64),
+                "b": z["b"].astype(np.float64)}
+
+
+def _score_batch_trained(texts: pd.Series, params: dict,
+                         line_idx: np.ndarray | None = None
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    X = featurize_lines(texts, line_idx)
+    logits = X @ params["W"] + params["b"]
+    exp = np.exp(logits - logits.max(axis=1, keepdims=True))
+    probs = exp / exp.sum(axis=1, keepdims=True)
+    return probs.argmax(axis=1).astype(np.int32), probs.max(axis=1)
+
+
+def classify_lines_trained(lines: DataFrame,
+                           params: dict | None = None) -> DataFrame:
+    """Same I/O contract as :func:`classify_lines_model`, scoring with
+    the committed charlm_lite weights: params broadcast once, inference
+    one matmul per Arrow batch."""
+    sc = lines.sparkSession.sparkContext
+    bc = sc.broadcast(params or load_trained_params())
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = bc.value
+        for pdf in batches:
+            cls, prob = _score_batch_trained(
+                pdf["text"], model, pdf["line_idx"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"].astype("int32"),
+                    "line_idx": pdf["line_idx"].astype("int32"),
+                    "cls": cls,
+                    "prob": prob,
+                }
+            )
+
+    return lines.mapInPandas(infer, OUT_SCHEMA)

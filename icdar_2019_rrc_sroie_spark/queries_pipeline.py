@@ -414,9 +414,43 @@ def q_raster_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
                         dilate_iterations=2).orderBy("media_id")
 
 
+def q_learned_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 learned path (rows-only: the softmax forward has no SQL
+    form; held-out parity vs the deterministic scorer is pinned by
+    tests/test_learned_classifier.py): the committed charlm_lite
+    checkpoint — real NumPy-trained weights — broadcast to executors
+    and applied per Arrow batch over synthesized receipt lines."""
+    from .operators.model_udf import classify_lines_trained
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    day = (F.col("doc_id") % 28 + 1).cast("string")
+    amt = F.concat((F.col("doc_id") % 90 + 1).cast("string"), F.lit(".50"))
+    line = F.element_at(F.array(
+        F.concat(F.lit("STORE "), F.col("doc_id").cast("string"),
+                 F.lit(" SDN BHD")),
+        F.concat(F.lit("NO 1"), F.col("doc_id").cast("string"),
+                 F.lit(", JALAN TEST, 47300 SELANGOR")),
+        F.concat(F.lit("DATE: "), F.lpad(day, 2, "0"), F.lit("/03/2018")),
+        F.concat(F.lit("TOTAL RM"), amt),
+        F.lit("THANK YOU PLEASE COME AGAIN"),
+    ), (F.col("doc_id") % 5 + 1).cast("int"))
+    lines = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        (F.col("doc_id") % 5).cast("int").alias("line_idx"),
+        line.alias("text"),
+    )
+    out = classify_lines_trained(lines)
+    return out.select(
+        "conv_id", "turn_idx", "line_idx", "cls",
+        F.floor(F.col("prob") * 1e6 + 0.5).cast("long").alias("prob_micro"),
+    ).orderBy("conv_id", "line_idx")
+
+
 ROWS_ONLY_QUERIES = {
     "anchor_matching": (q_anchor_matching, SQL_ANCHOR_MATCHING),
     "raster_crop": (q_raster_crop, None),
+    "learned_classifier": (q_learned_classifier, None),
     "ivf_ann": (q_ivf_ann, None),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "nms": (q_nms, None),
