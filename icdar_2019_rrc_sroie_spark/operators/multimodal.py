@@ -193,16 +193,38 @@ def decode_payload(payload: bytes, width: int, height: int,
                 .astype(np.uint8)
         except (ValueError, struct.error):
             pass
-    try:  # pragma: no cover - codec libs absent in this sandbox
+    arr = _codec_decode(payload)
+    if arr is not None:
+        return arr
+    return _fake_decode(payload, width, height, channels)
+
+
+def _codec_decode(payload: bytes) -> np.ndarray | None:
+    """Optional-dependency route for compressed containers (JPEG/PNG/
+    ...): cv2 first, then PIL, else None. The moment either library is
+    importable in the environment, the stub retires for these formats —
+    the dispatch itself is covered by an injected-module contract test
+    and a skip-marked real-decode test
+    (tests/test_multimodal_sinks.py)."""
+    try:
         import cv2
 
         arr = cv2.imdecode(np.frombuffer(payload, np.uint8),
                            cv2.IMREAD_COLOR)
         if arr is not None:
-            return arr[:, :, ::-1]
+            return arr[:, :, ::-1]  # BGR → RGB
     except ImportError:
         pass
-    return _fake_decode(payload, width, height, channels)
+    try:
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        return None
+    except Exception:  # undecodable bytes: fall through to the stub
+        return None
 
 
 def decode_and_featurize(media: DataFrame, feature_dim: int = 8) -> DataFrame:

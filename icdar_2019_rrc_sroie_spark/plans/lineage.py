@@ -113,7 +113,12 @@ def run_with_resume(spark: SparkSession, transcripts: DataFrame,
             part = bucketed.filter(F.col("bucket").isin([int(b) for b in batch]))
             spans = with_bucket(extract_spans(part.drop("bucket")), n_buckets)
             spans.persist()
-            spans.write.mode("overwrite").partitionBy("bucket") \
+            # partition by (snapshot_id, bucket): dynamic overwrite then
+            # only ever replaces THIS snapshot's partitions — another
+            # snapshot's committed spans stay byte-identical (snapshot
+            # time-travel, pinned by test_snapshot_time_travel)
+            spans.withColumn("snapshot_id", F.lit(snapshot_id)) \
+                .write.mode("overwrite").partitionBy("snapshot_id", "bucket") \
                 .parquet(_spans_path(out_dir))
             lineage = spans.groupBy("bucket").agg(
                 F.count(F.lit(1)).cast("long").alias("span_count"),
@@ -144,14 +149,17 @@ def run_with_resume(spark: SparkSession, transcripts: DataFrame,
 
 def read_spans(spark: SparkSession, out_dir: str,
                snapshot_id: str) -> DataFrame:
-    """Committed spans only (join against the lineage table)."""
-    spans = spark.read.parquet(_spans_path(out_dir))
+    """Committed spans of ONE snapshot (snapshot partition filter —
+    pruned at scan time — joined against its lineage table)."""
+    spans = spark.read.parquet(_spans_path(out_dir)) \
+        .filter(F.col("snapshot_id") == snapshot_id)
     lineage = (
         spark.read.parquet(_lineage_path(out_dir))
         .filter(F.col("snapshot_id") == snapshot_id)
         .select("bucket").distinct()
     )
-    return spans.join(F.broadcast(lineage), "bucket").drop("bucket")
+    return spans.join(F.broadcast(lineage), "bucket") \
+        .drop("bucket", "snapshot_id")
 
 
 def lineage_table(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -72,3 +72,37 @@ def test_lineage_f1_column(spark, tmp_path):
     lin = lineage_table(spark, out).toPandas()
     populated = lin[lin.span_count > 0]
     assert (populated.f1 == 1.0).all()  # golden fixture extracts exactly
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Two INPUT snapshots written to the same out_dir must stay
+    readable independently: snapshot B's commit must not overwrite
+    snapshot A's span files (round-2 layout partitioned only by bucket,
+    so a second snapshot's dynamic overwrite clobbered the first), and
+    a resume of A after B commits is a no-op that returns A's exact
+    content."""
+    out = str(tmp_path / "tt")
+    corpus_a = transcripts_df(spark, n_convs=N_CONVS, seed=42)
+    corpus_b = transcripts_df(spark, n_convs=N_CONVS + 8, seed=77)
+
+    rows_a = _sorted_rows(run_with_resume(spark, corpus_a, out, "snapA",
+                                          n_buckets=4))
+    rows_b = _sorted_rows(run_with_resume(spark, corpus_b, out, "snapB",
+                                          n_buckets=4))
+    assert rows_a and rows_b and rows_a != rows_b
+
+    # time travel: each snapshot reads back exactly its own content
+    assert _sorted_rows(read_spans(spark, out, "snapA")) == rows_a
+    assert _sorted_rows(read_spans(spark, out, "snapB")) == rows_b
+
+    # resume of A after B committed: fully committed -> no recompute,
+    # and still A's content (not B's)
+    again = run_with_resume(spark, corpus_a, out, "snapA", n_buckets=4)
+    assert _sorted_rows(again) == rows_a
+
+    # lineage rows are snapshot-scoped
+    lin = lineage_table(spark, out).toPandas()
+    assert set(lin.snapshot_id) == {"snapA", "snapB"}
+    per_snap = lin.groupby("snapshot_id").span_count.sum()
+    assert per_snap["snapA"] == len(rows_a)
+    assert per_snap["snapB"] == len(rows_b)

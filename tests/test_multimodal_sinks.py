@@ -326,3 +326,86 @@ def test_channel_stats_handles_audio_rows(spark):
         assert out[ch]["n_pixels"] == 64
         assert out[ch]["mean"] == pytest.approx(u8[:, ch].mean())
         assert out[ch]["std"] == pytest.approx(u8[:, ch].std())
+
+
+def test_codec_dispatch_uses_cv2_when_importable(monkeypatch):
+    """Contract for the optional-dependency route: the moment a codec
+    library is importable, decode_payload must route compressed
+    payloads through it (and flip BGR->RGB) instead of the stub. The
+    sandbox has no cv2, so a minimal fake is injected."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from icdar_2019_rrc_sroie_spark.operators import multimodal as mm
+
+    decoded_bgr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    fake = types.ModuleType("cv2")
+    fake.IMREAD_COLOR = 1
+    fake.imdecode = lambda buf, flag: decoded_bgr
+    monkeypatch.setitem(sys.modules, "cv2", fake)
+
+    got = mm.decode_payload(b"\xff\xd8\xff fake jpeg", 3, 2, 3)
+    assert (got == decoded_bgr[:, :, ::-1]).all()
+
+
+def test_codec_dispatch_without_libs_falls_back_to_stub():
+    import numpy as np
+    import pytest
+
+    from icdar_2019_rrc_sroie_spark.operators import multimodal as mm
+
+    try:
+        import cv2  # noqa: F401
+        pytest.skip("cv2 present: stub no longer reachable here")
+    except ImportError:
+        pass
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present: stub no longer reachable here")
+    except ImportError:
+        pass
+    payload = b"\xff\xd8\xff not decodable"
+    got = mm.decode_payload(payload, 4, 5, 3)
+    assert got.shape == (5, 4, 3)
+    assert (got == mm._fake_decode(payload, 4, 5, 3)).all()
+
+
+def test_codec_real_jpeg_decode_when_available():
+    """Skip-marked real-decode path: runs only where cv2 or PIL exists
+    (green in a codec-equipped environment, skipped here)."""
+    import numpy as np
+    import pytest
+
+    from icdar_2019_rrc_sroie_spark.operators import multimodal as mm
+
+    have_cv2 = have_pil = False
+    try:
+        import cv2  # noqa: F401
+        have_cv2 = True
+    except ImportError:
+        pass
+    try:
+        from PIL import Image
+        have_pil = True
+    except ImportError:
+        pass
+    if not (have_cv2 or have_pil):
+        pytest.skip("no codec library in this environment")
+    # build a tiny PNG via PIL (or cv2) and decode it through the seam
+    arr = np.zeros((4, 6, 3), dtype=np.uint8)
+    arr[:, :3] = (255, 0, 0)
+    if have_pil:
+        import io
+
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        payload = buf.getvalue()
+    else:
+        import cv2
+
+        payload = cv2.imencode(".png", arr[:, :, ::-1])[1].tobytes()
+    got = mm.decode_payload(payload, 6, 4, 3)
+    assert got.shape == (4, 6, 3)
+    assert (got == arr).all()
