@@ -166,11 +166,14 @@ def main() -> None:
     timings["transcript_spans_cold"] = round(cold_sec, 3)
     transcripts.unpersist()
 
+    from icdar_2019_rrc_sroie_spark.operators.indexes import release_indexes
+
     registry = q.queries()
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         materialize(registry[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_indexes()  # free any persisted index tables per query
 
     bench_dedup_shared(spark, sf_dir, timings)
     bench_embedding_kernels(spark, sf_dir, timings)

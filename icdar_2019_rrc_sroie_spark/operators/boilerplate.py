@@ -70,3 +70,90 @@ def dehyphenate(text: Column) -> Column:
 def collapse_whitespace(text: Column) -> Column:
     """Collapse runs of spaces/tabs (not newlines) to one space."""
     return F.regexp_replace(text, r"[ \t]+", " ")
+
+
+# --------------------------------------------------------------------------
+# Block-level boilerplate classification (north_rule "HTML boilerplate
+# strip + DOM heuristics" deepened): a JusText/Boilerpipe-style
+# link-density / word-count classifier, entirely as Catalyst HOF
+# expressions over the block array — one whole-stage-codegen projection
+# per document, no Python, no shuffle.
+# --------------------------------------------------------------------------
+
+#: Block boundaries: opening/closing block-level tags.
+BLOCK_SPLIT_PATTERN = (
+    r"(?i)</?(?:div|p|table|ul|ol|li|h[1-6]|section|article|"
+    r"header|footer|nav|aside|blockquote|tr|td|th)[^>]*>|(?i)<br ?/?>"
+)
+
+#: Anchor inner text (lazy, dotall) — link-density numerator.
+ANCHOR_PATTERN = r"(?is)<a[^>]*>(.*?)</a>"
+
+#: Default jusText-ish thresholds.
+MIN_GOOD_WORDS = 5
+MAX_LINK_DENSITY = 0.3
+
+
+def html_blocks(text: Column) -> Column:
+    """HTML payload → array of non-empty raw blocks (inline markup like
+    ``<a>`` kept for the density features)."""
+    return F.filter(
+        F.transform(F.split(text, BLOCK_SPLIT_PATTERN),
+                    lambda b: F.trim(b)),
+        lambda b: F.length(b) > 0,
+    )
+
+
+def block_features(block: Column) -> Column:
+    """struct(text, n_chars, n_words, link_chars, link_density) for one
+    raw block."""
+    inner_links = F.regexp_extract_all(block, F.lit(ANCHOR_PATTERN), 1)
+    link_chars = F.aggregate(
+        inner_links, F.lit(0),
+        lambda acc, s: acc + F.length(F.trim(s)))
+    text = F.trim(F.regexp_replace(block, TAG_PATTERN, ""))
+    n_chars = F.length(text)
+    n_words = F.when(n_chars > 0, F.size(F.split(text, r"\s+"))) \
+        .otherwise(F.lit(0))
+    density = F.when(
+        n_chars > 0,
+        link_chars.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(1.0))
+    return F.struct(
+        text.alias("text"),
+        n_chars.cast("int").alias("n_chars"),
+        n_words.cast("int").alias("n_words"),
+        link_chars.cast("int").alias("link_chars"),
+        density.alias("link_density"),
+    )
+
+
+def classify_blocks(text: Column,
+                    min_words: int = MIN_GOOD_WORDS,
+                    max_link_density: float = MAX_LINK_DENSITY) -> Column:
+    """Payload → array of block structs with an ``is_good`` flag: a
+    block is main content when it has enough words AND low link
+    density (nav bars / footers are short and link-dense — the
+    boilerpipe/jusText heuristic)."""
+    feats = F.transform(html_blocks(text), block_features)
+    return F.transform(
+        feats,
+        lambda b: F.struct(
+            b["text"].alias("text"),
+            b["n_chars"].alias("n_chars"),
+            b["n_words"].alias("n_words"),
+            b["link_chars"].alias("link_chars"),
+            b["link_density"].alias("link_density"),
+            ((b["n_words"] >= min_words)
+             & (b["link_density"] <= max_link_density)).alias("is_good"),
+        ),
+    )
+
+
+def main_content_blocks(text: Column,
+                        min_words: int = MIN_GOOD_WORDS,
+                        max_link_density: float = MAX_LINK_DENSITY) -> Column:
+    """Main content: newline-joined text of the good blocks."""
+    good = F.filter(classify_blocks(text, min_words, max_link_density),
+                    lambda b: b["is_good"])
+    return F.array_join(F.transform(good, lambda b: b["text"]), "\n")

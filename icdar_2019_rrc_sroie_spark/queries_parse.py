@@ -76,16 +76,24 @@ FROM parsed ORDER BY l_orderkey, l_linenumber
 
 
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wrap documents in HTML-ish boilerplate, then run the DOM
-    main-content + tag-strip + line-filter stage."""
+    """Wrap documents in HTML-ish boilerplate (nav bar + social footer,
+    both link-dense), then run BOTH extraction stages: the DOM
+    main-content + tag-strip + line-filter path, and the round-3
+    JusText-style block classifier (link-density / word-count over
+    block-level splits — operators/boilerplate.py:classify_blocks)."""
+    from .operators.boilerplate import classify_blocks
+
     docs = _t(spark, sf_dir, "documents")
     wrapped = F.concat(
         F.lit('<html><head><title>viewer</title></head><body>\n'
+              '<nav><a href="/">Home</a> <a href="/d">Docs</a> '
+              '<a href="/s">Search</a></nav>\n'
               '== HEADER doc '),
         F.col("doc_id"),
         F.lit(' ==\n<div class="content">\n   '),
         F.substring("text", 1, 200),
-        F.lit('  \n</div>\n== FOOTER ==\n</body></html>'),
+        F.lit('  \n</div>\n<p>Share on <a href="#">social</a></p>\n'
+              '== FOOTER ==\n</body></html>'),
     )
     content = main_content(wrapped)
     no_tags = strip_tags(content)
@@ -93,11 +101,21 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.split(no_tags, "\n"), lambda l: F.trim(l)),
         lambda l: (F.length(l) > 0) & (~l.rlike(r"^==.*==$")),
     )
+    blocks = classify_blocks(wrapped)
+    good = F.filter(blocks, lambda b: b["is_good"])
+    link_chars = F.aggregate(blocks, F.lit(0),
+                             lambda acc, b: acc + b["link_chars"])
+    good_len = F.aggregate(good, F.lit(0),
+                           lambda acc, b: acc + b["n_chars"])
     return docs.select(
         "doc_id",
         F.size(lines).alias("n_lines"),
         F.length(F.array_join(lines, "\n")).cast("long").alias("clean_len"),
         F.element_at(lines, 1).alias("first_line"),
+        F.size(blocks).alias("n_blocks"),
+        F.size(good).alias("n_good_blocks"),
+        link_chars.cast("long").alias("link_chars"),
+        good_len.cast("long").alias("good_len"),
     ).orderBy("doc_id")
 
 
@@ -105,11 +123,46 @@ SQL_BOILERPLATE_STRIP = r"""
 WITH wrapped AS (
   SELECT doc_id,
     '<html><head><title>viewer</title></head><body>' || chr(10) ||
+    '<nav><a href="/">Home</a> <a href="/d">Docs</a> <a href="/s">Search</a></nav>' || chr(10) ||
     '== HEADER doc ' || doc_id || ' ==' || chr(10) ||
     '<div class="content">' || chr(10) || '   ' ||
     substr(text, 1, 200) || '  ' || chr(10) ||
-    '</div>' || chr(10) || '== FOOTER ==' || chr(10) || '</body></html>' AS w
+    '</div>' || chr(10) || '<p>Share on <a href="#">social</a></p>' || chr(10) ||
+    '== FOOTER ==' || chr(10) || '</body></html>' AS w
   FROM documents
+), blocks AS (
+  SELECT doc_id,
+    list_filter(list_transform(
+      regexp_split_to_array(w,
+        '(?i)</?(?:div|p|table|ul|ol|li|h[1-6]|section|article|header|footer|nav|aside|blockquote|tr|td|th)[^>]*>|(?i)<br ?/?>'),
+      b -> trim(b)), b -> length(b) > 0) AS bs
+  FROM wrapped
+), feats AS (
+  SELECT doc_id,
+    list_transform(bs, b -> struct_pack(
+      n_chars := length(trim(regexp_replace(b, '<[^>]*>', '', 'g'))),
+      n_words := CASE WHEN length(trim(regexp_replace(b, '<[^>]*>', '', 'g'))) > 0
+                      THEN len(regexp_split_to_array(trim(regexp_replace(b, '<[^>]*>', '', 'g')), '\s+'))
+                      ELSE 0 END,
+      link_chars := coalesce(list_sum(list_transform(
+        regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+        s -> length(trim(s)))), 0)
+    )) AS fs
+  FROM blocks
+), classified AS (
+  SELECT doc_id, fs,
+    list_filter(fs, f -> f.n_words >= 5 AND
+      (CASE WHEN f.n_chars > 0
+            THEN CAST(f.link_chars AS DOUBLE) / f.n_chars
+            ELSE 1.0 END) <= 0.3) AS good
+  FROM feats
+), blockstats AS (
+  SELECT doc_id,
+    CAST(len(fs) AS INT) AS n_blocks,
+    CAST(len(good) AS INT) AS n_good_blocks,
+    CAST(coalesce(list_sum(list_transform(fs, f -> f.link_chars)), 0) AS BIGINT) AS link_chars,
+    CAST(coalesce(list_sum(list_transform(good, f -> f.n_chars)), 0) AS BIGINT) AS good_len
+  FROM classified
 ), content AS (
   SELECT doc_id,
     CASE WHEN regexp_extract(w, '(?is)<div class="content">(.*?)</div>', 1) <> ''
@@ -128,10 +181,12 @@ WITH wrapped AS (
                 l -> length(l) > 0 AND NOT regexp_matches(l, '^==.*==$')) AS lines
   FROM stripped
 )
-SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
-  CAST(length(array_to_string(lines, chr(10))) AS BIGINT) AS clean_len,
-  lines[1] AS first_line
-FROM lined ORDER BY doc_id
+SELECT l.doc_id, CAST(len(l.lines) AS INT) AS n_lines,
+  CAST(length(array_to_string(l.lines, chr(10))) AS BIGINT) AS clean_len,
+  l.lines[1] AS first_line,
+  b.n_blocks, b.n_good_blocks, b.link_chars, b.good_len
+FROM lined l JOIN blockstats b ON l.doc_id = b.doc_id
+ORDER BY l.doc_id
 """
 
 

@@ -88,3 +88,39 @@ def test_absorbed_run_prob_parity(spark):
     want = extract_turn(body)
     assert got.get("address") == want.get("address")
     assert got.get("address") == "NO 5, JALAN X, 81750 MASAI BANDAR BARU CONTINUATION"
+
+
+def test_block_classifier_link_density(spark):
+    """JusText-style block classification: link-dense nav and short
+    footers are boilerplate; the long low-link paragraph is content."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.boilerplate import (
+        classify_blocks,
+        main_content_blocks,
+    )
+
+    html = (
+        '<html><body>'
+        '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        '<p>This paragraph has plenty of ordinary words and only one '
+        'small <a href="#">link</a> inside of it.</p>'
+        '<p>Short <a href="#">linky</a></p>'
+        '<footer>c 2024</footer>'
+        '</body></html>'
+    )
+    df = spark.createDataFrame([(html,)], "text string")
+    rows = df.select(
+        classify_blocks(F.col("text")).alias("b"),
+        main_content_blocks(F.col("text")).alias("main"),
+    ).collect()[0]
+    by_text = {b["text"]: b for b in rows["b"]}
+    nav = next(b for t, b in by_text.items() if t.startswith("Home"))
+    para = next(b for t, b in by_text.items()
+                if t.startswith("This paragraph"))
+    short = next(b for t, b in by_text.items() if t.startswith("Short"))
+    assert not nav["is_good"] and nav["link_density"] > 0.5
+    assert para["is_good"] and para["link_density"] < 0.1
+    assert not short["is_good"]
+    assert rows["main"].startswith("This paragraph")
+    assert "Home" not in rows["main"] and "2024" not in rows["main"]
