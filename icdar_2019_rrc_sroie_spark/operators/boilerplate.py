@@ -157,3 +157,61 @@ def main_content_blocks(text: Column,
     good = F.filter(classify_blocks(text, min_words, max_link_density),
                     lambda b: b["is_good"])
     return F.array_join(F.transform(good, lambda b: b["text"]), "\n")
+
+
+# --------------------------------------------------------------------------
+# Repeated-line page-header/footer removal (north_rule "PDF/layout
+# parse" deepened): a page-structured document carries the same running
+# header/footer on (nearly) every page; lines whose normalized text
+# repeats on ≥ frac of pages (and ≥ min_pages) are layout chrome, not
+# content. Entirely per-document array algebra — one codegen
+# projection, NO shuffle: the cross-page frequency count never leaves
+# the row, which is exactly why this form scales to 10^12 documents.
+# --------------------------------------------------------------------------
+
+PAGE_BREAK = "\f"
+
+
+def _page_lines(text: Column) -> Column:
+    """text → array<array<string>>: trimmed non-empty lines per page."""
+    return F.transform(
+        F.split(text, PAGE_BREAK),
+        lambda p: F.filter(
+            F.transform(F.split(p, "\n"), lambda l: F.trim(l)),
+            lambda l: F.length(l) > 0,
+        ),
+    )
+
+
+def repeated_page_lines(text: Column, min_pages: int = 2,
+                        frac: float = 0.6) -> Column:
+    """Distinct lines appearing on ≥ max(min_pages, frac·n_pages)
+    pages — the running header/footer set of one document."""
+    pages = _page_lines(text)
+    n_pages = F.size(pages)
+    need = F.greatest(F.lit(min_pages),
+                      F.ceil(n_pages.cast("double") * frac).cast("int"))
+    distinct = F.array_distinct(F.flatten(pages))
+    return F.filter(
+        distinct,
+        lambda line: F.size(
+            F.filter(pages, lambda pls: F.array_contains(pls, line))
+        ) >= need,
+    )
+
+
+def strip_repeated_page_lines(text: Column, min_pages: int = 2,
+                              frac: float = 0.6) -> Column:
+    """Document text with running headers/footers removed; pages are
+    re-joined with the page-break character, lines with newlines."""
+    pages = _page_lines(text)
+    chrome = repeated_page_lines(text, min_pages, frac)
+    kept = F.transform(
+        pages,
+        lambda pls: F.filter(
+            pls, lambda l: ~F.array_contains(chrome, l)),
+    )
+    return F.array_join(
+        F.transform(kept, lambda pls: F.array_join(pls, "\n")),
+        PAGE_BREAK,
+    )

@@ -123,26 +123,101 @@ FROM documents ORDER BY doc_id
 """
 
 
-def q_entity_json_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5: parse entity JSON payloads back into typed fields
-    (misc.py:82-112 read_json_file analog)."""
+def q_entity_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 + S5 merged (round 3, one driver row): serialize the per-doc
+    entity JSON payload, then parse it back into typed fields
+    (misc.py:82-112 read_json_file analog) — the full sink/source
+    round-trip checked value-for-value."""
     payloads = q_entity_sink_json(spark, sf_dir)
     parsed = F.from_json(F.col("submission"), "map<string,string>")
     return payloads.select(
         "doc_id",
+        "submission",
         F.element_at(parsed, "company").alias("company"),
         F.element_at(parsed, "date").alias("date"),
         F.element_at(parsed, "total").alias("total"),
     ).orderBy("doc_id")
 
 
-SQL_ENTITY_JSON_READ = f"""
+SQL_ENTITY_JSON_ROUNDTRIP = f"""
 WITH payloads AS ({SQL_ENTITY_SINK_JSON.replace("ORDER BY doc_id", "")})
 SELECT doc_id,
+  submission,
   submission->>'company' AS company,
   submission->>'date' AS date,
   submission->>'total' AS total
 FROM payloads ORDER BY doc_id
+"""
+
+
+def q_page_header_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-line page-chrome removal (PDF/layout parse, north
+    rule): synthesize a 3-page doc per row with a running header +
+    footer and per-page content slices, strip lines repeating on ≥60%
+    of pages, emit chrome/content stats. Per-doc array algebra — no
+    shuffle (operators/boilerplate.py:strip_repeated_page_lines)."""
+    from .operators.boilerplate import (
+        repeated_page_lines,
+        strip_repeated_page_lines,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    header = F.concat(F.lit("DOC "), F.col("doc_id").cast("string"),
+                      F.lit(" INTERNAL"))
+    pages = [
+        F.concat(header, F.lit("\n"),
+                 F.substring("text", 1 + i * 40, 40),
+                 F.lit("\nCONFIDENTIAL DRAFT"))
+        for i in range(3)
+    ]
+    paged = F.concat_ws("\f", *pages)
+    chrome = repeated_page_lines(paged)
+    stripped = strip_repeated_page_lines(paged)
+    return docs.select(
+        "doc_id",
+        F.size(chrome).alias("n_chrome"),
+        F.length(stripped).cast("long").alias("stripped_len"),
+        F.length(paged).cast("long").alias("paged_len"),
+        F.element_at(F.split(stripped, "\n"), 1).alias("first_content"),
+    ).orderBy("doc_id")
+
+
+SQL_PAGE_HEADER_STRIP = r"""
+WITH paged AS (
+  SELECT doc_id,
+    ['DOC ' || doc_id || ' INTERNAL' || chr(10) || substr(text, 1 + p*40, 40)
+       || chr(10) || 'CONFIDENTIAL DRAFT'
+     FOR p IN [0, 1, 2]] AS pages
+  FROM documents
+), pl AS (
+  SELECT doc_id,
+    array_to_string(pages, chr(12)) AS paged,
+    [list_filter([trim(l) FOR l IN string_split(p, chr(10))],
+                 l -> length(l) > 0) FOR p IN pages] AS pls
+  FROM paged
+), chrome AS (
+  SELECT doc_id, paged, pls,
+    list_filter(list_distinct(flatten(pls)),
+      line -> len(list_filter(pls, ps -> list_contains(ps, line)))
+              >= greatest(2, CAST(ceil(len(pls) * 0.6) AS INT))) AS ch
+  FROM pl
+), kept AS (
+  SELECT doc_id, paged, ch,
+    -- coalesce: DuckDB's array_to_string([]) is NULL (Spark: ''), and
+    -- the outer join would silently skip it, dropping the page break
+    array_to_string(
+      [coalesce(array_to_string(
+         list_filter(ps, l -> NOT list_contains(ch, l)), chr(10)), '')
+       FOR ps IN pls],
+      chr(12)) AS stripped
+  FROM chrome
+)
+SELECT doc_id,
+  CAST(len(ch) AS INT) AS n_chrome,
+  CAST(length(stripped) AS BIGINT) AS stripped_len,
+  CAST(length(paged) AS BIGINT) AS paged_len,
+  string_split(stripped, chr(10))[1] AS first_content
+FROM kept ORDER BY doc_id
 """
 
 
@@ -174,7 +249,8 @@ SELECT
 SQL_QUERIES_CLEAN = {
     "company_clean": (q_company_clean, SQL_COMPANY_CLEAN),
     "address_clean": (q_address_clean, SQL_ADDRESS_CLEAN),
-    "entity_sink_json": (q_entity_sink_json, SQL_ENTITY_SINK_JSON),
-    "entity_json_read": (q_entity_json_read, SQL_ENTITY_JSON_READ),
+    "entity_json_roundtrip": (q_entity_json_roundtrip,
+                              SQL_ENTITY_JSON_ROUNDTRIP),
+    "page_header_strip": (q_page_header_strip, SQL_PAGE_HEADER_STRIP),
     "set_ops": (q_set_ops, SQL_SET_OPS),
 }

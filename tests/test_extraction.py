@@ -124,3 +124,34 @@ def test_block_classifier_link_density(spark):
     assert not short["is_good"]
     assert rows["main"].startswith("This paragraph")
     assert "Home" not in rows["main"] and "2024" not in rows["main"]
+
+
+def test_repeated_page_line_strip(spark):
+    """PDF-layout chrome removal: a running header/footer on every page
+    is stripped; a line on only one page survives; a 1-page doc is
+    untouched (min_pages=2 floor)."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.boilerplate import (
+        repeated_page_lines,
+        strip_repeated_page_lines,
+    )
+
+    doc = ("ACME INTERNAL\nalpha content one\nCONFIDENTIAL\f"
+           "ACME INTERNAL\nbeta content two\nCONFIDENTIAL\f"
+           "ACME INTERNAL\ngamma content three\nonce-only line\n"
+           "CONFIDENTIAL")
+    one_page = "ACME INTERNAL\nsolo content\nCONFIDENTIAL"
+    df = spark.createDataFrame([(doc,), (one_page,)], "text string")
+    got = df.select(
+        repeated_page_lines(F.col("text")).alias("chrome"),
+        strip_repeated_page_lines(F.col("text")).alias("stripped"),
+    ).collect()
+    chrome0 = set(got[0]["chrome"])
+    assert chrome0 == {"ACME INTERNAL", "CONFIDENTIAL"}
+    pages = got[0]["stripped"].split("\f")
+    assert pages == ["alpha content one", "beta content two",
+                     "gamma content three\nonce-only line"]
+    # single page: nothing repeats across >= 2 pages
+    assert got[1]["chrome"] == []
+    assert got[1]["stripped"] == one_page
