@@ -131,3 +131,50 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+def test_page_header_strip_single_projection(spark):
+    """The cross-page repeated-line strip is pure per-row array
+    algebra: no Exchange, no Python nodes — the property that makes it
+    a 10^12-doc operator."""
+    from icdar_2019_rrc_sroie_spark.operators.boilerplate import (
+        strip_repeated_page_lines,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = docs.select(
+        "doc_id",
+        strip_repeated_page_lines(F.col("text")).alias("s"))
+    plan = _formatted_plan(q)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_detection_prefix_pushdown_and_broadcast(spark):
+    """detection_prefix: the key filter reaches the parquet scan and
+    the constant-size anchor grid joins broadcast."""
+    from icdar_2019_rrc_sroie_spark.queries_geo import q_detection_prefix
+
+    plan = _formatted_plan(
+        q_detection_prefix(spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters" in plan and "l_orderkey" in plan.split(
+        "PushedFilters")[1][:200], plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # scan reads only the join key, not the whole lineitem row
+    assert "l_extendedprice" not in plan
+
+
+def test_adjust_annotations_broadcasts_offsets(spark):
+    """The label-shift join must broadcast the (tiny) offsets side —
+    no shuffle of the annotations table."""
+    from icdar_2019_rrc_sroie_spark.plans.crop_job import (
+        adjust_annotations,
+    )
+
+    annotations = spark.createDataFrame(
+        [("m1", [1.0] * 8, "T")],
+        "media_id string, coords array<double>, transcript string")
+    offsets = spark.createDataFrame([("m1", 3, 4)],
+                                    "media_id string, dx int, dy int")
+    plan = _formatted_plan(adjust_annotations(annotations, offsets))
+    assert "BroadcastHashJoin" in plan, plan
