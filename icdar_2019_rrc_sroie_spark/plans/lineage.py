@@ -164,3 +164,54 @@ def read_spans(spark: SparkSession, out_dir: str,
 
 def lineage_table(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(_lineage_path(out_dir))
+
+
+def upsert_spans(spark: SparkSession, out_dir: str, snapshot_id: str,
+                 corrections: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Iceberg-style MERGE INTO at bucket granularity: apply keyed
+    span corrections ``(conv_id, turn_idx, label, corrected)`` to a
+    committed snapshot, rewriting ONLY the buckets that contain a
+    corrected key (partition-pruned read + dynamic overwrite of those
+    partitions — the other buckets' files are untouched bytes). Each
+    touched bucket appends a fresh lineage row, so the audit trail
+    records the merge like any other commit.
+
+    On real Iceberg this is ``MERGE INTO spans USING corrections`` —
+    copy-on-write at partition scope; here it is expressed over the
+    same (snapshot_id, bucket)-partitioned parquet the resume path
+    uses. Corrections are curated-small by nature → broadcast joins
+    throughout, no shuffle of the spans side.
+    """
+    keys = ("conv_id", "turn_idx", "label")
+    corr = with_bucket(
+        corrections.select(*keys,
+                           F.col("corrected").alias("_corrected")),
+        n_buckets)
+    touched = [int(r["bucket"])
+               for r in corr.select("bucket").distinct().collect()]
+    if not touched:
+        return read_spans(spark, out_dir, snapshot_id)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spans = (
+        spark.read.parquet(_spans_path(out_dir))
+        .filter((F.col("snapshot_id") == snapshot_id)
+                & F.col("bucket").isin(touched))
+    )
+    merged = (
+        spans.join(F.broadcast(corr.drop("bucket").dropDuplicates(list(keys))),
+                   list(keys), "left")
+        .withColumn("text", F.coalesce(F.col("_corrected"), F.col("text")))
+        .drop("_corrected")
+    )
+    merged.persist()
+    merged.write.mode("overwrite").partitionBy("snapshot_id", "bucket") \
+        .parquet(_spans_path(out_dir))
+    lineage = merged.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("span_count"),
+        _content_hash(merged).alias("content_hash"),
+    ).withColumn("f1", F.lit(None).cast("double")) \
+        .withColumn("snapshot_id", F.lit(snapshot_id)) \
+        .select(*LINEAGE_COLS)
+    lineage.write.mode("append").parquet(_lineage_path(out_dir))
+    merged.unpersist()
+    return read_spans(spark, out_dir, snapshot_id)

@@ -106,3 +106,56 @@ def test_snapshot_time_travel(spark, tmp_path):
     per_snap = lin.groupby("snapshot_id").span_count.sum()
     assert per_snap["snapA"] == len(rows_a)
     assert per_snap["snapB"] == len(rows_b)
+
+
+def test_upsert_spans_bucket_scoped_merge(spark, tmp_path):
+    """Iceberg-style MERGE emulation: corrections rewrite only the
+    buckets containing corrected keys — untouched buckets' parquet
+    files keep their exact bytes — and every touched bucket gains a
+    fresh lineage row."""
+    import glob
+    import os
+
+    from icdar_2019_rrc_sroie_spark.plans.lineage import upsert_spans
+
+    out = str(tmp_path / "merge")
+    t = transcripts_df(spark, n_convs=N_CONVS)
+    before = _sorted_rows(run_with_resume(spark, t, out, SNAP, n_buckets=8))
+
+    # pick two span keys from different rows to correct
+    k1, k2 = before[0][:3], before[-1][:3]
+    corrections = spark.createDataFrame(
+        [(k1[0], k1[1], k1[2], "FIXED ONE"),
+         (k2[0], k2[1], k2[2], "FIXED TWO")],
+        "conv_id string, turn_idx int, label string, corrected string")
+
+    def file_state():
+        return {f: os.path.getmtime(f) for f in
+                glob.glob(f"{out}/spans/snapshot_id={SNAP}/bucket=*/*.parquet")}
+
+    pre_files = file_state()
+    after = _sorted_rows(upsert_spans(spark, out, SNAP, corrections,
+                                      n_buckets=8))
+
+    # corrected rows changed, everything else byte-identical content
+    want = sorted(
+        (c, ti, lbl, "FIXED ONE" if (c, ti, lbl) == k1
+         else "FIXED TWO" if (c, ti, lbl) == k2 else txt)
+        for c, ti, lbl, txt in before)
+    assert after == want
+
+    # untouched buckets: same files, same mtimes (never rewritten)
+    from icdar_2019_rrc_sroie_spark.plans.lineage import lineage_table
+    lin = lineage_table(spark, out).toPandas()
+    touched = set(lin[lin.duplicated("bucket", keep=False)].bucket)
+    assert 1 <= len(touched) <= 2  # 2 corrections -> at most 2 buckets
+    post_files = file_state()
+    untouched_pre = {f: m for f, m in pre_files.items()
+                     if not any(f"/bucket={b}/" in f for b in touched)}
+    assert untouched_pre
+    for f, m in untouched_pre.items():
+        assert post_files.get(f) == m, f"untouched bucket rewritten: {f}"
+    # lineage: one extra row per touched bucket, none for the rest
+    counts = lin.groupby("bucket").size()
+    for b in range(8):
+        assert counts.get(b, 0) == (2 if b in touched else 1)

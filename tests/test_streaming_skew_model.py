@@ -159,3 +159,76 @@ def test_sessionize_conversations_stateful(spark, tmp_path):
     assert rows["b"]["n_turns"] == 1
     assert rows["a"]["first_ts"] == datetime(2024, 1, 1, 0, 0, 0)
     assert rows["a"]["last_ts"] == datetime(2024, 1, 1, 0, 0, 20)
+
+
+def test_sessionize_checkpoint_restart(spark, tmp_path):
+    """Exactly-once recovery of the stateful sessionizer: process
+    batch 1 under a checkpointLocation, STOP the query, add batch 2,
+    restart with the same checkpoint — the restarted query must
+    resume from persisted state (conv 'a' spans both incarnations:
+    turns from batch 1 and batch 2 land in ONE session row), and no
+    batch-1 session is emitted twice."""
+    import glob
+    import os
+    from datetime import datetime
+
+    import pandas as pd
+
+    from icdar_2019_rrc_sroie_spark.streaming.stream_extract import (
+        sessionize_conversations,
+    )
+
+    src = str(tmp_path / "ckpt_src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "ckpt_sink")
+    b1 = pd.DataFrame([
+        {"conv_id": "a", "turn_idx": 0, "role": "user", "text": "t",
+         "tool": None, "ts": datetime(2024, 1, 1, 0, 0, 0)},
+        {"conv_id": "a", "turn_idx": 1, "role": "tool", "text": "t",
+         "tool": "x", "ts": datetime(2024, 1, 1, 0, 0, 10)},
+    ])
+    sdf1 = spark.createDataFrame(b1)
+    sdf1.write.parquet(src + "/p1")
+
+    def run_once():
+        # file sink: the one sink kind that supports restart-from-
+        # checkpoint (memory sink refuses recovery)
+        stream = spark.readStream.schema(sdf1.schema) \
+            .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+        q = (
+            sessionize_conversations(stream, gap="30 minutes",
+                                     watermark="1 minute")
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(600)
+
+    run_once()
+    # nothing closed yet: watermark hasn't passed a's timeout
+    assert spark.read.parquet(sink).count() == 0
+
+    # batch 2 after the stop: one more 'a' turn inside the gap, plus a
+    # far-future event that closes 'a'
+    b2 = pd.DataFrame([
+        {"conv_id": "a", "turn_idx": 2, "role": "user", "text": "t",
+         "tool": None, "ts": datetime(2024, 1, 1, 0, 0, 20)},
+        {"conv_id": "z", "turn_idx": 0, "role": "user", "text": "t",
+         "tool": None, "ts": datetime(2024, 1, 1, 6, 0, 0)},
+    ])
+    # pin the schema: an all-None pandas 'tool' column would otherwise
+    # infer a non-string parquet type and break the file source
+    spark.createDataFrame(b2, schema=sdf1.schema).write.parquet(src + "/p2")
+    for d, ts in ((src + "/p1", 1_000_000_000), (src + "/p2", 2_000_000_000)):
+        for f in glob.glob(d + "/*"):
+            os.utime(f, (ts, ts))
+
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    sessions = {r["conv_id"]: r for r in rows}
+    assert list(sessions) == ["a"], rows
+    # state crossed the restart: all 3 turns (2 pre-stop + 1 post) in
+    # ONE session — proof the checkpoint carried the per-key state
+    assert sessions["a"]["n_turns"] == 3
+    assert sessions["a"]["n_tool_turns"] == 1
+    assert sessions["a"]["last_ts"] == datetime(2024, 1, 1, 0, 0, 20)
