@@ -188,7 +188,7 @@ def test_sessionize_checkpoint_restart(spark, tmp_path):
          "tool": "x", "ts": datetime(2024, 1, 1, 0, 0, 10)},
     ])
     sdf1 = spark.createDataFrame(b1)
-    sdf1.write.parquet(src + "/p1")
+    sdf1.coalesce(1).write.parquet(src + "/p1")
 
     def run_once():
         # file sink: the one sink kind that supports restart-from-
@@ -208,20 +208,32 @@ def test_sessionize_checkpoint_restart(spark, tmp_path):
     # nothing closed yet: watermark hasn't passed a's timeout
     assert spark.read.parquet(sink).count() == 0
 
-    # batch 2 after the stop: one more 'a' turn inside the gap, plus a
-    # far-future event that closes 'a'
-    b2 = pd.DataFrame([
-        {"conv_id": "a", "turn_idx": 2, "role": "user", "text": "t",
-         "tool": None, "ts": datetime(2024, 1, 1, 0, 0, 20)},
-        {"conv_id": "z", "turn_idx": 0, "role": "user", "text": "t",
-         "tool": None, "ts": datetime(2024, 1, 1, 6, 0, 0)},
-    ])
-    # pin the schema: an all-None pandas 'tool' column would otherwise
-    # infer a non-string parquet type and break the file source
-    spark.createDataFrame(b2, schema=sdf1.schema).write.parquet(src + "/p2")
-    for d, ts in ((src + "/p1", 1_000_000_000), (src + "/p2", 2_000_000_000)):
-        for f in glob.glob(d + "/*"):
-            os.utime(f, (ts, ts))
+    # after the stop, three single-file micro-batches in pinned order
+    # (the file source orders batches by mtime; one file per batch via
+    # coalesce(1) keeps watermark progression deterministic):
+    #   p2: one more 'a' turn inside the gap  (merges into state)
+    #   p3: far-future event                  (advances the watermark)
+    #   p4: another far-future event          (its batch fires a's
+    #       event-time timeout against the now-advanced watermark)
+    def one_row_batch(sub, conv, ts, mtime):
+        pdf = pd.DataFrame([
+            {"conv_id": conv, "turn_idx": 0, "role": "user", "text": "t",
+             "tool": None, "ts": ts}])
+        # pin the schema: an all-None pandas 'tool' column would
+        # otherwise infer a non-string parquet type
+        spark.createDataFrame(pdf, schema=sdf1.schema).coalesce(1) \
+            .write.parquet(src + sub)
+        for f in glob.glob(src + sub + "/*"):
+            os.utime(f, (mtime, mtime))
+
+    for f in glob.glob(src + "/p1/*"):
+        os.utime(f, (1_000_000_000, 1_000_000_000))
+    one_row_batch("/p2", "a", datetime(2024, 1, 1, 0, 0, 20),
+                  2_000_000_000)
+    one_row_batch("/p3", "z", datetime(2024, 1, 1, 6, 0, 0),
+                  3_000_000_000)
+    one_row_batch("/p4", "z", datetime(2024, 1, 1, 6, 30, 0),
+                  4_000_000_000)
 
     run_once()
     rows = spark.read.parquet(sink).collect()
