@@ -190,16 +190,28 @@ def main() -> None:
 
     # One sf1-scale flagship datapoint (≈710k turns at the default
     # sf0.1 bench): measures the 0.1→1 scale trend instead of
-    # extrapolating it. Generation time excluded; the plan is warm
-    # from the flagship runs above.
+    # extrapolating it. The corpus materializes to tmpfs parquet and
+    # the timed run reads those files — a .cache() here was eviction-
+    # prone after the full battery (observed 9 s vs 73 s run-to-run at
+    # steady CPU calibration) where the parquet source is stable.
+    # Generation/write time excluded; plan warm from the flagship.
+    import tempfile
+
     n_convs_sf1 = max(2_000, int(600_000 * sf))
-    big = transcripts_df(spark, n_convs=n_convs_sf1).cache()
-    n_turns_sf1 = big.count()
-    t0 = time.perf_counter()
-    materialize(extract_spans(big))
-    sf1_sec = time.perf_counter() - t0
-    timings["transcript_spans_sf1"] = round(sf1_sec, 3)
-    big.unpersist()
+    with tempfile.TemporaryDirectory(dir="/dev/shm") as tmp:
+        transcripts_df(spark, n_convs=n_convs_sf1) \
+            .write.mode("overwrite").parquet(f"{tmp}/sf1")
+        big = spark.read.parquet(f"{tmp}/sf1")
+        n_turns_sf1 = big.count()
+        materialize(extract_spans(big))  # warm the full path once
+        # best-of-2 (scaling_bench methodology): single timed runs on
+        # this box carry ±2x GC/JIT/host noise at this corpus size
+        sf1_sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(extract_spans(big))
+            sf1_sec = min(sf1_sec, time.perf_counter() - t0)
+        timings["transcript_spans_sf1"] = round(sf1_sec, 3)
 
     total = time.perf_counter() - total_start
     print(json.dumps({
