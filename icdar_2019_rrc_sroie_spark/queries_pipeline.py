@@ -447,10 +447,59 @@ def q_learned_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "line_idx")
 
 
+def q_detection_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 learned path end-to-end (rows-only: logistic scoring + NMS +
+    connector have no SQL form; held-out recall/precision ≥0.9 pinned
+    by tests/test_detect_learned.py): the committed ctpn_lite
+    checkpoint — real NumPy-trained anchor-scoring weights — broadcast
+    to executors, applied per Arrow batch over real BMP receipt pages,
+    then the standard decode→clip→filter→NMS→connector plan."""
+    import pandas as pd
+
+    from .operators.detect_learned import (
+        PAGE_H,
+        PAGE_W,
+        detect_lines_learned,
+        synth_page,
+    )
+    from .operators.multimodal import MEDIA_SCHEMA
+
+    def gen(batches):
+        from .operators.multimodal import encode_bmp
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                arr, _ = synth_page(d)
+                out.append({
+                    "media_id": f"g{d:06d}", "kind": "image",
+                    "payload": encode_bmp(arr),
+                    "meta": {"width": PAGE_W, "height": PAGE_H,
+                             "channels": 3, "sample_rate": None,
+                             "n_frames": None},
+                })
+            yield pd.DataFrame(out)
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    media = docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    lines = detect_lines_learned(media)
+    return lines.select(
+        "doc_id", "line_id",
+        F.round("xmin").cast("long").alias("x1"),
+        F.round("ymin").cast("long").alias("y1"),
+        F.round("xmax").cast("long").alias("x2"),
+        F.round("ymax").cast("long").alias("y2"),
+        F.floor(F.col("score") * 1e6 + 0.5).cast("long")
+        .alias("score_micro"),
+    ).orderBy("doc_id", "line_id")
+
+
 ROWS_ONLY_QUERIES = {
     "anchor_matching": (q_anchor_matching, SQL_ANCHOR_MATCHING),
     "raster_crop": (q_raster_crop, None),
     "learned_classifier": (q_learned_classifier, None),
+    "detection_learned": (q_detection_learned, None),
     "ivf_ann": (q_ivf_ann, None),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "nms": (q_nms, None),

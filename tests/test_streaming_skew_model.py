@@ -129,10 +129,13 @@ def test_sessionize_conversations_stateful(spark, tmp_path):
          "tool": None, "ts": datetime(2024, 1, 1, 6, 0, 0)},
     ])
     sdf1 = spark.createDataFrame(b1)
-    sdf1.write.parquet(src + "/p1")
+    # coalesce(1): one file per batch dir, so maxFilesPerTrigger=1
+    # yields exactly two micro-batches — a multi-part p1 would split
+    # into same-mtime micro-batches whose order ties nondeterministically
+    sdf1.coalesce(1).write.parquet(src + "/p1")
     stream = spark.readStream.schema(sdf1.schema) \
         .option("maxFilesPerTrigger", "1").parquet(src + "/*")
-    spark.createDataFrame(b2).write.parquet(src + "/p2")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(src + "/p2")
     # FileStreamSource orders micro-batches by file modification time;
     # sub-second writes can tie and flip the order, letting batch 2's
     # event time advance the watermark past batch 1 (sessions dropped
