@@ -91,6 +91,22 @@ def bench_dedup_shared(spark, sf_dir: str, timings: dict[str, float]) -> None:
     cands.unpersist()
     release_indexes()
 
+    # pairs -> clusters -> canonical: hash-min connected components over
+    # the full-corpus candidate set (the keep-decision a dedup pipeline
+    # materializes after candidate generation)
+    full_cands = minhash_candidates(corpus, num_hashes=4,
+                                    rows_per_band=2).persist()
+    materialize(full_cands)
+    t0 = time.perf_counter()
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        connected_components,
+    )
+
+    materialize(connected_components(full_cands))
+    timings["dedup_clusters"] = round(time.perf_counter() - t0, 3)
+    full_cands.unpersist()
+    release_indexes()
+
 
 def bench_embedding_kernels(spark, sf_dir: str,
                             timings: dict[str, float]) -> None:

@@ -393,3 +393,100 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
         ensure_parallelism(df)
         .select(F.col(id_col), F.explode(fps).alias("fp"))
     )
+
+
+def connected_components(edges: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """Connected components over an undirected pair list — the step
+    that turns near-dup PAIRS into dedup CLUSTERS (a MinHash/SimHash
+    candidate list is transitive only through its components: A~B and
+    B~C must collapse to one keep-decision even when A~C was never a
+    candidate pair).
+
+    Hash-min label propagation: every node starts labeled with its own
+    id; each round every node takes the min label across itself and
+    its neighbors; at fixpoint the label IS the component's minimum
+    node id (deterministic canonical representative for free). Each
+    round is one equi-join + one min-aggregate — both plain shuffles
+    on node id, no driver-side graph. Rounds needed = graph diameter.
+    Near-dup clusters are shallow (duplicates of common content link
+    through hub shinglings), so the fixpoint lands in a handful of
+    rounds; a pathological chain longer than ``max_iterations`` raises
+    rather than silently returning half-merged clusters (same
+    fail-loud policy as the LSH bucket-size guards). ``localCheckpoint``
+    truncates plan lineage per round — at cluster scale swap in a
+    reliable ``checkpoint`` dir so an executor loss cannot drop the
+    label table.
+
+    Convergence is detected by the label-sum invariant: labels only
+    ever decrease, so the per-round sum (exact DECIMAL(38,0) — no
+    long overflow at any corpus size) is strictly decreasing until
+    the fixpoint. One extra aggregate per round, no join.
+
+    Returns (node, component) for every node that appears in ``edges``
+    — singletons never enter a pair list and are their own canonical
+    by definition.
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionAll(edges.select(F.col(id_b).alias("u"),
+                               F.col(id_a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint()
+    )
+    dec = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(dec).collect()[0][0]
+    converged = prev_sum is None  # no edges -> nothing to propagate
+    for _ in range(max_iterations):
+        if converged:
+            break
+        msgs = sym.join(labels, sym["v"] == labels["node"]).select(
+            F.col("u").alias("node"), "lbl")
+        new = (
+            labels.unionAll(msgs)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        cur_sum = new.agg(dec).collect()[0][0]
+        labels = new
+        converged = cur_sum == prev_sum
+        prev_sum = cur_sum
+    if not converged:
+        raise ValueError(
+            f"connected_components: no fixpoint after {max_iterations} "
+            "rounds — component diameter exceeds the bound; raise "
+            "max_iterations (rounds are cheap) or switch to a "
+            "star-contraction variant for adversarially deep graphs")
+    sym.unpersist()
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", num_hashes: int = 8,
+                   rows_per_band: int = 2, k: int = 3,
+                   max_iterations: int = 25) -> DataFrame:
+    """End-to-end dedup decision: MinHash-LSH candidate pairs →
+    connected components → one canonical doc per cluster (the
+    component's min id — deterministic, no tie-break shuffle).
+
+    Output: (id, cluster_id, is_canonical) for every doc implicated in
+    at least one candidate pair; docs absent from the output are
+    singletons and kept by definition. Downstream keep-filter:
+    ``corpus.join(clusters.filter(~is_canonical), id, "left_anti")``.
+    """
+    cands = minhash_candidates(df, id_col, text_col, num_hashes,
+                               rows_per_band, k)
+    cc = connected_components(cands, max_iterations=max_iterations)
+    return cc.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

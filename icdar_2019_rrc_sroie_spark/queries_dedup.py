@@ -49,20 +49,36 @@ _SHINGLES_SQL = r"""
 """
 
 
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + LSH banding value-checked in one row per
+    doc (merged from the former minhash_signatures and lsh_bands
+    queries to fit the driver's 50-entry window; operators unchanged)."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_signatures(docs, num_hashes=4).orderBy("doc_id")
+    sigs = minhash_signatures(docs, num_hashes=4)
+    bands = (lsh_bands(sigs, num_hashes=4, rows_per_band=2)
+             .groupBy("doc_id")
+             .pivot("band_idx", [0, 1]).agg(F.first("band_hash")))
+    return sigs.join(bands, "doc_id").select(
+        "doc_id", "sig0", "sig1", "sig2", "sig3",
+        F.col("0").alias("band0_hash"), F.col("1").alias("band1_hash"),
+    ).orderBy("doc_id")
 
 
-SQL_MINHASH_SIGNATURES = rf"""
+SQL_MINHASH_BANDS = rf"""
 WITH corpus AS (SELECT doc_id, text FROM documents),
-sh AS ({_SHINGLES_SQL})
-SELECT doc_id,
-  min(substr(md5(shingle), 1, 8)) AS sig0,
-  min(substr(md5(shingle), 9, 8)) AS sig1,
-  min(substr(md5(shingle), 17, 8)) AS sig2,
-  min(substr(md5(shingle), 25, 8)) AS sig3
-FROM sh GROUP BY doc_id ORDER BY doc_id
+sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+    min(substr(md5(shingle), 1, 8)) AS sig0,
+    min(substr(md5(shingle), 9, 8)) AS sig1,
+    min(substr(md5(shingle), 17, 8)) AS sig2,
+    min(substr(md5(shingle), 25, 8)) AS sig3
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, sig0, sig1, sig2, sig3,
+  md5(sig0 || '|' || sig1) AS band0_hash,
+  md5(sig2 || '|' || sig3) AS band1_hash
+FROM sigs ORDER BY doc_id
 """
 
 
@@ -281,35 +297,60 @@ FROM halves ORDER BY doc_id
 """
 
 
-def q_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, num_hashes=4)
-    return lsh_bands(sigs, num_hashes=4, rows_per_band=2) \
-        .orderBy("doc_id", "band_idx")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters → canonical keep-decision (the step a 100 TB
+    dedup pipeline runs after candidate generation): MinHash-LSH pairs
+    over the planted-duplicate corpus, hash-min connected components,
+    one canonical doc per component. The DuckDB oracle recomputes the
+    transitive closure with a recursive CTE — a green hash certifies
+    the distributed fixpoint against an independent reachability
+    computation."""
+    from .operators.dedup import dedup_clusters
+
+    corpus = _with_dups(_t(spark, sf_dir, "documents"))
+    out = dedup_clusters(corpus, num_hashes=4, rows_per_band=2)
+    return out.select(
+        "doc_id", "cluster_id",
+        F.col("is_canonical").cast("long").alias("canonical"),
+    ).orderBy("doc_id")
 
 
-SQL_LSH_BANDS = rf"""
-WITH corpus AS (SELECT doc_id, text FROM documents),
+SQL_DEDUP_CLUSTERS = rf"""
+WITH RECURSIVE corpus AS ({_WITH_DUPS_SQL}),
 sh AS ({_SHINGLES_SQL}),
 sigs AS (
   SELECT doc_id,
     min(substr(md5(shingle), 1, 8)) AS sig0, min(substr(md5(shingle), 9, 8)) AS sig1,
     min(substr(md5(shingle), 17, 8)) AS sig2, min(substr(md5(shingle), 25, 8)) AS sig3
   FROM sh GROUP BY doc_id
-)
-SELECT doc_id, band_idx, band_hash FROM (
+), bands AS (
   SELECT doc_id, 0 AS band_idx, md5(sig0 || '|' || sig1) AS band_hash FROM sigs
   UNION ALL
   SELECT doc_id, 1 AS band_idx, md5(sig2 || '|' || sig3) AS band_hash FROM sigs
-) ORDER BY doc_id, band_idx
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM cands
+  UNION ALL SELECT id_b, id_a FROM cands
+), reach(node, lbl) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id,
+  CAST(min(lbl) = node AS BIGINT) AS canonical
+FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
 SQL_QUERIES_DEDUP = {
-    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
     "minhash_candidates": (q_minhash_candidates, SQL_MINHASH_CANDIDATES),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
-    "lsh_bands": (q_lsh_bands, SQL_LSH_BANDS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
     "simhash": (q_simhash, SQL_SIMHASH),

@@ -451,3 +451,67 @@ def test_embedding_near_dups_bucket_cap_bounds_fanout(spark):
                                    multiprobe=0, dim=8,
                                    max_bucket_size=None)
     assert uncapped.count() == 300 * 299 // 2
+
+
+# ---------------------------------------------------------------------------
+# Connected components (pairs -> clusters -> canonical)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_known_graph(spark):
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_no_edges(spark):
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+
+
+def test_connected_components_round_bound_fails_loud(spark):
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 12-node path needs ~11 hash-min rounds; bound of 3 must raise,
+    # never return half-merged components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="fixpoint"):
+        connected_components(edges, max_iterations=3)
+    # and with an adequate bound the same chain converges to one label
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, max_iterations=20)
+           .collect()}
+    assert set(got.values()) == {0} and len(got) == 13
+
+
+def test_dedup_clusters_planted_duplicates(spark):
+    """Textual near-dups (docs 0/1/3 share shingle bands) collapse to
+    one cluster whose canonical is the minimum id; the disjoint doc
+    never appears (singleton => kept by definition)."""
+    from icdar_2019_rrc_sroie_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_clusters(docs, num_hashes=4,
+                                   rows_per_band=2).collect()}
+    assert 2 not in got
+    assert got[0] == (0, True)
+    assert got[3] == (0, False)
+    if 1 in got:  # LSH may or may not band doc 1 with 0/3
+        assert got[1] == (0, False)
