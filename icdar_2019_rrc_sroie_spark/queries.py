@@ -334,25 +334,8 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
-# ---------------------------------------------------------------------------
-# A11 anti-join validation ("sample not present in GT")
-# ---------------------------------------------------------------------------
-
-
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    missing = orders.join(
-        li, orders.o_orderkey == li.l_orderkey, "left_anti"
-    )
-    return missing.select(F.col("o_orderkey")).orderBy("o_orderkey")
-
-
-SQL_ANTI_JOIN = """
-SELECT o_orderkey FROM orders
-WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
-ORDER BY o_orderkey
-"""
+# A11 anti-join validation now lives inside queries_clean.q_set_algebra
+# (round-3 merge to free driver-window slots; operator unchanged).
 
 # ---------------------------------------------------------------------------
 # Text analysis (merged driver rows, round 3 — see COVERAGE.md §2):
@@ -396,6 +379,122 @@ SELECT doc_id,
     AS BIGINT) AS n_bpe_tokens,
   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
 FROM toks ORDER BY doc_id
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF keyword extraction (training-data curation:
+    topic tagging / stopword discovery): tokenize → per-(doc, term) TF
+    → per-term document frequency → IDF → top-3 terms per doc.
+
+    Scale shape: two hash aggregations (term stats partial-agg
+    map-side) + one broadcast of the tiny corpus-size scalar + one
+    window top-k partitioned by doc — no self-joins, no collect. IDF
+    is quantized to integer micros BEFORE the TF multiply so the
+    ranking key is exact integer arithmetic in both engines."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    terms = docs.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    idf_micro = F.floor(
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) * 1e6 + 0.5
+    ).cast("long")
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "term", "tf", idf_micro.alias("idf_micro"))
+        .withColumn("score_micro", F.col("tf") * F.col("idf_micro"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("rnk").cast("long").alias("rnk"),
+                "term", "tf", "score_micro")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+SQL_TFIDF_TOPK = r"""
+WITH corpus AS (
+  SELECT doc_id,
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents WHERE doc_id < 300
+), terms AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM corpus
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    tf.tf * CAST(floor(ln(((SELECT COUNT(DISTINCT doc_id) FROM corpus) + 1.0)
+                          / (df.df + 1.0)) * 1e6 + 0.5) AS BIGINT) AS score_micro
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT doc_id, rnk, term, tf, score_micro FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS BIGINT) AS rnk
+  FROM scored
+) WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing (training-data curation: cap
+    every language at the rarest language's count, in expectation):
+    per-class counts → broadcast the tiny rates dim → keep a row iff
+    its portable content hash falls under the class rate. The md5
+    bucket is engine-independent, so the oracle reproduces the EXACT
+    row set — sampling without RNG state, reproducible at any scale
+    (the same technique as the IVF trainer's hash-threshold sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lang"))
+    min_n = counts.agg(F.min("n_lang").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "lang",
+        F.floor(F.col("min_n") * F.lit(1_000_000.0) / F.col("n_lang"))
+        .cast("long").alias("rate_ppm"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("d"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("long") % 1_000_000
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("rate_ppm"))
+        .select("doc_id", "lang", "bucket", "rate_ppm")
+        .orderBy("doc_id")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang,
+    CAST(floor((SELECT MIN(n_lang) FROM counts) * 1000000.0 / n_lang)
+         AS BIGINT) AS rate_ppm
+  FROM counts
+)
+SELECT doc_id, d.lang, bucket, rate_ppm FROM (
+  SELECT doc_id, lang,
+    CAST('0x' || substr(md5('d' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 1000000 AS bucket
+  FROM documents
+) d JOIN rates r ON d.lang = r.lang
+WHERE bucket < rate_ppm ORDER BY doc_id
 """
 
 
@@ -501,8 +600,9 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "mean_std": (q_mean_std, SQL_MEAN_STD),
     "class_weights": (q_class_weights, SQL_CLASS_WEIGHTS),
     "join_intersection": (q_join_intersection, SQL_JOIN_INTERSECTION),
-    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "doc_text_profile": (q_doc_text_profile, SQL_DOC_TEXT_PROFILE),
+    "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "text_quality_lang": (q_text_quality_lang, SQL_TEXT_QUALITY_LANG),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
 }

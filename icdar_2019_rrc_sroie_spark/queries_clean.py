@@ -221,28 +221,49 @@ FROM kept ORDER BY doc_id
 """
 
 
-def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 set operations: intersect / except / union over key sets."""
+def q_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations + A11 anti-join merged into one driver row
+    (round 3, to free window slots): intersect/except/union counts over
+    key sets AND the orders-without-lineitems anti-join ids, unioned as
+    (op, k) rows. Both operators unchanged."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     big = orders.filter(F.col("o_totalprice") > 150000) \
         .select("o_custkey").distinct()
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT") \
         .select("o_custkey").distinct()
-    return spark.createDataFrame(
-        [(big.intersect(urgent).count(),
-          big.subtract(urgent).count(),
-          big.union(urgent).distinct().count())],
-        "n_intersect long, n_except long, n_union long",
+
+    def tagged_count(df, tag):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("k")) \
+            .select(F.lit(tag).alias("op"), "k")
+
+    counts = (
+        tagged_count(big.intersect(urgent), "n_intersect")
+        .unionAll(tagged_count(big.subtract(urgent), "n_except"))
+        .unionAll(tagged_count(big.union(urgent).distinct(), "n_union"))
     )
+    anti = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).select(F.lit("anti_orderkey").alias("op"),
+             F.col("o_orderkey").cast("long").alias("k"))
+    return counts.unionAll(anti).orderBy("op", "k")
 
 
-SQL_SET_OPS = """
+SQL_SET_ALGEBRA = """
 WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000),
 urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
-SELECT
-  CAST((SELECT COUNT(*) FROM (SELECT * FROM big INTERSECT SELECT * FROM urgent)) AS BIGINT) AS n_intersect,
-  CAST((SELECT COUNT(*) FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent)) AS BIGINT) AS n_except,
-  CAST((SELECT COUNT(*) FROM (SELECT * FROM big UNION SELECT * FROM urgent)) AS BIGINT) AS n_union
+SELECT 'n_intersect' AS op,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM big INTERSECT SELECT * FROM urgent)) AS BIGINT) AS k
+UNION ALL
+SELECT 'n_except',
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent)) AS BIGINT)
+UNION ALL
+SELECT 'n_union',
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM big UNION SELECT * FROM urgent)) AS BIGINT)
+UNION ALL
+SELECT 'anti_orderkey', CAST(o_orderkey AS BIGINT) FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+ORDER BY op, k
 """
 
 
@@ -252,5 +273,5 @@ SQL_QUERIES_CLEAN = {
     "entity_json_roundtrip": (q_entity_json_roundtrip,
                               SQL_ENTITY_JSON_ROUNDTRIP),
     "page_header_strip": (q_page_header_strip, SQL_PAGE_HEADER_STRIP),
-    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "set_algebra": (q_set_algebra, SQL_SET_ALGEBRA),
 }

@@ -372,6 +372,15 @@ def q_best_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_meters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 + A10 merged into one driver row (round 3, to free window
+    slots): per user the final running-average meter state joined with
+    the best contiguous same-type run. Both operators unchanged."""
+    meter = q_avg_meter(spark, sf_dir)
+    span = q_best_span(spark, sf_dir)
+    return meter.join(span, "user_id").orderBy("user_id")
+
+
 SQL_BEST_SPAN = """
 WITH flagged AS (
   SELECT user_id, event_id, event_type, ts, value,
@@ -395,6 +404,16 @@ WITH flagged AS (
 SELECT user_id, run_id, event_type, run_len,
        CAST(floor(run_max*1e6+0.5) AS BIGINT) AS run_max_micro
 FROM ranked WHERE rk = 1 ORDER BY user_id
+"""
+
+
+SQL_EVENT_METERS = f"""
+WITH meter AS ({SQL_AVG_METER.replace("ORDER BY user_id", "")}),
+span AS ({SQL_BEST_SPAN.replace("ORDER BY user_id", "")})
+SELECT meter.user_id, running_sum_micro, running_n,
+       run_id, event_type, run_len, run_max_micro
+FROM meter JOIN span ON meter.user_id = span.user_id
+ORDER BY meter.user_id
 """
 
 # ---------------------------------------------------------------------------
@@ -595,8 +614,7 @@ SQL_QUERIES_GEO = {
     "box_encode_decode": (q_box_encode_decode, SQL_BOX_ENCODE_DECODE),
     "clip_split": (q_clip_split, SQL_CLIP_SPLIT),
     "total_lookback": (q_total_lookback, SQL_TOTAL_LOOKBACK),
-    "avg_meter": (q_avg_meter, SQL_AVG_METER),
-    "best_span": (q_best_span, SQL_BEST_SPAN),
+    "event_meters": (q_event_meters, SQL_EVENT_METERS),
     "confusion_f1": (q_confusion_f1, SQL_CONFUSION_F1),
     "charlm_encode": (q_charlm_encode, _sql_charlm_encode()),
 }

@@ -117,3 +117,32 @@ def sessionize_conversations(transcript_stream: DataFrame,
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_dedup(doc_stream: DataFrame,
+                    watermark: str = "10 minutes",
+                    id_col: str = "doc_id",
+                    text_col: str = "text",
+                    ts_col: str = "ts") -> DataFrame:
+    """Streaming exact dedup: emit only the first occurrence of each
+    normalized-content fingerprint (operators/dedup.py semantics) as
+    documents arrive.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on the
+    md5 fingerprint and evicts entries once the watermark passes —
+    bounded state (the batch groupBy's streaming analog), unlike a
+    plain ``dropDuplicates`` whose state grows without bound. Within
+    the watermark horizon a re-arriving duplicate is suppressed
+    regardless of micro-batch boundaries; after eviction a duplicate
+    would re-emit, which is exactly the documented horizon contract
+    (at 100 TB/day the horizon bounds state to the dedup window you
+    can afford, and the batch `dedup_clusters` pass catches the rest).
+    """
+    from ..operators.dedup import fingerprint
+
+    keyed = doc_stream.withColumn("fp", fingerprint(F.col(text_col)))
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select(id_col, "fp", ts_col, text_col)
+    )

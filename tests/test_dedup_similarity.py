@@ -515,3 +515,40 @@ def test_dedup_clusters_planted_duplicates(spark):
     assert got[3] == (0, False)
     if 1 in got:  # LSH may or may not band doc 1 with 0/3
         assert got[1] == (0, False)
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Seeded random graphs (mixed density, self-loops, duplicate and
+    reversed edges) against a straight union-find oracle."""
+    import numpy as np
+
+    def uf_components(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        seen = {u for e in edges for u in e}
+        comp = {}
+        for x in sorted(seen):
+            comp[x] = min(y for y in seen if find(y) == find(x))
+        return comp
+
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        connected_components,
+    )
+
+    for seed, n, m in ((0, 30, 20), (1, 60, 90), (2, 40, 40)):
+        rng = np.random.RandomState(seed)
+        edges = [(int(rng.randint(n)), int(rng.randint(n)))
+                 for _ in range(m)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["component"]
+               for r in connected_components(df, max_iterations=40)
+               .collect()}
+        assert got == uf_components(n, edges), f"seed={seed}"

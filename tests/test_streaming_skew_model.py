@@ -247,3 +247,51 @@ def test_sessionize_checkpoint_restart(spark, tmp_path):
     assert sessions["a"]["n_turns"] == 3
     assert sessions["a"]["n_tool_turns"] == 1
     assert sessions["a"]["last_ts"] == datetime(2024, 1, 1, 0, 0, 20)
+
+
+def test_streaming_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
+    """streaming_dedup: one emission per content fingerprint across
+    micro-batch boundaries; normalized (whitespace/case) variants
+    collapse; state is keyed on the fingerprint with watermark-bounded
+    eviction."""
+    import glob
+    import os
+    from datetime import datetime
+
+    import pandas as pd
+
+    from icdar_2019_rrc_sroie_spark.streaming.stream_extract import (
+        streaming_dedup,
+    )
+
+    src = str(tmp_path / "dedup_src")
+    b1 = pd.DataFrame([
+        {"doc_id": 1, "text": "hello world", "ts": datetime(2024, 1, 1, 0, 0, 0)},
+        {"doc_id": 2, "text": "HELLO   world", "ts": datetime(2024, 1, 1, 0, 0, 1)},
+        {"doc_id": 3, "text": "something else", "ts": datetime(2024, 1, 1, 0, 0, 2)},
+    ])
+    b2 = pd.DataFrame([
+        {"doc_id": 4, "text": "hello  WORLD", "ts": datetime(2024, 1, 1, 0, 1, 0)},
+        {"doc_id": 5, "text": "brand new doc", "ts": datetime(2024, 1, 1, 0, 1, 1)},
+    ])
+    sdf1 = spark.createDataFrame(b1)
+    sdf1.coalesce(1).write.parquet(src + "/p1")
+    stream = spark.readStream.schema(sdf1.schema) \
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(src + "/p2")
+    for d, ts in ((src + "/p1", 1_000_000_000), (src + "/p2", 2_000_000_000)):
+        for f in glob.glob(d + "/*"):
+            os.utime(f, (ts, ts))
+
+    q = (streaming_dedup(stream, watermark="10 minutes")
+         .writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(600)
+    rows = spark.sql("select * from dedup_stream").collect()
+    by_id = {r["doc_id"]: r["fp"] for r in rows}
+    # exactly one survivor per fingerprint: {1,2} collapse, 4 is a
+    # cross-batch duplicate of that fp (suppressed), 3 and 5 unique
+    assert len(rows) == 3
+    assert sorted(by_id) in ([1, 3, 5], [2, 3, 5])
+    assert 4 not in by_id
+    assert len({r["fp"] for r in rows}) == 3
