@@ -178,3 +178,31 @@ def test_adjust_annotations_broadcasts_offsets(spark):
                                     "media_id string, dx int, dy int")
     plan = _formatted_plan(adjust_annotations(annotations, offsets))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tfidf_pushdown_broadcast_and_topk_limit(spark):
+    """tfidf_topk's 100×-scale shape: the doc_id bound reaches the
+    parquet scan, the tiny term-df dim is broadcast (the tf fact never
+    re-shuffles for it), and Spark's WindowGroupLimit pushes the top-3
+    below the window exchange (partial top-k per map task)."""
+    from icdar_2019_rrc_sroie_spark.queries import q_tfidf_topk
+
+    plan = _formatted_plan(q_tfidf_topk(spark, "/root/testdata/sf0.001"))
+    assert "LessThan(doc_id,300)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_stratified_sample_fact_scan_joins_broadcast(spark):
+    """stratified_sample: the fact table takes exactly one pass and
+    meets the per-class rate dim through a broadcast hash join; its
+    only exchange is the final presentation sort. The counts subplans
+    read just the lang column (pruned scans)."""
+    from icdar_2019_rrc_sroie_spark.queries import q_stratified_sample
+
+    plan = _formatted_plan(q_stratified_sample(spark,
+                                               "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ReadSchema: struct<lang:string>" in plan
