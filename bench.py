@@ -76,13 +76,15 @@ def bench_dedup_shared(spark, sf_dir: str, timings: dict[str, float]) -> None:
 
     corpus = with_dups(docs.filter("doc_id < 6000"))
     t0 = time.perf_counter()
-    materialize(minhash_candidates(corpus, num_hashes=4, rows_per_band=2))
+    materialize(minhash_candidates(corpus, num_hashes=4, rows_per_band=2,
+                                   max_bucket_size=200))
     timings["minhash_candidates"] = round(time.perf_counter() - t0, 3)
     release_indexes()
 
     slice_corpus = with_dups(docs.filter("doc_id < 60"))
     cands = minhash_candidates(slice_corpus, num_hashes=4,
-                               rows_per_band=2).persist()
+                               rows_per_band=2,
+                               max_bucket_size=200).persist()
     materialize(cands)  # shared candidate set, excluded from the timing
     t0 = time.perf_counter()
     materialize(jaccard_pairs(slice_corpus, threshold=0.6,
@@ -95,7 +97,8 @@ def bench_dedup_shared(spark, sf_dir: str, timings: dict[str, float]) -> None:
     # the full-corpus candidate set (the keep-decision a dedup pipeline
     # materializes after candidate generation)
     full_cands = minhash_candidates(corpus, num_hashes=4,
-                                    rows_per_band=2).persist()
+                                    rows_per_band=2,
+                                    max_bucket_size=200).persist()
     materialize(full_cands)
     t0 = time.perf_counter()
     from icdar_2019_rrc_sroie_spark.operators.dedup import (

@@ -133,15 +133,33 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
 
 def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 8,
-                       rows_per_band: int = 2, k: int = 3) -> DataFrame:
+                       rows_per_band: int = 2, k: int = 3,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
 
     The bands table is persisted before the self-join — otherwise both
     join sides re-evaluate the full shingle+hash pipeline. At scale the
     bands table is the (small) index you would materialize anyway.
+
+    ``max_bucket_size`` is the fan-out guard (same policy as
+    simhash_near_dups / embedding_near_dups): a text repeated m times
+    puts m rows in one band bucket and the self-join emits Θ(m²) pairs
+    — measured 7k→172k candidates for a 4×-replicated corpus. Rows in
+    buckets above the cap are dropped before the join; identical-text
+    mass is exact_dedup/fingerprint's job, not LSH's.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
-    bands = track_persist(lsh_bands(sigs, id_col, num_hashes, rows_per_band))
+    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
+    if max_bucket_size is not None:
+        bucket_sz = F.count(F.lit(1)).over(
+            Window.partitionBy("band_idx", "band_hash")
+        )
+        bands = (
+            bands.withColumn("bucket_sz", bucket_sz)
+            .filter(F.col("bucket_sz") <= max_bucket_size)
+            .drop("bucket_sz")
+        )
+    bands = track_persist(bands)
     left = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -472,7 +490,8 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
 def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", num_hashes: int = 8,
                    rows_per_band: int = 2, k: int = 3,
-                   max_iterations: int = 25) -> DataFrame:
+                   max_iterations: int = 25,
+                   max_bucket_size: int | None = None) -> DataFrame:
     """End-to-end dedup decision: MinHash-LSH candidate pairs →
     connected components → one canonical doc per cluster (the
     component's min id — deterministic, no tie-break shuffle).
@@ -483,7 +502,7 @@ def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
     ``corpus.join(clusters.filter(~is_canonical), id, "left_anti")``.
     """
     cands = minhash_candidates(df, id_col, text_col, num_hashes,
-                               rows_per_band, k)
+                               rows_per_band, k, max_bucket_size)
     cc = connected_components(cands, max_iterations=max_iterations)
     return cc.select(
         F.col("node").alias(id_col),

@@ -85,7 +85,7 @@ FROM sigs ORDER BY doc_id
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _with_dups(_t(spark, sf_dir, "documents"))
     return minhash_candidates(
-        corpus, num_hashes=4, rows_per_band=2
+        corpus, num_hashes=4, rows_per_band=2, max_bucket_size=200
     ).orderBy("id_a", "id_b")
 
 
@@ -101,9 +101,13 @@ sigs AS (
   SELECT doc_id, 0 AS band_idx, md5(sig0 || '|' || sig1) AS band_hash FROM sigs
   UNION ALL
   SELECT doc_id, 1 AS band_idx, md5(sig2 || '|' || sig3) AS band_hash FROM sigs
+), gbands AS (
+  SELECT doc_id, band_idx, band_hash FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+    FROM bands) WHERE bsz <= 200
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b
+FROM gbands a JOIN gbands b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
 WHERE a.doc_id < b.doc_id
 ORDER BY id_a, id_b
@@ -114,7 +118,8 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-bounded verification: exact Jaccard only for pairs the
     MinHash-LSH stage proposed (never the full shingle self-join)."""
     corpus = _with_dups(_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60))
-    cands = minhash_candidates(corpus, num_hashes=4, rows_per_band=2)
+    cands = minhash_candidates(corpus, num_hashes=4, rows_per_band=2,
+                               max_bucket_size=200)
     out = jaccard_pairs(corpus, threshold=0.6, candidates=cands)
     return out.select(
         "id_a", "id_b",
@@ -140,9 +145,13 @@ sigs AS (
   SELECT doc_id, 0 AS band_idx, md5(sig0 || '|' || sig1) AS band_hash FROM sigs
   UNION ALL
   SELECT doc_id, 1 AS band_idx, md5(sig2 || '|' || sig3) AS band_hash FROM sigs
+), gbands AS (
+  SELECT doc_id, band_idx, band_hash FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+    FROM bands) WHERE bsz <= 200
 ), cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM gbands a JOIN gbands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
   WHERE a.doc_id < b.doc_id
 ),
@@ -308,7 +317,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import dedup_clusters
 
     corpus = _with_dups(_t(spark, sf_dir, "documents"))
-    out = dedup_clusters(corpus, num_hashes=4, rows_per_band=2)
+    out = dedup_clusters(corpus, num_hashes=4, rows_per_band=2,
+                         max_bucket_size=200)
     return out.select(
         "doc_id", "cluster_id",
         F.col("is_canonical").cast("long").alias("canonical"),
@@ -327,9 +337,13 @@ sigs AS (
   SELECT doc_id, 0 AS band_idx, md5(sig0 || '|' || sig1) AS band_hash FROM sigs
   UNION ALL
   SELECT doc_id, 1 AS band_idx, md5(sig2 || '|' || sig3) AS band_hash FROM sigs
+), gbands AS (
+  SELECT doc_id, band_idx, band_hash FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+    FROM bands) WHERE bsz <= 200
 ), cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM gbands a JOIN gbands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
   WHERE a.doc_id < b.doc_id
 ), edges AS (

@@ -552,3 +552,20 @@ def test_connected_components_random_graphs_vs_union_find(spark):
                for r in connected_components(df, max_iterations=40)
                .collect()}
         assert got == uf_components(n, edges), f"seed={seed}"
+
+
+def test_minhash_candidates_bucket_cap_bounds_fanout(spark):
+    """A text repeated m times emits Θ(m²) candidate pairs without the
+    guard; with max_bucket_size the degenerate bucket is dropped
+    entirely (identical-text mass belongs to exact_dedup)."""
+    rows = [(i, "the same boilerplate text repeated everywhere")
+            for i in range(40)] + [(100, "a genuinely different document here"),
+                                   (101, "a genuinely different document here!")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = minhash_candidates(docs, num_hashes=4, rows_per_band=2)
+    assert unguarded.count() >= 40 * 39 // 2
+    guarded = minhash_candidates(docs, num_hashes=4, rows_per_band=2,
+                                 max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert (100, 101) in got  # real near-dups survive
+    assert all(a >= 100 for a, _ in got)  # boilerplate bucket dropped
