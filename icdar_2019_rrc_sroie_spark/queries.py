@@ -392,16 +392,21 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window top-k partitioned by doc — no self-joins, no collect. IDF
     is quantized to integer micros BEFORE the TF multiply so the
     ranking key is exact integer arithmetic in both engines."""
+    from .operators.indexes import track_persist
+
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     terms = docs.select(
         "doc_id", F.explode(F.split(norm, " ")).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"))
+    # tf is the index both downstream aggregates consume — persist it
+    # once or the df branch re-runs the corpus explode (same policy as
+    # the LSH bands index)
+    tf = track_persist(terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")))
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
-    n_docs = docs.agg(
-        F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    n_docs = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"))
     idf_micro = F.floor(
         F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) * 1e6 + 0.5
     ).cast("long")
@@ -459,10 +464,12 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_lang"))
-    min_n = counts.agg(F.min("n_lang").alias("min_n"))
-    rates = counts.crossJoin(F.broadcast(min_n)).select(
+    # min over the (tiny) per-class agg via an unpartitioned window —
+    # one scan of the fact table total, no second counts subplan
+    min_n = F.min("n_lang").over(Window.partitionBy())
+    rates = counts.select(
         "lang",
-        F.floor(F.col("min_n") * F.lit(1_000_000.0) / F.col("n_lang"))
+        F.floor(min_n * F.lit(1_000_000.0) / F.col("n_lang"))
         .cast("long").alias("rate_ppm"),
     )
     bucket = (
