@@ -207,6 +207,14 @@ def main() -> None:
     bench_dedup_shared(spark, sf_dir, timings)
     bench_embedding_kernels(spark, sf_dir, timings)
 
+    # Learned detection path (U1 ctpn_lite): pages/s through BMP decode
+    # -> integral-image features -> broadcast-weights scoring -> raster
+    # regression -> NMS -> connector. Fixed 60-page batch (per-page
+    # kernel work dominates; corpus size is not the variable here).
+    t0 = time.perf_counter()
+    materialize(registry["detection_learned"](spark, sf_dir))
+    timings["detection_learned"] = round(time.perf_counter() - t0, 3)
+
     # One sf1-scale flagship datapoint (≈710k turns at the default
     # sf0.1 bench): measures the 0.1→1 scale trend instead of
     # extrapolating it. The corpus materializes to tmpfs parquet and

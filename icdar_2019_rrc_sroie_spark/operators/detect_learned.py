@@ -147,36 +147,71 @@ def anchor_features(arr: np.ndarray, boxes: np.ndarray) -> np.ndarray:
 def vertical_regression(arr: np.ndarray,
                         boxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(vc, vh) per anchor from the raster: the dark-row run nearest
-    the anchor center inside its x-strip, encoded with the reference's
-    X13 formula — the deterministic analog of CTPN's regression head."""
+    the anchor center inside its x-strip (nearest-row ties pick the
+    lower row), encoded with the reference's X13 formula — the
+    deterministic analog of CTPN's regression head.
+
+    All anchors sharing an x-strip (every height at one fx column) see
+    the same dark-row profile, so the profile, run extents, and
+    nearest-dark-row tables are computed ONCE per distinct strip in
+    vectorized NumPy; the per-anchor step is a constant-time gather.
+    Parity vs the straight per-anchor loop is pinned by
+    tests/test_detect_learned.py."""
     gray = to_gray(arr)
     h, w = gray.shape
     dark = gray < 128.0
     vc = np.zeros(len(boxes))
     vh = np.zeros(len(boxes))
-    for i, (bx1, by1, bx2, by2) in enumerate(boxes):
-        x1, x2 = int(max(bx1, 0)), int(min(np.ceil(bx2), w))
+
+    x1s = np.maximum(boxes[:, 0], 0).astype(int)
+    x2s = np.minimum(np.ceil(boxes[:, 2]), w).astype(int)
+    rows = np.arange(h)
+    profiles: dict[tuple[int, int], tuple | None] = {}
+    for i in range(len(boxes)):
+        key = (x1s[i], x2s[i])
+        if key in profiles:
+            continue
+        x1, x2 = key
         if x2 <= x1:
+            profiles[key] = None
             continue
         col = dark[:, x1:x2].mean(axis=1) > 0.5
         if not col.any():
+            profiles[key] = None
             continue
-        cy_anchor = (by1 + by2) / 2.0
-        center = int(np.clip(round(cy_anchor), 0, h - 1))
-        # nearest dark row to the anchor center, then expand to the run
-        dark_rows = np.nonzero(col)[0]
-        seed = dark_rows[np.abs(dark_rows - center).argmin()]
-        lo = hi = seed
-        while lo > 0 and col[lo - 1]:
-            lo -= 1
-        while hi < h - 1 and col[hi + 1]:
-            hi += 1
-        gt_ymin, gt_ymax = float(lo), float(hi)
-        ha = by2 - by1 + 1.0
-        cya = (by1 + by2) / 2.0
+        # run extents: lo[rid]/hi[rid] = first/last row of each dark run
+        starts = col & ~np.roll(col, 1)
+        starts[0] = col[0]
+        rid = np.cumsum(starts) * col  # run id per row, 0 for light rows
+        n_runs = int(rid.max()) + 1
+        dark_idx = rows[col]
+        lo = np.full(n_runs, h, dtype=np.int64)
+        hi = np.full(n_runs, -1, dtype=np.int64)
+        np.minimum.at(lo, rid[col], dark_idx)
+        np.maximum.at(hi, rid[col], dark_idx)
+        # nearest dark row per row (ties -> lower row)
+        prev = np.where(col, rows, -1)
+        prev = np.maximum.accumulate(prev)
+        nxt = np.where(col, rows, h * 2)
+        nxt = np.minimum.accumulate(nxt[::-1])[::-1]
+        use_prev = (prev >= 0) & ((rows - prev) <= (nxt - rows))
+        nearest = np.where(use_prev, prev, nxt)
+        profiles[key] = (rid, lo, hi, nearest)
+
+    cya = (boxes[:, 1] + boxes[:, 3]) / 2.0
+    centers = np.clip(np.round(cya).astype(int), 0, h - 1)
+    ha = boxes[:, 3] - boxes[:, 1] + 1.0
+    for i in range(len(boxes)):
+        prof = profiles[(x1s[i], x2s[i])]
+        if prof is None:
+            continue
+        rid, lo, hi, nearest = prof
+        seed = nearest[centers[i]]
+        r = rid[seed]
+        gt_ymin, gt_ymax = float(lo[r]), float(hi[r])
         cy = (gt_ymin + gt_ymax) / 2.0
-        vc[i] = (cy - cya) / ha
-        vh[i] = np.log((gt_ymax - gt_ymin + 1.0) / ha)
+        vc[i] = (cy - cya[i]) / ha[i]
+        vh[i] = np.log((gt_ymax - gt_ymin + 1.0) / ha[i])
     return vc, vh
 
 

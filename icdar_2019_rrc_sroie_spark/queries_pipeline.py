@@ -481,8 +481,12 @@ def q_detection_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 })
             yield pd.DataFrame(out)
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    media = docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    # explicit repartition: the 60-row scan otherwise collapses to ONE
+    # partition (AQE byte-based coalescing) and the CPU-bound raster
+    # kernel runs serially — same fix as entity_line_labels
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60) \
+        .select("doc_id").repartition(16, "doc_id")
+    media = docs.mapInPandas(gen, MEDIA_SCHEMA)
     lines = detect_lines_learned(media)
     return lines.select(
         "doc_id", "line_id",

@@ -195,3 +195,55 @@ def test_predictions_flow_through_broadcast_seam(spark):
                                    atol=1e-12)
         np.testing.assert_allclose(sub["vh"].to_numpy(), want_vh,
                                    atol=1e-12)
+
+
+def test_vertical_regression_matches_per_anchor_loop():
+    """The strip-vectorized regression must equal the straight
+    per-anchor loop (the formulation the docstring promises) on random
+    rasters — including nearest-row ties and all-light strips."""
+    def loop_oracle(arr, boxes):
+        from icdar_2019_rrc_sroie_spark.operators.multimodal import to_gray
+
+        gray = to_gray(arr)
+        h, w = gray.shape
+        dark = gray < 128.0
+        vc = np.zeros(len(boxes))
+        vh = np.zeros(len(boxes))
+        for i, (bx1, by1, bx2, by2) in enumerate(boxes):
+            x1, x2 = int(max(bx1, 0)), int(min(np.ceil(bx2), w))
+            if x2 <= x1:
+                continue
+            col = dark[:, x1:x2].mean(axis=1) > 0.5
+            if not col.any():
+                continue
+            center = int(np.clip(round((by1 + by2) / 2.0), 0, h - 1))
+            dark_rows = np.nonzero(col)[0]
+            seed = dark_rows[np.abs(dark_rows - center).argmin()]
+            lo = hi = seed
+            while lo > 0 and col[lo - 1]:
+                lo -= 1
+            while hi < h - 1 and col[hi + 1]:
+                hi += 1
+            ha = by2 - by1 + 1.0
+            cya = (by1 + by2) / 2.0
+            vc[i] = ((lo + hi) / 2.0 - cya) / ha
+            vh[i] = np.log((hi - lo + 1.0) / ha)
+        return vc, vh
+
+    boxes = anchor_boxes_np(FEAT_H, FEAT_W, DETECT_HEIGHTS)
+    for seed in (0, 5, 9):
+        rng = np.random.RandomState(seed)
+        # banded noise: dark rows in stripes + salt so runs/ties occur
+        arr = np.full((PAGE_H, PAGE_W, 3), 245, dtype=np.uint8)
+        for _ in range(6):
+            y = int(rng.randint(PAGE_H - 8))
+            arr[y:y + int(rng.randint(2, 9)), :, :] = 40
+        arr[rng.rand(PAGE_H, PAGE_W) < 0.02] = 60
+        got_vc, got_vh = vertical_regression(arr, boxes)
+        want_vc, want_vh = loop_oracle(arr, boxes)
+        np.testing.assert_allclose(got_vc, want_vc, atol=0)
+        np.testing.assert_allclose(got_vh, want_vh, atol=0)
+    # blank raster -> all zeros
+    blank = np.full((PAGE_H, PAGE_W, 3), 245, dtype=np.uint8)
+    vc, vh = vertical_regression(blank, boxes)
+    assert (vc == 0).all() and (vh == 0).all()
