@@ -146,3 +146,16 @@ def streaming_dedup(doc_stream: DataFrame,
         .dropDuplicatesWithinWatermark(["fp"])
         .select(id_col, "fp", ts_col, text_col)
     )
+
+
+def enrich_spans_stream(transcript_stream: DataFrame,
+                        label_dim: DataFrame) -> DataFrame:
+    """Stream-static join: streaming span rows enriched with a static
+    dimension table (per-label weights/config). Spark plans the static
+    side as a broadcast against every micro-batch — no state store, no
+    watermark needed; the dim is re-read per batch so a replaced
+    parquet dim takes effect on the next trigger. This is the
+    streaming analog of the batch plan's broadcast class-weights join
+    (A3)."""
+    spans = extract_spans_stateless(transcript_stream)
+    return spans.join(F.broadcast(label_dim), "label", "left")

@@ -295,3 +295,36 @@ def test_streaming_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
     assert sorted(by_id) in ([1, 3, 5], [2, 3, 5])
     assert 4 not in by_id
     assert len({r["fp"] for r in rows}) == 3
+
+
+def test_enrich_spans_stream_static_join(spark, tmp_path):
+    """Stream-static broadcast enrichment: every streamed span row
+    carries its label's static weight; labels missing from the dim
+    survive with null (left join)."""
+    from icdar_2019_rrc_sroie_spark.streaming.stream_extract import (
+        enrich_spans_stream,
+    )
+
+    src = str(tmp_path / "enrich_src")
+    transcripts_df(spark, n_convs=6).write.parquet(src)
+    dim = spark.createDataFrame(
+        [("date", 4.0), ("total", 9.0), ("company", 2.0)],
+        "label string, weight double")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = (enrich_spans_stream(stream, dim)
+         .writeStream.format("memory").queryName("enriched")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(600)
+    rows = spark.sql("select * from enriched").collect()
+    assert rows
+    weights = {"date": 4.0, "total": 9.0, "company": 2.0}
+    for r in rows:
+        assert r["weight"] == weights.get(r["label"]), r
+    # batch parity: same rows as the batch plan + batch join
+    from icdar_2019_rrc_sroie_spark.plans.extraction import extract_spans
+    from pyspark.sql import functions as F2
+
+    batch = extract_spans(spark.read.parquet(src)) \
+        .join(F2.broadcast(dim), "label", "left")
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, batch.collect()))
