@@ -131,6 +131,24 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
     ).select(id_col, "band.band_idx", "band.band_hash")
 
 
+def cap_buckets(df: DataFrame, keys: list[str],
+                max_bucket_size: int | None) -> DataFrame:
+    """Shared LSH fan-out guard: drop rows belonging to a bucket (one
+    distinct ``keys`` tuple) larger than the cap, BEFORE any self-join.
+    A bucket of m rows emits Θ(m²) candidate pairs; buckets past the
+    cap are degenerate mass (boilerplate, empty docs) whose dedup
+    belongs to exact_dedup. Used by minhash_candidates,
+    simhash_near_dups and similarity.embedding_near_dups."""
+    if max_bucket_size is None:
+        return df
+    bucket_sz = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    return (
+        df.withColumn("bucket_sz", bucket_sz)
+        .filter(F.col("bucket_sz") <= max_bucket_size)
+        .drop("bucket_sz")
+    )
+
+
 def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 8,
                        rows_per_band: int = 2, k: int = 3,
@@ -149,16 +167,8 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
     mass is exact_dedup/fingerprint's job, not LSH's.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
-    bands = lsh_bands(sigs, id_col, num_hashes, rows_per_band)
-    if max_bucket_size is not None:
-        bucket_sz = F.count(F.lit(1)).over(
-            Window.partitionBy("band_idx", "band_hash")
-        )
-        bands = (
-            bands.withColumn("bucket_sz", bucket_sz)
-            .filter(F.col("bucket_sz") <= max_bucket_size)
-            .drop("bucket_sz")
-        )
+    bands = cap_buckets(lsh_bands(sigs, id_col, num_hashes, rows_per_band),
+                        ["band_idx", "band_hash"], max_bucket_size)
     bands = track_persist(bands)
     left = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
@@ -339,16 +349,8 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     exploded = sigs.select(
         id_col, "simhash", F.explode(F.array(*words)).alias("wd")
     ).select(id_col, "simhash", "wd.word_idx", "wd.word")
-    if max_bucket_size is not None:
-        bucket_sz = F.count(F.lit(1)).over(
-            Window.partitionBy("word_idx", "word")
-        )
-        exploded = (
-            exploded.withColumn("bucket_sz", bucket_sz)
-            .filter(F.col("bucket_sz") <= max_bucket_size)
-            .drop("bucket_sz")
-        )
-    exploded = track_persist(exploded)
+    exploded = track_persist(
+        cap_buckets(exploded, ["word_idx", "word"], max_bucket_size))
     left = exploded.select(F.col(id_col).alias("id_a"),
                            F.col("simhash").alias("sig_a"),
                            "word_idx", "word")
@@ -446,12 +448,13 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     — singletons never enter a pair list and are their own canonical
     by definition.
     """
-    sym = (
+    # track_persist (not raw persist): release_indexes() frees the edge
+    # index even when the round bound raises below
+    sym = track_persist(
         edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .unionAll(edges.select(F.col(id_b).alias("u"),
                                F.col(id_a).alias("v")))
         .distinct()
-        .persist()
     )
     labels = (
         sym.select(F.col("u").alias("node"))
@@ -483,7 +486,7 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
             "rounds — component diameter exceeds the bound; raise "
             "max_iterations (rounds are cheap) or switch to a "
             "star-contraction variant for adversarially deep graphs")
-    sym.unpersist()
+    sym.unpersist()  # happy path frees eagerly; error path -> release_indexes
     return labels.select("node", F.col("lbl").alias("component"))
 
 

@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 from .multimodal import decode_payload, sobel_magnitude, to_gray
 
 #: Feature vector per anchor: [mean_gray/255, mean_sobel/255,
-#: dark_frac, anchor_h/64, 1-row-margin dark_frac] — see
+#: dark_frac, anchor_h/64, 2-px-margin dark_frac] — see
 #: anchor_features().
 N_FEATURES = 5
 
@@ -55,8 +55,9 @@ def synth_page(seed: int) -> tuple[np.ndarray, list[tuple[float, ...]]]:
     """Deterministic synthetic receipt page: white background, textured
     dark text-line bands at seed-dependent positions. Returns
     (uint8 HxWx3 array, list of gt line boxes xyxy). The same builder
-    feeds training (tools/train_ctpn_lite.py), the held-out tests, and
-    the ``detection_learned`` query — different seed ranges."""
+    feeds training (tools/train_ctpn_lite.py — EVEN seeds 0-94), the
+    held-out tests (ODD seeds), and the ``detection_learned`` query
+    (seeds 100-159, disjoint from training)."""
     rng = np.random.RandomState(seed)
     arr = np.full((PAGE_H, PAGE_W, 3), 245, dtype=np.uint8)
     boxes: list[tuple[float, ...]] = []
@@ -132,7 +133,7 @@ def anchor_features(arr: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     feats[:, 1] = box_sum(isob) / area / 255.0
     feats[:, 2] = box_sum(idark) / area
     feats[:, 3] = (boxes[:, 3] - boxes[:, 1]) / 64.0
-    # 1-row margins above+below: a well-fitted anchor has dark inside
+    # 2-px margins above+below: a well-fitted anchor has dark inside
     # but light margins — separates "contains a line" from "inside a
     # bigger blob"
     my1 = np.clip(y1 - 2, 0, h)

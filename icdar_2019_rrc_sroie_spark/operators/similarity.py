@@ -303,16 +303,10 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
         F.col(id_col), F.col(vec_col),
         sign_bucket_expr(F.col(vec_col), planes).alias("bucket"),
     )
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
+    from .dedup import cap_buckets
 
-        sz = F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-        bucketed = (
-            bucketed.withColumn("_sz", sz)
-            .filter(F.col("_sz") <= max_bucket_size)
-            .drop("_sz")
-        )
-    bucketed = track_persist(bucketed)
+    bucketed = track_persist(
+        cap_buckets(bucketed, ["bucket"], max_bucket_size))
 
     def pair_join(left, right, key):
         return (

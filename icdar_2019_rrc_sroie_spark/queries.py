@@ -441,7 +441,7 @@ WITH corpus AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
 ), scored AS (
   SELECT tf.doc_id, tf.term, tf.tf,
-    tf.tf * CAST(floor(ln(((SELECT COUNT(DISTINCT doc_id) FROM corpus) + 1.0)
+    tf.tf * CAST(floor(ln(((SELECT COUNT(DISTINCT doc_id) FROM tf) + 1.0)
                           / (df.df + 1.0)) * 1e6 + 0.5) AS BIGINT) AS score_micro
   FROM tf JOIN df ON tf.term = df.term
 )

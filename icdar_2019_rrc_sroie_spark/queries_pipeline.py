@@ -471,7 +471,8 @@ def q_detection_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                arr, _ = synth_page(d)
+                arr, _ = synth_page(d + 100)  # seeds 100-159: disjoint
+                # from training (even 0-94) and the tests (odd 1-39)
                 out.append({
                     "media_id": f"g{d:06d}", "kind": "image",
                     "payload": encode_bmp(arr),

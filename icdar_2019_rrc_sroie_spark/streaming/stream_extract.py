@@ -124,9 +124,10 @@ def streaming_dedup(doc_stream: DataFrame,
                     id_col: str = "doc_id",
                     text_col: str = "text",
                     ts_col: str = "ts") -> DataFrame:
-    """Streaming exact dedup: emit only the first occurrence of each
+    """Streaming exact dedup: emit ONE occurrence of each
     normalized-content fingerprint (operators/dedup.py semantics) as
-    documents arrive.
+    documents arrive — the within-batch survivor is arbitrary, like
+    batch dropDuplicates; only the fingerprint key is the contract.
 
     ``dropDuplicatesWithinWatermark`` keys the state store on the
     md5 fingerprint and evicts entries once the watermark passes —
