@@ -453,6 +453,68 @@ SELECT doc_id, rnk, term, tf, score_micro FROM (
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring (the CCNet-style filtering signal:
+    rank documents by their likelihood under a language model — here
+    the corpus's own unigram distribution, the built-in-only analog of
+    a wiki-LM perplexity filter): per doc the summed log-probability
+    of its tokens, where p(t) = corpus_count(t) / total_tokens.
+
+    Same scale shape as tfidf_topk: one persisted tf index feeding the
+    term-frequency dim (broadcast) and the total-count scalar; log-
+    probs are quantized to integer micros PER TERM before the weighted
+    sum, so the per-doc total is exact integer arithmetic in both
+    engines. Lower sum_lp per token = rarer vocabulary."""
+    from .operators.indexes import track_persist
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    terms = docs.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("term"))
+    tf = track_persist(terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")))
+    freq = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    lp_micro = F.floor(
+        F.log(F.col("cnt") / F.col("total")) * 1e6 + 0.5).cast("long")
+    scored = (
+        tf.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "tf", lp_micro.alias("lp_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("n_tokens"),
+             F.sum(F.col("tf") * F.col("lp_micro")).cast("long")
+             .alias("sum_lp_micro"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH corpus AS (
+  SELECT doc_id,
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents WHERE doc_id < 400
+), terms AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM corpus
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term
+), freq AS (
+  SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.tf,
+    CAST(floor(ln(freq.cnt / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM freq))
+               * 1e6 + 0.5) AS BIGINT) AS lp_micro
+  FROM tf JOIN freq ON tf.term = freq.term
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+  CAST(SUM(tf * lp_micro) AS BIGINT) AS sum_lp_micro
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic class rebalancing (training-data curation: cap
     every language at the rarest language's count, in expectation):
@@ -609,6 +671,7 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "join_intersection": (q_join_intersection, SQL_JOIN_INTERSECTION),
     "doc_text_profile": (q_doc_text_profile, SQL_DOC_TEXT_PROFILE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
+    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "text_quality_lang": (q_text_quality_lang, SQL_TEXT_QUALITY_LANG),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -93,6 +93,31 @@ FROM cut ORDER BY doc_id
 """
 
 
+def q_entity_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4 + X5 merged into one driver row (round 3, to free a
+    window slot): per doc the synthesized company line + clean_company
+    AND the synthesized address line + clean_address. Operators
+    unchanged."""
+    comp = q_company_clean(spark, sf_dir).select(
+        "doc_id", F.col("line").alias("company_line"),
+        F.col("cleaned").alias("company_cleaned"))
+    addr = q_address_clean(spark, sf_dir).select(
+        "doc_id", F.col("line").alias("address_line"),
+        F.col("cleaned").alias("address_cleaned"))
+    return comp.join(addr, "doc_id").orderBy("doc_id")
+
+
+SQL_ENTITY_CLEAN = f"""
+WITH comp AS ({SQL_COMPANY_CLEAN.replace("ORDER BY doc_id", "")}),
+addr AS ({SQL_ADDRESS_CLEAN.replace("ORDER BY doc_id", "")})
+SELECT comp.doc_id,
+  comp.line AS company_line, comp.cleaned AS company_cleaned,
+  addr.line AS address_line, addr.cleaned AS address_cleaned
+FROM comp JOIN addr ON comp.doc_id = addr.doc_id
+ORDER BY comp.doc_id
+"""
+
+
 def q_entity_sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11: per-doc entity JSON payload (fixed key order), engine-
     portable serialization checked value-for-value."""
@@ -268,8 +293,7 @@ ORDER BY op, k
 
 
 SQL_QUERIES_CLEAN = {
-    "company_clean": (q_company_clean, SQL_COMPANY_CLEAN),
-    "address_clean": (q_address_clean, SQL_ADDRESS_CLEAN),
+    "entity_clean": (q_entity_clean, SQL_ENTITY_CLEAN),
     "entity_json_roundtrip": (q_entity_json_roundtrip,
                               SQL_ENTITY_JSON_ROUNDTRIP),
     "page_header_strip": (q_page_header_strip, SQL_PAGE_HEADER_STRIP),
