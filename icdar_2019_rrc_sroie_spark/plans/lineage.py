@@ -215,3 +215,52 @@ def upsert_spans(spark: SparkSession, out_dir: str, snapshot_id: str,
     lineage.write.mode("append").parquet(_lineage_path(out_dir))
     merged.unpersist()
     return read_spans(spark, out_dir, snapshot_id)
+
+
+def compact_spans(spark: SparkSession, out_dir: str, snapshot_id: str,
+                  min_files: int = 2) -> int:
+    """Small-files maintenance — Iceberg's ``rewrite_data_files`` analog
+    for the spans store. Every committed bucket of ``snapshot_id`` that
+    holds ``min_files`` or more parquet files is rewritten as ONE file
+    (bucket-hash repartition: each bucket's rows land in exactly one
+    task, so dynamic overwrite emits exactly one file per partition
+    dir). Data is bit-identical by construction — the rewrite appends a
+    lineage row whose ``content_hash`` must equal the bucket's previous
+    hash, so the audit trail itself proves the compaction changed
+    layout, not content. Other snapshots' partitions are untouched
+    bytes (same dynamic-overwrite scoping as the resume/merge paths).
+
+    At 100 TB this is the nightly job that keeps streaming/incremental
+    commits from degrading scan parallelism bookkeeping (many tiny
+    files → driver-side listing pressure + tiny tasks).
+
+    Returns the number of buckets compacted.
+    """
+    import glob
+
+    base = os.path.join(_spans_path(out_dir), f"snapshot_id={snapshot_id}")
+    buckets = []
+    for d in glob.glob(os.path.join(base, "bucket=*")):
+        if len(glob.glob(os.path.join(d, "*.parquet"))) >= min_files:
+            buckets.append(int(d.rsplit("=", 1)[1]))
+    if not buckets:
+        return 0
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spans = (
+        spark.read.parquet(_spans_path(out_dir))
+        .filter((F.col("snapshot_id") == snapshot_id)
+                & F.col("bucket").isin(buckets))
+        .repartition(len(buckets), "bucket")
+        .persist()
+    )
+    spans.write.mode("overwrite").partitionBy("snapshot_id", "bucket") \
+        .parquet(_spans_path(out_dir))
+    lineage = spans.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("span_count"),
+        _content_hash(spans).alias("content_hash"),
+    ).withColumn("f1", F.lit(None).cast("double")) \
+        .withColumn("snapshot_id", F.lit(snapshot_id)) \
+        .select(*LINEAGE_COLS)
+    lineage.write.mode("append").parquet(_lineage_path(out_dir))
+    spans.unpersist()
+    return len(buckets)

@@ -159,3 +159,59 @@ def test_upsert_spans_bucket_scoped_merge(spark, tmp_path):
     counts = lin.groupby("bucket").size()
     for b in range(8):
         assert counts.get(b, 0) == (2 if b in touched else 1)
+
+
+def test_compact_spans_rewrites_layout_not_content(spark, tmp_path):
+    """rewrite_data_files analog: multi-file bucket partitions collapse
+    to one file each, read-back content is identical, the appended
+    lineage rows carry the SAME content_hash as the pre-compaction
+    commit, and a second snapshot's files keep their exact bytes."""
+    import glob
+    import os
+
+    from icdar_2019_rrc_sroie_spark.plans.lineage import compact_spans
+
+    out = str(tmp_path / "cp")
+    corpus_a = transcripts_df(spark, n_convs=N_CONVS, seed=42)
+    corpus_b = transcripts_df(spark, n_convs=N_CONVS, seed=77)
+    rows_a = _sorted_rows(run_with_resume(spark, corpus_a, out, "snapA",
+                                          n_buckets=4))
+    rows_b = _sorted_rows(run_with_resume(spark, corpus_b, out, "snapB",
+                                          n_buckets=4))
+
+    def bucket_files(snap):
+        return {
+            d: sorted(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(os.path.join(
+                out, "spans", f"snapshot_id={snap}", "bucket=*"))
+        }
+
+    before = bucket_files("snapA")
+    assert any(len(fs) >= 2 for fs in before.values()), \
+        "fixture too small: no multi-file bucket to compact"
+    b_stat = {f: os.stat(f).st_mtime_ns
+              for fs in bucket_files("snapB").values() for f in fs}
+    pre_hash = {
+        (r["bucket"]): r["content_hash"]
+        for r in lineage_table(spark, out)
+        .filter("snapshot_id = 'snapA'").collect()
+    }
+
+    n = compact_spans(spark, out, "snapA", min_files=2)
+    assert n == sum(len(fs) >= 2 for fs in before.values())
+
+    after = bucket_files("snapA")
+    for d, fs in after.items():
+        if len(before[d]) >= 2:
+            assert len(fs) == 1, (d, fs)
+    # content identical, other snapshot untouched bytes
+    assert _sorted_rows(read_spans(spark, out, "snapA")) == rows_a
+    assert _sorted_rows(read_spans(spark, out, "snapB")) == rows_b
+    assert {f: os.stat(f).st_mtime_ns
+            for fs in bucket_files("snapB").values() for f in fs} == b_stat
+    # the compaction lineage rows prove no content change
+    lin = lineage_table(spark, out).filter("snapshot_id = 'snapA'") \
+        .toPandas().groupby("bucket").content_hash.nunique()
+    assert (lin == 1).all(), lin
+    # idempotent: nothing left to compact
+    assert compact_spans(spark, out, "snapA", min_files=2) == 0
