@@ -75,3 +75,27 @@ def test_shift_boxes(spark):
     ).collect()[0]["b"][0]
     assert (got["xmin"], got["ymin"], got["xmax"], got["ymax"]) == \
         (11.0, 1.0, 13.0, 3.0)
+
+
+def test_stratified_sample_balances_classes(spark):
+    """Semantic property beyond the value oracle: the kept set's
+    per-language counts all land near the rarest language's count
+    (expectation min_n, binomial noise), and the sampler is
+    deterministic (same rows on a rerun)."""
+    from icdar_2019_rrc_sroie_spark.queries import q_stratified_sample
+
+    sf = "/root/testdata/sf0.01"
+    out = q_stratified_sample(spark, sf).toPandas()
+    full = spark.read.parquet(f"{sf}/documents.parquet") \
+        .groupBy("lang").count().toPandas().set_index("lang")["count"]
+    min_n = int(full.min())
+    kept = out.groupby("lang").size()
+    for lang, n in kept.items():
+        # 4-sigma binomial tolerance around min_n
+        sigma = (min_n * (1 - min_n / full[lang])) ** 0.5
+        assert abs(n - min_n) <= max(4 * sigma, 6), (lang, n, min_n)
+    # the rarest class is kept (almost) whole; the largest is cut hard
+    assert kept[full.idxmin()] >= min_n - 2
+    assert kept[full.idxmax()] <= full.max() * 0.5
+    again = q_stratified_sample(spark, sf).toPandas()
+    assert out.equals(again)
