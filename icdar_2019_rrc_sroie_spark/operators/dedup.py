@@ -434,10 +434,11 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     through hub shinglings), so the fixpoint lands in a handful of
     rounds; a pathological chain longer than ``max_iterations`` raises
     rather than silently returning half-merged clusters (same
-    fail-loud policy as the LSH bucket-size guards). ``localCheckpoint``
-    truncates plan lineage per round — at cluster scale swap in a
-    reliable ``checkpoint`` dir so an executor loss cannot drop the
-    label table.
+    fail-loud policy as the LSH bucket-size guards). Plan lineage is
+    truncated per round: via reliable ``checkpoint`` when the session
+    has a checkpoint dir configured (executor loss cannot drop the
+    label table — set ``spark.sparkContext.setCheckpointDir`` on real
+    clusters), else ``localCheckpoint`` (fine for local mode).
 
     Convergence is detected by the label-sum invariant: labels only
     ever decrease, so the per-round sum (exact DECIMAL(38,0) — no
@@ -456,11 +457,15 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                                F.col(id_a).alias("v")))
         .distinct()
     )
-    labels = (
+    reliable = edges.sparkSession.sparkContext.getCheckpointDir() is not None
+
+    def _ckpt(df):
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
+    labels = _ckpt(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("lbl"))
-        .localCheckpoint()
     )
     dec = F.sum(F.col("lbl").cast("decimal(38,0)"))
     prev_sum = labels.agg(dec).collect()[0][0]
@@ -470,11 +475,10 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
             break
         msgs = sym.join(labels, sym["v"] == labels["node"]).select(
             F.col("u").alias("node"), "lbl")
-        new = (
+        new = _ckpt(
             labels.unionAll(msgs)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
         )
         cur_sum = new.agg(dec).collect()[0][0]
         labels = new

@@ -569,3 +569,45 @@ def test_minhash_candidates_bucket_cap_bounds_fanout(spark):
     got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
     assert (100, 101) in got  # real near-dups survive
     assert all(a >= 100 for a, _ in got)  # boilerplate bucket dropped
+
+
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    """With a checkpoint dir configured the fixpoint loop uses reliable
+    checkpoints (cluster-safe lineage truncation) and produces the same
+    components."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  "id_a long, id_b long")
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        connected_components,
+    )
+
+    want = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    # NOTE: Spark has no unset API for the checkpoint dir — it stays
+    # configured for the rest of the session, which is harmless (later
+    # CC calls just keep using reliable checkpoints under tmp_path).
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == want == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_keep_filter_removes_all_candidate_pairs(spark):
+    """The documented keep-filter (anti-join on non-canonical ids)
+    leaves a corpus with ZERO surviving candidate pairs: every pair
+    lives inside one cluster with exactly one canonical, so at least
+    one side of each pair is dropped."""
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_candidates,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    clusters = dedup_clusters(docs, num_hashes=4, rows_per_band=2)
+    kept = docs.join(
+        clusters.filter(~F.col("is_canonical")).select("doc_id"),
+        "doc_id", "left_anti")
+    survivors = minhash_candidates(kept, num_hashes=4, rows_per_band=2)
+    assert survivors.count() == 0
+    # and at least the canonical of the big cluster survived
+    assert 0 in {r["doc_id"] for r in kept.collect()}
