@@ -215,3 +215,36 @@ def strip_repeated_page_lines(text: Column, min_pages: int = 2,
         F.transform(kept, lambda pls: F.array_join(pls, "\n")),
         PAGE_BREAK,
     )
+
+
+def dup_segment_fraction(text: Column, sep: str = r"\. ") -> Column:
+    """Gopher-style repetition signal: fraction of a document's
+    non-empty segments (sentence-ish, split on ``sep``) that are
+    duplicates of an earlier segment. 0 for an all-distinct doc,
+    → 1 for a loop of one sentence. Pure array algebra per row."""
+    segs = F.filter(
+        F.transform(F.split(text, sep), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0)
+    n = F.size(segs)
+    return F.when(n > 0,
+                  (n - F.size(F.array_distinct(segs))) / n) \
+        .otherwise(F.lit(0.0))
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Gopher-style repetition signal: the most frequent token bigram's
+    share of all bigrams. Catalyst HOFs only — per-doc O(u·n) in the
+    distinct-bigram count u, fine for document-bounded rows; a corpus
+    that needs sublinear per-doc work would explode bigrams to rows
+    and aggregate instead."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    bigrams = F.when(n >= 2, F.transform(
+        F.slice(toks, 1, n - 1),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    top = F.array_max(F.transform(
+        F.array_distinct(bigrams),
+        lambda d: F.size(F.filter(bigrams, lambda x: x == d))))
+    return F.when(F.size(bigrams) > 0,
+                  top / F.size(bigrams)).otherwise(F.lit(0.0))

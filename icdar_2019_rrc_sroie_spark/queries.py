@@ -568,8 +568,24 @@ WHERE bucket < rate_ppm ORDER BY doc_id
 
 
 def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality + lang-ID heuristics, extended (round 3) with the PII
+    scrub (operators/pii.py — counts + redacted text over a line with
+    planted contact details) and the Gopher-style repetition signals
+    (operators/boilerplate.py: duplicate-segment and top-bigram
+    fractions) — all value-checked in this one driver row."""
+    from .operators.boilerplate import (
+        dup_segment_fraction,
+        top_bigram_fraction,
+    )
+    from .operators.pii import email_count, phone_count, redact_pii
+
     docs = _t(spark, sf_dir, "documents")
     text = F.col("text")
+    pii_text = F.concat(
+        text, F.lit(" CONTACT d"), F.col("doc_id").cast("string"),
+        F.lit("@shop.example.com TEL 012-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("89"))
     n_chars = F.length(text)
     tokens = F.split(F.trim(text), r"\s+")
     n_tokens = F.size(tokens)
@@ -592,22 +608,35 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         _micro(stop_hits / n_tokens).alias("stop_ratio_micro"),
         quality.alias("is_quality"),
         F.col("lang"), pred.alias("pred_lang"), agree.alias("agree"),
+        email_count(pii_text).cast("long").alias("n_emails"),
+        phone_count(pii_text).cast("long").alias("n_phones"),
+        redact_pii(pii_text).alias("redacted"),
+        _micro(dup_segment_fraction(text)).alias("dup_seg_micro"),
+        _micro(top_bigram_fraction(text)).alias("top_bigram_micro"),
     ).orderBy("doc_id")
 
 
 SQL_TEXT_QUALITY_LANG = r"""
-WITH toks AS (
+WITH pii AS (
+  SELECT doc_id,
+    text || ' CONTACT d' || doc_id || '@shop.example.com TEL 012-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '89' AS pt
+  FROM documents
+), toks AS (
   SELECT doc_id, lang, n_chars, length(text) AS len_chars,
-         regexp_split_to_array(trim(text), '\s+') AS tokens
+         regexp_split_to_array(trim(text), '\s+') AS tokens,
+         regexp_split_to_array(trim(text), '\s+') AS btoks,
+         [x FOR x IN [trim(seg) FOR seg IN regexp_split_to_array(text, '\. ')]
+            IF length(x) > 0] AS segs
   FROM documents
 ), feat AS (
-  SELECT doc_id, lang, n_chars, len_chars,
+  SELECT doc_id, lang, n_chars, len_chars, btoks, segs,
          len(tokens) AS n_tokens,
          len(list_filter(tokens, t -> t IN ('the','a','of','and','is'))) AS stop_hits,
          len(list_filter(tokens, t -> t IN ('the','a','of','and'))) AS en_hits
   FROM toks
 )
-SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+SELECT f.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(stop_hits AS BIGINT) AS stop_hits,
   CAST(floor(CAST(stop_hits AS DOUBLE) / n_tokens * 1e6 + 0.5) AS BIGINT) AS stop_ratio_micro,
   CAST(CASE WHEN n_chars >= 100
@@ -617,8 +646,31 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
   lang,
   CASE WHEN CAST(en_hits AS DOUBLE)/n_tokens >= 0.02 THEN 'en' ELSE 'other' END AS pred_lang,
   CAST(CASE WHEN (CASE WHEN CAST(en_hits AS DOUBLE)/n_tokens >= 0.02 THEN 'en' ELSE 'other' END) = lang
-        THEN 1 ELSE 0 END AS INT) AS agree
-FROM feat ORDER BY doc_id
+        THEN 1 ELSE 0 END AS INT) AS agree,
+  CAST(len(regexp_extract_all(p.pt,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(
+    regexp_replace(p.pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+    '\+?\d[\d\- ]{7,}\d')) AS BIGINT) AS n_phones,
+  regexp_replace(
+    regexp_replace(p.pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+    '\+?\d[\d\- ]{7,}\d', '[PHONE]', 'g') AS redacted,
+  CAST(floor(CASE WHEN len(f.segs) > 0
+        THEN CAST(len(f.segs) - len(list_distinct(f.segs)) AS DOUBLE) / len(f.segs)
+        ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS dup_seg_micro,
+  CAST(floor(CASE WHEN len(f.btoks) >= 2
+        THEN CAST(list_max(
+               [len(list_filter(bg, x -> x = d)) FOR d IN list_distinct(bg)])
+             AS DOUBLE) / len(bg)
+        ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS top_bigram_micro
+FROM feat f
+JOIN pii p ON f.doc_id = p.doc_id
+CROSS JOIN LATERAL (SELECT
+  [f.btoks[i] || ' ' || f.btoks[i+1]
+   FOR i IN generate_series(1, greatest(len(f.btoks) - 1, 0))] AS bg) b
+ORDER BY f.doc_id
 """
 
 # ---------------------------------------------------------------------------

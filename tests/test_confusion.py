@@ -54,3 +54,67 @@ def test_filter_empty_regions(spark):
         " mean_intensity double, feature array<float>")
     kept = [r["media_id"] for r in filter_empty_regions(df).collect()]
     assert kept == ["a"]
+
+
+def test_pii_redaction_and_counts(spark):
+    """Planted emails/phones are counted and masked; clean text passes
+    through; a digit-bearing email local part never double-counts as a
+    phone (counts run on the email-redacted text)."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.pii import (
+        email_count,
+        phone_count,
+        redact_pii,
+    )
+
+    rows = [
+        (0, "write to a.b_9@mail.example.co or call 012-3456 789 now"),
+        (1, "no contact details in this line"),
+        (2, "user12345678@x.io"),  # digits in local part: email only
+        (3, "+60 12-345 6789 and second@x.org"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r for r in df.select(
+        "id",
+        email_count(F.col("t")).alias("e"),
+        phone_count(F.col("t")).alias("p"),
+        redact_pii(F.col("t")).alias("r"),
+    ).collect()}
+    assert (got[0]["e"], got[0]["p"]) == (1, 1)
+    assert got[0]["r"] == "write to [EMAIL] or call [PHONE] now"
+    assert (got[1]["e"], got[1]["p"]) == (0, 0)
+    assert got[1]["r"] == rows[1][1]
+    assert (got[2]["e"], got[2]["p"]) == (1, 0)
+    assert got[2]["r"] == "[EMAIL]"
+    assert (got[3]["e"], got[3]["p"]) == (1, 1)
+    assert got[3]["r"] == "[PHONE] and [EMAIL]"
+
+
+def test_repetition_metrics(spark):
+    """Gopher-style signals: an all-repeated doc scores dup fraction
+    3/4 and top-bigram dominance; a distinct doc scores 0/low."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.boilerplate import (
+        dup_segment_fraction,
+        top_bigram_fraction,
+    )
+
+    rows = [
+        (0, "buy now. buy now. buy now. buy now"),
+        (1, "first idea. second thought. third point"),
+        (2, "one"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r for r in df.select(
+        "id",
+        dup_segment_fraction(F.col("t")).alias("dup"),
+        top_bigram_fraction(F.col("t")).alias("big"),
+    ).collect()}
+    assert abs(got[0]["dup"] - 0.75) < 1e-9        # 4 segs, 1 distinct
+    # tokens: buy now. ×3 buy now → bigrams dominated by "now. buy"/"buy now."
+    assert got[0]["big"] >= 3 / 7 - 1e-9
+    assert got[1]["dup"] == 0.0
+    assert got[1]["big"] <= 0.5
+    assert got[2]["dup"] == 0.0 and got[2]["big"] == 0.0
