@@ -516,3 +516,37 @@ def dedup_clusters(df: DataFrame, id_col: str = "doc_id",
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+def decontaminate(corpus: DataFrame, eval_set: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  eval_text_col: str = "text", k: int = 8) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word ``k``-gram with an evaluation set (the standard pre-training
+    hygiene pass — eval questions quoted verbatim in a training doc
+    inflate benchmark scores).
+
+    The eval side is tiny by nature → its distinct k-gram hashes
+    broadcast into a semi-join against the corpus's exploded k-gram
+    hashes: one scan of the corpus, no shuffle of the corpus side
+    beyond the final per-doc count. Returns (id, n_hits) for
+    contaminated docs only; the keep-filter is a broadcast anti-join
+    on the result.
+    """
+    def gram_hashes(df, id_c, text_c):
+        grams = word_shingles(F.col(text_c), k)
+        return df.select(
+            F.col(id_c).alias("_id"),
+            F.explode(grams).alias("_gram"),
+        ).select("_id", F.xxhash64("_gram").alias("_gh"))
+
+    eval_hashes = (gram_hashes(eval_set, eval_set.columns[0],
+                               eval_text_col)
+                   .select("_gh").distinct())
+    corpus_hits = gram_hashes(corpus, id_col, text_col) \
+        .join(F.broadcast(eval_hashes), "_gh", "left_semi")
+    return (
+        corpus_hits.groupBy("_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .select(F.col("_id").alias(id_col), "n_hits")
+    )

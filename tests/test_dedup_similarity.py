@@ -611,3 +611,29 @@ def test_dedup_clusters_keep_filter_removes_all_candidate_pairs(spark):
     assert survivors.count() == 0
     # and at least the canonical of the big cluster survived
     assert 0 in {r["doc_id"] for r in kept.collect()}
+
+
+def test_decontaminate_flags_quoting_docs(spark):
+    """A doc quoting an eval question's 8-gram verbatim is flagged
+    with the right hit count; paraphrases and clean docs are not."""
+    from icdar_2019_rrc_sroie_spark.operators.dedup import decontaminate
+
+    eval_q = ("what is the capital of france and when was it founded "
+              "by whom exactly")
+    corpus = spark.createDataFrame([
+        (0, "intro text. " + eval_q + " more filler here."),   # verbatim
+        (1, "what is the capital city of france someone asked"),  # paraphrase
+        (2, "completely unrelated document about spark engines"),
+        (3, eval_q),                                            # exact
+    ], "doc_id long, text string")
+    evals = spark.createDataFrame([(100, eval_q)], "qid long, text string")
+    got = {r["doc_id"]: r["n_hits"]
+           for r in decontaminate(corpus, evals, k=8).collect()}
+    assert set(got) == {0, 3}
+    # 14-token question -> 7 8-grams, all present in both hits
+    assert got[3] == 7 and got[0] == 7
+    # keep-filter: broadcast anti-join removes exactly the flagged docs
+    kept = corpus.join(
+        spark.createDataFrame([(d,) for d in got], "doc_id long"),
+        "doc_id", "left_anti")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
