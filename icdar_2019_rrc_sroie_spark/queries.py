@@ -346,9 +346,17 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 
 def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import bpe_token_count
+    """Per-doc text profile; extended (round 3) with benchmark
+    decontamination hit counts: docs with doc_id % 97 == 3 play the
+    eval set, and every doc sharing one of their 8-grams carries its
+    hit count — the operator's broadcast semi-join, value-checked
+    (the oracle matches on gram STRINGS where the operator matches on
+    xxhash64(gram); identical results absent a 64-bit collision)."""
+    from .operators.dedup import bpe_token_count, decontaminate
 
     docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 97 == 3)         .select(F.col("doc_id").alias("qid"), "text")
+    hits = decontaminate(docs, eval_set, k=8)
     tokens = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(tokens).cast("long")
     n_uniq = F.size(F.array_distinct(tokens)).cast("long")
@@ -362,23 +370,42 @@ def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _micro(n_uniq / n_tokens).alias("ttr_micro"),
         bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
         F.md5(normalized).alias("fingerprint"),
-    ).orderBy("doc_id")
+    ).join(hits, "doc_id", "left") \
+        .withColumn("n_eval_hits",
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")) \
+        .drop("n_hits").orderBy("doc_id")
 
 
 SQL_DOC_TEXT_PROFILE = r"""
 WITH toks AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS tokens
   FROM documents
+), nt AS (
+  SELECT doc_id, regexp_split_to_array(
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '\s+') AS t
+  FROM documents
+), ng AS (
+  SELECT doc_id, unnest(
+    [t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+       ||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]
+     FOR i IN generate_series(1, greatest(len(t)-7, 0))]) AS g
+  FROM nt
+), ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 3),
+hits AS (
+  SELECT ng.doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits
+  FROM ng JOIN ev ON ng.g = ev.g GROUP BY ng.doc_id
 )
-SELECT doc_id,
+SELECT toks.doc_id,
   CAST(len(tokens) AS BIGINT) AS n_tokens,
   CAST(len(list_distinct(tokens)) AS BIGINT) AS n_uniq,
   CAST(length(text) AS BIGINT) AS n_chars_actual,
   CAST(floor(CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) * 1e6 + 0.5) AS BIGINT) AS ttr_micro,
   CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
     AS BIGINT) AS n_bpe_tokens,
-  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-FROM toks ORDER BY doc_id
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+  COALESCE(hits.n_eval_hits, 0) AS n_eval_hits
+FROM toks LEFT JOIN hits ON toks.doc_id = hits.doc_id
+ORDER BY toks.doc_id
 """
 
 
