@@ -118,3 +118,41 @@ def test_repetition_metrics(spark):
     assert got[1]["dup"] == 0.0
     assert got[1]["big"] <= 0.5
     assert got[2]["dup"] == 0.0 and got[2]["big"] == 0.0
+
+
+def test_pii_matches_python_re_on_random_text(spark):
+    """Engine-parity property: Spark's Java-regex counts/redaction
+    equal Python re on 200 randomized texts mixing pii-ish fragments
+    (same pattern strings, all lookahead-free)."""
+    import re
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.pii import (
+        EMAIL_PATTERN,
+        PHONE_PATTERN,
+        email_count,
+        phone_count,
+        redact_pii,
+    )
+
+    rng = np.random.RandomState(23)
+    frags = ["call 012-345 6789", "a@b.io", "x.y+z@mail.example.com",
+             "no digits here", "9", "+60 123456789", "a@b", "12.50",
+             "tel:", "@", "user_1@sub.domain.org", "1 2 3 4 5 6 7 8 9"]
+    texts = [" ".join(frags[i] for i in rng.randint(0, len(frags), 4))
+             for _ in range(200)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, t string")
+    got = {r["id"]: r for r in df.select(
+        "id", email_count(F.col("t")).alias("e"),
+        phone_count(F.col("t")).alias("p"),
+        redact_pii(F.col("t")).alias("r")).collect()}
+    for i, t in enumerate(texts):
+        want_e = len(re.findall(EMAIL_PATTERN, t))
+        t1 = re.sub(EMAIL_PATTERN, "[EMAIL]", t)
+        want_p = len(re.findall(PHONE_PATTERN, t1))
+        want_r = re.sub(PHONE_PATTERN, "[PHONE]", t1)
+        assert (got[i]["e"], got[i]["p"], got[i]["r"]) == \
+            (want_e, want_p, want_r), (i, t)

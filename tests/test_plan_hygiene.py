@@ -206,3 +206,16 @@ def test_stratified_sample_fact_scan_joins_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ReadSchema: struct<lang:string>" in plan
+
+
+def test_decontaminate_broadcast_semi_join(spark):
+    """The eval probe must reach the corpus as a broadcast LEFT SEMI
+    join — the corpus side never shuffles for the probe."""
+    from icdar_2019_rrc_sroie_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    evals = docs.filter(F.col("doc_id") % 97 == 3) \
+        .select(F.col("doc_id").alias("qid"), "text")
+    plan = _formatted_plan(decontaminate(docs, evals, k=8))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
