@@ -435,10 +435,12 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     rounds; a pathological chain longer than ``max_iterations`` raises
     rather than silently returning half-merged clusters (same
     fail-loud policy as the LSH bucket-size guards). Plan lineage is
-    truncated per round: via reliable ``checkpoint`` when the session
-    has a checkpoint dir configured (executor loss cannot drop the
-    label table — set ``spark.sparkContext.setCheckpointDir`` on real
-    clusters), else ``localCheckpoint`` (fine for local mode).
+    truncated per round: when the session has a checkpoint dir
+    configured (``setCheckpointDir`` on real clusters) the label table
+    round-trips through two alternating parquet dirs under it —
+    executor loss cannot drop it, storage stays bounded at two copies,
+    and the stale copy is deleted on convergence; without one,
+    ``localCheckpoint`` (fine for local mode).
 
     Convergence is detected by the label-sum invariant: labels only
     ever decrease, so the per-round sum (exact DECIMAL(38,0) — no
@@ -457,10 +459,31 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
                                F.col(id_a).alias("v")))
         .distinct()
     )
-    reliable = edges.sparkSession.sparkContext.getCheckpointDir() is not None
+    spark = edges.sparkSession
+    ckpt_dir = spark.sparkContext.getCheckpointDir()
+    if ckpt_dir is not None:
+        # Reliable mode: label-table round trips through TWO alternating
+        # parquet dirs under the checkpoint dir — store-agnostic
+        # (HDFS/S3 via the Spark write path), bounded at two table
+        # copies during the run (df.checkpoint() files are never GC'd
+        # by default and would grow per round), and the write consumes
+        # the round's computation exactly once (no eager-checkpoint
+        # double job). The stale copy is deleted on convergence; the
+        # final labels stay backed by one dir under <ckpt>/cc-*.
+        import uuid
 
-    def _ckpt(df):
-        return df.checkpoint() if reliable else df.localCheckpoint()
+        base = f"{ckpt_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
+        state = {"round": 0}
+
+        def _ckpt(df):
+            p = f"{base}/round-{state['round'] % 2}"
+            df.write.mode("overwrite").parquet(p)
+            state["round"] += 1
+            return spark.read.parquet(p)
+    else:
+
+        def _ckpt(df):
+            return df.localCheckpoint()
 
     labels = _ckpt(
         sym.select(F.col("u").alias("node"))
@@ -491,6 +514,15 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
             "max_iterations (rounds are cheap) or switch to a "
             "star-contraction variant for adversarially deep graphs")
     sym.unpersist()  # happy path frees eagerly; error path -> release_indexes
+    if ckpt_dir is not None:
+        # drop the stale alternating copy (the slot the NEXT write
+        # would have used); the returned labels stay backed by the
+        # other one. Hadoop FS API -> works on local/HDFS/S3 alike.
+        stale = f"{base}/round-{state['round'] % 2}"
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(stale)
+        hpath.getFileSystem(spark._jsc.hadoopConfiguration()) \
+            .delete(hpath, True)
     return labels.select("node", F.col("lbl").alias("component"))
 
 
@@ -533,18 +565,16 @@ def decontaminate(corpus: DataFrame, eval_set: DataFrame,
     contaminated docs only; the keep-filter is a broadcast anti-join
     on the result.
     """
-    def gram_hashes(df, id_c, text_c):
-        grams = word_shingles(F.col(text_c), k)
+    def gram_hashes(df, text_c, *keep):
         return df.select(
-            F.col(id_c).alias("_id"),
-            F.explode(grams).alias("_gram"),
-        ).select("_id", F.xxhash64("_gram").alias("_gh"))
+            *keep, F.explode(word_shingles(F.col(text_c), k)).alias("_g")
+        ).select(*keep, F.xxhash64("_g").alias("_gh"))
 
-    eval_hashes = (gram_hashes(eval_set, eval_set.columns[0],
-                               eval_text_col)
-                   .select("_gh").distinct())
-    corpus_hits = gram_hashes(corpus, id_col, text_col) \
-        .join(F.broadcast(eval_hashes), "_gh", "left_semi")
+    eval_hashes = gram_hashes(eval_set, eval_text_col).distinct()
+    corpus_hits = gram_hashes(
+        corpus.select(F.col(id_col).alias("_id"), text_col),
+        text_col, "_id",
+    ).join(F.broadcast(eval_hashes), "_gh", "left_semi")
     return (
         corpus_hits.groupBy("_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))

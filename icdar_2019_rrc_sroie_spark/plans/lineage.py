@@ -234,15 +234,23 @@ def compact_spans(spark: SparkSession, out_dir: str, snapshot_id: str,
     commits from degrading scan parallelism bookkeeping (many tiny
     files → driver-side listing pressure + tiny tasks).
 
+    Bucket discovery goes through the scan itself (``input_file_name``
+    per row, distinct per bucket) — store-agnostic, so the job works
+    identically on local disk, HDFS, or S3 and never silently no-ops
+    on a remote store the driver's filesystem can't see.
+
     Returns the number of buckets compacted.
     """
-    import glob
-
-    base = os.path.join(_spans_path(out_dir), f"snapshot_id={snapshot_id}")
-    buckets = []
-    for d in glob.glob(os.path.join(base, "bucket=*")):
-        if len(glob.glob(os.path.join(d, "*.parquet"))) >= min_files:
-            buckets.append(int(d.rsplit("=", 1)[1]))
+    snap = spark.read.parquet(_spans_path(out_dir)) \
+        .filter(F.col("snapshot_id") == snapshot_id)
+    buckets = [
+        int(r["bucket"])
+        for r in snap.select("bucket", F.input_file_name().alias("f"))
+        .distinct().groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .filter(F.col("n_files") >= min_files)
+        .collect()
+    ]
     if not buckets:
         return 0
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

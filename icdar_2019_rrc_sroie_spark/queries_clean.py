@@ -29,6 +29,14 @@ _ADDRESS_CASES = [
 ]
 
 
+def _without_order(sql: str, clause: str = "ORDER BY doc_id") -> str:
+    """Strip the single trailing ORDER BY when embedding a standalone
+    oracle as a CTE — fails loudly if the clause count ever changes
+    (silent replace-all surgery on SQL text invites drift)."""
+    assert sql.count(clause) == 1, f"expected exactly one {clause!r}"
+    return sql.replace(clause, "")
+
+
 def _cases_sql(cases: list[str]) -> str:
     quoted = ", ".join("'" + c.replace("'", "''") + "'" for c in cases)
     return f"[{quoted}]"
@@ -108,8 +116,8 @@ def q_entity_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ENTITY_CLEAN = f"""
-WITH comp AS ({SQL_COMPANY_CLEAN.replace("ORDER BY doc_id", "")}),
-addr AS ({SQL_ADDRESS_CLEAN.replace("ORDER BY doc_id", "")})
+WITH comp AS ({_without_order(SQL_COMPANY_CLEAN)}),
+addr AS ({_without_order(SQL_ADDRESS_CLEAN)})
 SELECT comp.doc_id,
   comp.line AS company_line, comp.cleaned AS company_cleaned,
   addr.line AS address_line, addr.cleaned AS address_cleaned
@@ -165,7 +173,7 @@ def q_entity_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ENTITY_JSON_ROUNDTRIP = f"""
-WITH payloads AS ({SQL_ENTITY_SINK_JSON.replace("ORDER BY doc_id", "")})
+WITH payloads AS ({_without_order(SQL_ENTITY_SINK_JSON)})
 SELECT doc_id,
   submission,
   submission->>'company' AS company,

@@ -407,9 +407,16 @@ FROM ranked WHERE rk = 1 ORDER BY user_id
 """
 
 
+def _without_order(sql: str, clause: str = "ORDER BY user_id") -> str:
+    """Strip the single trailing ORDER BY when embedding a standalone
+    oracle as a CTE — fails loudly if the clause count ever changes."""
+    assert sql.count(clause) == 1, f"expected exactly one {clause!r}"
+    return sql.replace(clause, "")
+
+
 SQL_EVENT_METERS = f"""
-WITH meter AS ({SQL_AVG_METER.replace("ORDER BY user_id", "")}),
-span AS ({SQL_BEST_SPAN.replace("ORDER BY user_id", "")})
+WITH meter AS ({_without_order(SQL_AVG_METER)}),
+span AS ({_without_order(SQL_BEST_SPAN)})
 SELECT meter.user_id, running_sum_micro, running_n,
        run_id, event_type, run_len, run_max_micro
 FROM meter JOIN span ON meter.user_id = span.user_id
