@@ -13,10 +13,23 @@ only on candidates. Never a cross join.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .indexes import track_persist
+
+logger = logging.getLogger(__name__)
+
+# Memo for ensure_parallelism's width probe: df.rdd.getNumPartitions()
+# forces a plan→RDD conversion on the driver (no job, but repeated
+# analysis); one operator pipeline probes the same logical plan several
+# times (minhash → bands → jaccard all start from the same scan), so
+# the verdict is cached by (session, semantic hash). The memo only
+# decides whether to ADD a spreading repartition — a stale entry can
+# cost a redundant shuffle, never correctness.
+_WIDTH_MEMO: dict[tuple[int, int], bool] = {}
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -29,7 +42,18 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     already has ≥cores partitions and this is a no-op.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        key = (id(df.sparkSession), df.semanticHash())
+    except Exception:  # noqa: BLE001 — semanticHash unavailable: probe raw
+        key = None
+    narrow = _WIDTH_MEMO.get(key) if key is not None else None
+    if narrow is None:
+        narrow = df.rdd.getNumPartitions() < target
+        if key is not None:
+            if len(_WIDTH_MEMO) > 4096:
+                _WIDTH_MEMO.clear()
+            _WIDTH_MEMO[key] = narrow
+    if narrow:
         return df.repartition(target)
     return df
 
@@ -132,21 +156,34 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
 
 
 def cap_buckets(df: DataFrame, keys: list[str],
-                max_bucket_size: int | None) -> DataFrame:
+                max_bucket_size: int | None,
+                label: str = "cap_buckets") -> DataFrame:
     """Shared LSH fan-out guard: drop rows belonging to a bucket (one
     distinct ``keys`` tuple) larger than the cap, BEFORE any self-join.
     A bucket of m rows emits Θ(m²) candidate pairs; buckets past the
     cap are degenerate mass (boilerplate, empty docs) whose dedup
     belongs to exact_dedup. Used by minhash_candidates,
-    simhash_near_dups and similarity.embedding_near_dups."""
+    simhash_near_dups and similarity.embedding_near_dups.
+
+    No silent caps: the result is the index table the caller would
+    persist anyway, so the pre-cap index is persisted here (via
+    track_persist — release_indexes frees it) and the number of rows
+    the cap removes is counted against it and logged as a WARNING
+    when non-zero. With ``max_bucket_size=None`` the input is persisted
+    unchanged — either way the caller must NOT re-persist.
+    """
     if max_bucket_size is None:
-        return df
+        return track_persist(df)
     bucket_sz = F.count(F.lit(1)).over(Window.partitionBy(*keys))
-    return (
-        df.withColumn("bucket_sz", bucket_sz)
-        .filter(F.col("bucket_sz") <= max_bucket_size)
+    base = track_persist(df.withColumn("bucket_sz", bucket_sz))
+    n_dropped = base.filter(F.col("bucket_sz") > max_bucket_size).count()
+    if n_dropped:
+        logger.warning(
+            "%s: max_bucket_size=%d dropped %d index rows in "
+            "over-cap buckets (degenerate mass — identical-text dedup "
+            "belongs to exact_dedup)", label, max_bucket_size, n_dropped)
+    return base.filter(F.col("bucket_sz") <= max_bucket_size) \
         .drop("bucket_sz")
-    )
 
 
 def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -167,9 +204,11 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
     mass is exact_dedup/fingerprint's job, not LSH's.
     """
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    # cap_buckets persists the bands index (both join sides + the
+    # dropped-row audit count read it)
     bands = cap_buckets(lsh_bands(sigs, id_col, num_hashes, rows_per_band),
-                        ["band_idx", "band_hash"], max_bucket_size)
-    bands = track_persist(bands)
+                        ["band_idx", "band_hash"], max_bucket_size,
+                        label="minhash_candidates")
     left = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -349,8 +388,8 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     exploded = sigs.select(
         id_col, "simhash", F.explode(F.array(*words)).alias("wd")
     ).select(id_col, "simhash", "wd.word_idx", "wd.word")
-    exploded = track_persist(
-        cap_buckets(exploded, ["word_idx", "word"], max_bucket_size))
+    exploded = cap_buckets(exploded, ["word_idx", "word"],
+                           max_bucket_size, label="simhash_near_dups")
     left = exploded.select(F.col(id_col).alias("id_a"),
                            F.col("simhash").alias("sig_a"),
                            "word_idx", "word")
@@ -415,6 +454,139 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def winnow_fingerprint_positions(df: DataFrame, id_col: str = "doc_id",
+                                 text_col: str = "text", k: int = 5,
+                                 window: int = 4) -> DataFrame:
+    """Winnowing fingerprints WITH character positions: like
+    :func:`winnow_fingerprints` but each selected fingerprint carries
+    the 1-based start offset (in the canonical text) of the k-gram it
+    hashes — the piece span-level dedup needs that document-level
+    fingerprinting doesn't.
+
+    Per window the minimum gram hash is selected together with its
+    FIRST position in the window (``array_position`` — both engines
+    return the 1-based first match, so ties break identically).
+    Output: distinct (id, fp, pos) rows; docs shorter than ``k``
+    contribute nothing. Linear per document.
+    """
+    norm = normalized_text(F.col(text_col))
+    n = F.length(norm)
+    m = n - (k - 1)  # number of k-grams
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    n_windows = F.greatest(m - (window - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.struct(
+            F.array_min(F.slice(grams, j, window)).alias("fp"),
+            (j - 1 + F.array_position(
+                F.slice(grams, j, window),
+                F.array_min(F.slice(grams, j, window)))).alias("pos"),
+        ),
+    )
+    fps = F.when(n >= k, F.array_distinct(wins)) \
+        .otherwise(F.array().cast("array<struct<fp:bigint,pos:bigint>>"))
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(fps).alias("w"))
+        .select(id_col, F.col("w.fp").alias("fp"),
+                F.col("w.pos").alias("pos"))
+    )
+
+
+def dedup_spans(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", k: int = 20, window: int = 8,
+                gap: int | None = None) -> DataFrame:
+    """Substring-level dedup (remove-duplicated-passages): excise
+    passages that also appear in a lower-id document, keeping each
+    passage's single canonical copy — the within-document counterpart
+    of document-level dedup (pretraining pipelines run both: a doc
+    that survives near-dup filtering can still quote a boilerplate
+    paragraph thousands of other docs carry).
+
+    Mechanics: winnowing fingerprints with positions (any shared
+    substring of ≥ k+window-1 canonical chars shares a fingerprint) →
+    per-fingerprint canonical owner = min doc id → every fingerprint
+    occurrence in a NON-owner doc marks span [pos, pos+k-1] as
+    duplicated → per-doc interval merge with ``gap`` tolerance
+    (winnowing samples the duplicated region every ~window chars, so
+    nearby matched spans belong to one passage; default gap =
+    k + window) → the merged spans are cut out of the canonical text.
+
+    Scale shape: one linear fingerprint pass, one hash-agg (owner per
+    fp), one equi-join on fp (fan-out linear in occurrences — a
+    boilerplate fp shared by m docs joins m occurrence rows to one
+    owner row), one per-doc window for the interval merge, one join
+    back to the corpus on id. No self-join, nothing quadratic.
+
+    Returns one row per document that had at least one duplicated
+    span: (id, n_dup_spans, dup_chars, spans, redacted) where
+    ``spans`` is "s-e;s-e;…" over merged 1-based inclusive char
+    intervals of the canonical text and ``redacted`` is the canonical
+    text with those intervals removed.
+    """
+    if gap is None:
+        gap = k + window
+    occ = winnow_fingerprint_positions(df, id_col, text_col, k, window)
+    owners = occ.groupBy("fp").agg(F.min(id_col).alias("_owner"))
+    # occurrences in non-owner docs (doc > owner ⟹ the fp is shared
+    # with at least one other doc, or repeated inside this one with a
+    # lower-id twin — either way this doc's copy is not canonical)
+    dup = (
+        occ.join(owners, "fp")
+        .filter(F.col(id_col) > F.col("_owner"))
+        .select(id_col, F.col("pos").alias("s"),
+                (F.col("pos") + (k - 1)).alias("e"))
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dup.withColumn(
+        "_new", F.when(prev_max.isNull()
+                       | (F.col("s") > prev_max + gap), 1).otherwise(0))
+    islands = flagged.withColumn(
+        "_isl", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    merged = (
+        islands.groupBy(id_col, "_isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    ivs = (
+        merged.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs"))
+    )
+    norm = normalized_text(F.col(text_col))
+    n = F.length(norm)
+    joined = df.select(F.col(id_col), norm.alias("_nt"), n.alias("_n")) \
+        .join(ivs, id_col)
+    # complement segments: keep [1, s1-1], [e1+1, s2-1], …, [eL+1, n]
+    starts = F.concat(F.array(F.lit(1).cast("long")),
+                      F.transform("ivs", lambda iv: iv["e"] + 1))
+    ends = F.concat(F.transform("ivs", lambda iv: iv["s"] - 1),
+                    F.array(F.col("_n").cast("long")))
+    kept = F.zip_with(
+        starts, ends,
+        lambda s, e: F.col("_nt").substr(
+            s.cast("int"), F.greatest(e - s + 1, F.lit(0)).cast("int")))
+    return joined.select(
+        F.col(id_col),
+        F.size("ivs").cast("long").alias("n_dup_spans"),
+        F.aggregate("ivs", F.lit(0).cast("long"),
+                    lambda acc, iv: acc + (iv["e"] - iv["s"] + 1))
+        .alias("dup_chars"),
+        F.array_join(
+            F.transform("ivs",
+                        lambda iv: F.concat_ws("-", iv["s"], iv["e"])),
+            ";").alias("spans"),
+        F.concat_ws("", kept).alias("redacted"),
+    )
+
+
 def connected_components(edges: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iterations: int = 25) -> DataFrame:
@@ -439,8 +611,11 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     configured (``setCheckpointDir`` on real clusters) the label table
     round-trips through two alternating parquet dirs under it —
     executor loss cannot drop it, storage stays bounded at two copies,
-    and the stale copy is deleted on convergence; without one,
-    ``localCheckpoint`` (fine for local mode).
+    the stale copy is deleted on convergence, and the surviving label
+    dir is registered with ``indexes.track_scratch_dir`` so the
+    caller's next ``release_indexes()`` removes it entirely (no
+    unbounded cc-* accumulation across a long-lived session); without
+    one, ``localCheckpoint`` (fine for local mode).
 
     Convergence is detected by the label-sum invariant: labels only
     ever decrease, so the per-round sum (exact DECIMAL(38,0) — no
@@ -472,7 +647,14 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
         # final labels stay backed by one dir under <ckpt>/cc-*.
         import uuid
 
+        from .indexes import track_scratch_dir
+
         base = f"{ckpt_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
+        # deferred cleanup: the surviving label dir (and, on the error
+        # path, everything under cc-*) is deleted at the caller's next
+        # release_indexes() — long-lived sessions running many CC jobs
+        # no longer accumulate unbounded checkpoint storage
+        track_scratch_dir(spark, base)
         state = {"round": 0}
 
         def _ckpt(df):
@@ -517,12 +699,10 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     if ckpt_dir is not None:
         # drop the stale alternating copy (the slot the NEXT write
         # would have used); the returned labels stay backed by the
-        # other one. Hadoop FS API -> works on local/HDFS/S3 alike.
-        stale = f"{base}/round-{state['round'] % 2}"
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(stale)
-        hpath.getFileSystem(spark._jsc.hadoopConfiguration()) \
-            .delete(hpath, True)
+        # other one until release_indexes() deletes the whole cc-* dir.
+        from .indexes import _delete_path
+
+        _delete_path(spark, f"{base}/round-{state['round'] % 2}")
     return labels.select("node", F.col("lbl").alias("component"))
 
 
@@ -571,8 +751,13 @@ def decontaminate(corpus: DataFrame, eval_set: DataFrame,
         ).select(*keep, F.xxhash64("_g").alias("_gh"))
 
     eval_hashes = gram_hashes(eval_set, eval_text_col).distinct()
+    # ensure_parallelism: the corpus-side k-gram explode is the CPU-hot
+    # projection here; a narrow scan (small files, post-filter
+    # coalesce) would otherwise run it single-task (observed (0+1)/1
+    # stages at sf0.1 — every sibling operator already pre-spreads)
     corpus_hits = gram_hashes(
-        corpus.select(F.col(id_col).alias("_id"), text_col),
+        ensure_parallelism(corpus.select(F.col(id_col).alias("_id"),
+                                         text_col)),
         text_col, "_id",
     ).join(F.broadcast(eval_hashes), "_gh", "left_semi")
     return (

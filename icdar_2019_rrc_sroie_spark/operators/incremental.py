@@ -1,0 +1,133 @@
+"""Incremental (cross-snapshot) dedup.
+
+A 100-TB pipeline ingests snapshots continuously; deduping snapshot N
+against snapshots 1..N-1 must NOT rescan the accumulated corpus text
+(rescanning makes ingestion quadratic in corpus size). The persisted
+artifact is the MinHash-LSH **band index** — (id, band_idx, band_hash)
+rows, a small fraction of the text it summarizes — written per
+snapshot; new documents are banded once and equi-joined against the
+stored index. Only the index parquet is read for history
+(plan-asserted in tests/test_incremental.py), and each snapshot's
+index write is idempotent (dynamic partition overwrite of that
+snapshot's partition only).
+
+This is the incremental face of ``minhash_candidates``
+(operators/dedup.py): identical signatures/banding, so an index
+written by one is joinable by the other. The same structure maps to an
+Iceberg table partitioned by snapshot — see CATALOG.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import cap_buckets, lsh_bands, minhash_signatures
+
+INDEX_SCHEMA = "doc_id long, band_idx int, band_hash string, snapshot_id string"
+
+
+def _bands(df: DataFrame, id_col: str, text_col: str, num_hashes: int,
+           rows_per_band: int, k: int) -> DataFrame:
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    return lsh_bands(sigs, id_col, num_hashes, rows_per_band)
+
+
+def write_band_index(df: DataFrame, index_path: str, snapshot_id: str,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     num_hashes: int = 8, rows_per_band: int = 2,
+                     k: int = 3) -> int:
+    """Band the snapshot's documents and commit them to the index store
+    under ``snapshot_id``. Re-running the same snapshot replaces its
+    partition (dynamic overwrite) — idempotent ingestion. Appends one
+    lineage row (snapshot_id, n_docs, n_bands) to ``<index>/_lineage``.
+    Returns the number of band rows written."""
+    spark = df.sparkSession
+    bands = _bands(df, id_col, text_col, num_hashes, rows_per_band, k) \
+        .withColumn("snapshot_id", F.lit(snapshot_id))
+    bands.write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("snapshot_id") \
+        .parquet(f"{index_path}/bands")
+    stats = (
+        spark.read.parquet(f"{index_path}/bands")
+        .filter(F.col("snapshot_id") == snapshot_id)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"),
+             F.countDistinct(id_col).cast("long").alias("n_docs"))
+        .collect()[0]
+    )
+    spark.createDataFrame(
+        [(snapshot_id, stats["n_docs"], stats["n_bands"])],
+        "snapshot_id string, n_docs long, n_bands long",
+    ).write.mode("append").parquet(f"{index_path}/_lineage")
+    return int(stats["n_bands"])
+
+
+def read_band_index(spark: SparkSession, index_path: str,
+                    exclude_snapshot: str | None = None) -> DataFrame:
+    """The stored band index (all snapshots, optionally excluding one —
+    the snapshot currently being deduped). The snapshot filter is a
+    partition filter, pruned at scan time."""
+    idx = spark.read.parquet(f"{index_path}/bands")
+    if exclude_snapshot is not None:
+        idx = idx.filter(F.col("snapshot_id") != exclude_snapshot)
+    return idx
+
+
+def index_lineage(spark: SparkSession, index_path: str) -> DataFrame:
+    return spark.read.parquet(f"{index_path}/_lineage")
+
+
+def incremental_candidates(new_docs: DataFrame, index_path: str,
+                           snapshot_id: str, id_col: str = "doc_id",
+                           text_col: str = "text", num_hashes: int = 8,
+                           rows_per_band: int = 2, k: int = 3,
+                           max_bucket_size: int | None = None,
+                           include_new_pairs: bool = True) -> DataFrame:
+    """Candidate near-duplicate pairs for a NEW snapshot without
+    rescanning history: band the new docs once (persisted via
+    cap_buckets), then
+
+    * cross-snapshot: equi-join new bands against the STORED index of
+      prior snapshots on (band_idx, band_hash) — the corpus text of
+      those snapshots is never read;
+    * within-snapshot (``include_new_pairs``): the usual self-join of
+      the new bands.
+
+    Output: (id_a, id_b, src) with src ∈ {'cross', 'new'}; for cross
+    rows id_a is the new doc and id_b the stored doc (the stored side
+    is canonical by age — the keep-decision drops/links id_a); for new
+    rows id_a < id_b. ``max_bucket_size`` caps both the new-band
+    buckets and the stored-index buckets (cap_buckets logs any drops).
+    """
+    spark = new_docs.sparkSession
+    new_bands = cap_buckets(
+        _bands(new_docs, id_col, text_col, num_hashes, rows_per_band, k),
+        ["band_idx", "band_hash"], max_bucket_size,
+        label="incremental_candidates(new)")
+    stored = read_band_index(spark, index_path,
+                             exclude_snapshot=snapshot_id)
+    if max_bucket_size is not None:
+        stored = cap_buckets(stored, ["band_idx", "band_hash"],
+                             max_bucket_size,
+                             label="incremental_candidates(stored)")
+    left = new_bands.select(F.col(id_col).alias("id_a"),
+                            "band_idx", "band_hash")
+    right = stored.select(F.col(id_col).alias("id_b"),
+                          "band_idx", "band_hash")
+    cross = (
+        left.join(right, ["band_idx", "band_hash"])
+        .select("id_a", "id_b").distinct()
+        .withColumn("src", F.lit("cross"))
+    )
+    if not include_new_pairs:
+        return cross
+    right_new = new_bands.select(F.col(id_col).alias("id_b"),
+                                 "band_idx", "band_hash")
+    within = (
+        left.join(right_new, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .withColumn("src", F.lit("new"))
+    )
+    return cross.unionByName(within)

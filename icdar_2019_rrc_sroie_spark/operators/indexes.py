@@ -15,9 +15,10 @@ from __future__ import annotations
 
 import weakref
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 _TRACKED: list[weakref.ReferenceType] = []
+_TRACKED_PATHS: list[tuple[SparkSession, str]] = []
 
 
 def track_persist(df: DataFrame) -> DataFrame:
@@ -27,9 +28,27 @@ def track_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_scratch_dir(spark: SparkSession, path: str) -> None:
+    """Register a scratch directory (e.g. a connected-components
+    checkpoint label table under the session checkpoint dir) for
+    deletion at the next :func:`release_indexes`. DataFrames backed by
+    the path become invalid once released — same contract as persisted
+    indexes: release only after consuming results."""
+    _TRACKED_PATHS.append((spark, path))
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    # Hadoop FS API — works on local/HDFS/S3 alike, unlike shutil
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    hpath.getFileSystem(spark._jsc.hadoopConfiguration()) \
+        .delete(hpath, True)
+
+
 def release_indexes() -> int:
-    """Unpersist every still-alive tracked index table; returns the
-    number released. Safe to call repeatedly."""
+    """Unpersist every still-alive tracked index table and delete every
+    tracked scratch dir; returns the number of items released. Safe to
+    call repeatedly."""
     released = 0
     while _TRACKED:
         ref = _TRACKED.pop()
@@ -40,4 +59,11 @@ def release_indexes() -> int:
                 released += 1
             except Exception:  # session already stopped
                 pass
+    while _TRACKED_PATHS:
+        spark, path = _TRACKED_PATHS.pop()
+        try:
+            _delete_path(spark, path)
+            released += 1
+        except Exception:  # session already stopped
+            pass
     return released

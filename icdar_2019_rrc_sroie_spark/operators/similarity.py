@@ -288,7 +288,13 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
       than the cap before the self-join (bounded recall loss for a
       hard fan-out bound). Because every masked bucket is the union of
       exactly two full buckets, capping full buckets also bounds each
-      multiprobe join key at ``2*max_bucket_size`` rows.
+      multiprobe join key at ``2*max_bucket_size`` rows. Dropped rows
+      are always logged (WARNING) by ``cap_buckets`` — the cap is
+      never silent. The default differs from ``minhash_candidates``
+      (cap ``None``) deliberately: LSH bands are content-diverse while
+      sign buckets concentrate geometrically (a single dense embedding
+      region floods one bucket), so the embedding path ships with the
+      guard on.
     * ``log_candidates=True`` counts the deduped candidate set (one
       extra action over the persisted index) and logs it — the
       monitoring hook for skew triage on a real corpus.
@@ -305,8 +311,11 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     )
     from .dedup import cap_buckets
 
-    bucketed = track_persist(
-        cap_buckets(bucketed, ["bucket"], max_bucket_size))
+    # cap_buckets persists the index and logs any rows the cap drops
+    # (no silent caps — an over-cap bucket is exactly the mass a dedup
+    # pass targets, so its removal must be visible)
+    bucketed = cap_buckets(bucketed, ["bucket"], max_bucket_size,
+                           label="embedding_near_dups")
 
     def pair_join(left, right, key):
         return (

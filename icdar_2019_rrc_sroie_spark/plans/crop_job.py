@@ -85,13 +85,15 @@ def materialize_crops(spark: SparkSession, media: DataFrame,
     touching a payload byte. Returns (offsets, adjusted_annotations).
     """
     if not _committed(spark, out_dir, snapshot_id):
-        # dynamic partition overwrite: a re-run after a mid-job kill
-        # replaces this snapshot's partition instead of appending dupes
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
+        # dynamic partition overwrite (per-write option, not a session
+        # conf — a global setting would leak into later unrelated
+        # overwrites): a re-run after a mid-job kill replaces this
+        # snapshot's partition instead of appending dupes
         offsets = crop_offsets(media, width_threshold=width_threshold) \
             .withColumn("snapshot_id", F.lit(snapshot_id))
-        offsets.write.mode("overwrite").partitionBy("snapshot_id") \
+        offsets.write.mode("overwrite") \
+            .option("partitionOverwriteMode", "dynamic") \
+            .partitionBy("snapshot_id") \
             .parquet(_offsets_path(out_dir))
         committed_offsets = (
             spark.read.parquet(_offsets_path(out_dir))
@@ -99,7 +101,9 @@ def materialize_crops(spark: SparkSession, media: DataFrame,
         )
         adjusted = adjust_annotations(annotations, committed_offsets) \
             .withColumn("snapshot_id", F.lit(snapshot_id))
-        adjusted.write.mode("overwrite").partitionBy("snapshot_id") \
+        adjusted.write.mode("overwrite") \
+            .option("partitionOverwriteMode", "dynamic") \
+            .partitionBy("snapshot_id") \
             .parquet(_annotations_path(out_dir))
         # marker LAST: a kill between the writes re-runs the snapshot
         spark.createDataFrame([(snapshot_id,)], "snapshot_id string") \

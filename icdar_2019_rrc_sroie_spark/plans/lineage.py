@@ -40,6 +40,59 @@ def _spans_path(out_dir: str) -> str:
     return os.path.join(out_dir, "spans")
 
 
+def _meta_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "meta")
+
+
+def stored_n_buckets(spark: SparkSession, out_dir: str) -> int | None:
+    """The bucket modulus this store was written with (recorded by
+    ``run_with_resume``), or None for a store that predates the meta
+    table."""
+    try:
+        return int(spark.read.parquet(_meta_path(out_dir))
+                   .collect()[0]["n_buckets"])
+    except Exception:  # noqa: BLE001 — no meta yet
+        return None
+
+
+def _record_n_buckets(spark: SparkSession, out_dir: str,
+                      n_buckets: int) -> None:
+    """Pin the store's bucket modulus on first write; later writers
+    (resume, MERGE, compaction) must agree — a mismatched modulus
+    computes touched-bucket sets under the wrong hash and silently
+    skips corrections (round-3 ADVICE finding)."""
+    stored = stored_n_buckets(spark, out_dir)
+    if stored is None:
+        spark.createDataFrame([(int(n_buckets),)], "n_buckets int") \
+            .write.mode("overwrite").parquet(_meta_path(out_dir))
+    elif stored != n_buckets:
+        raise ValueError(
+            f"store {out_dir} was written with n_buckets={stored}, "
+            f"got {n_buckets}: refusing a mismatched bucket modulus")
+
+
+def _resolve_n_buckets(spark: SparkSession, out_dir: str,
+                       n_buckets: int | None) -> int:
+    stored = stored_n_buckets(spark, out_dir)
+    if stored is None:
+        if n_buckets is None:
+            raise ValueError(
+                f"store {out_dir} has no bucket-modulus meta and no "
+                "n_buckets was passed")
+        return n_buckets
+    if n_buckets is not None and n_buckets != stored:
+        raise ValueError(
+            f"store {out_dir} was written with n_buckets={stored}, "
+            f"got {n_buckets}: refusing a mismatched bucket modulus")
+    return stored
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    from ..operators.indexes import _delete_path
+
+    _delete_path(spark, path)
+
+
 def committed_buckets(spark: SparkSession, out_dir: str,
                       snapshot_id: str) -> set[int]:
     path = _lineage_path(out_dir)
@@ -98,10 +151,10 @@ def run_with_resume(spark: SparkSession, transcripts: DataFrame,
     invocation (bounded-work runs; also simulates a kill mid-job).
     When ``gt_entities`` is given, each lineage row carries the
     bucket's extraction F1 vs that reference (north-star metric)."""
+    _record_n_buckets(spark, out_dir, n_buckets)
     done = committed_buckets(spark, out_dir, snapshot_id)
     todo = sorted(set(range(n_buckets)) - done)
     if todo:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         chunk = len(todo) if buckets_per_commit is None else buckets_per_commit
         bucketed = with_bucket(transcripts, n_buckets)
         commits = 0
@@ -117,8 +170,13 @@ def run_with_resume(spark: SparkSession, transcripts: DataFrame,
             # only ever replaces THIS snapshot's partitions — another
             # snapshot's committed spans stay byte-identical (snapshot
             # time-travel, pinned by test_snapshot_time_travel)
+            # per-write dynamic overwrite (NOT a session conf — a
+            # session-global setting would silently change later
+            # unrelated static overwrites, round-3 ADVICE finding)
             spans.withColumn("snapshot_id", F.lit(snapshot_id)) \
-                .write.mode("overwrite").partitionBy("snapshot_id", "bucket") \
+                .write.mode("overwrite") \
+                .option("partitionOverwriteMode", "dynamic") \
+                .partitionBy("snapshot_id", "bucket") \
                 .parquet(_spans_path(out_dir))
             lineage = spans.groupBy("bucket").agg(
                 F.count(F.lit(1)).cast("long").alias("span_count"),
@@ -166,8 +224,48 @@ def lineage_table(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(_lineage_path(out_dir))
 
 
+def _staged_bucket_rewrite(spark: SparkSession, out_dir: str,
+                           snapshot_id: str, rewritten: DataFrame,
+                           repartition_buckets: int | None = None
+                           ) -> tuple[DataFrame, str]:
+    """Two-phase commit for a bucket rewrite (MERGE / compaction):
+    materialize the rewritten partitions to a staging dir FIRST, then
+    dynamic-overwrite the store from the staged files, then append the
+    lineage rows, then drop the staging dir.
+
+    Why: the naive read→overwrite-same-directory plan is lazy — tasks
+    read the very files the job commit is about to delete, so a
+    failure or executor retry during commit can permanently lose the
+    only copy of the rewritten buckets (round-3 ADVICE, medium). With
+    staging, the store's files are never the only copy while they are
+    being replaced: a crash before the final overwrite leaves the
+    store untouched; a crash DURING it leaves the staged copy on disk
+    (under ``<out_dir>/_staging/``) from which rerunning the overwrite
+    is safe. Staging is dropped only after the lineage append — the
+    commit's last step, same ordering as the resume path.
+
+    Returns ``(staged_df, staging_path)`` — the staged DataFrame is
+    file-backed, safe to aggregate for lineage after the overwrite;
+    the caller deletes ``staging_path`` as its final step.
+    """
+    import uuid
+
+    staging = os.path.join(out_dir, "_staging",
+                           f"{snapshot_id}-{uuid.uuid4().hex}")
+    rewritten.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    if repartition_buckets is not None:
+        staged = staged.repartition(repartition_buckets, "bucket")
+    staged.write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("snapshot_id", "bucket") \
+        .parquet(_spans_path(out_dir))
+    return spark.read.parquet(staging), staging
+
+
 def upsert_spans(spark: SparkSession, out_dir: str, snapshot_id: str,
-                 corrections: DataFrame, n_buckets: int = 16) -> DataFrame:
+                 corrections: DataFrame,
+                 n_buckets: int | None = None) -> DataFrame:
     """Iceberg-style MERGE INTO at bucket granularity: apply keyed
     span corrections ``(conv_id, turn_idx, label, corrected)`` to a
     committed snapshot, rewriting ONLY the buckets that contain a
@@ -176,12 +274,20 @@ def upsert_spans(spark: SparkSession, out_dir: str, snapshot_id: str,
     touched bucket appends a fresh lineage row, so the audit trail
     records the merge like any other commit.
 
+    The bucket modulus comes from the store's meta table (recorded at
+    first write) — a caller-supplied ``n_buckets`` is validated
+    against it and a mismatch raises instead of silently hashing
+    corrections into the wrong buckets. The rewrite goes through a
+    staging materialization (see :func:`_staged_bucket_rewrite`) so a
+    crash mid-commit can never lose the only copy of a bucket.
+
     On real Iceberg this is ``MERGE INTO spans USING corrections`` —
     copy-on-write at partition scope; here it is expressed over the
     same (snapshot_id, bucket)-partitioned parquet the resume path
     uses. Corrections are curated-small by nature → broadcast joins
     throughout, no shuffle of the spans side.
     """
+    n_buckets = _resolve_n_buckets(spark, out_dir, n_buckets)
     keys = ("conv_id", "turn_idx", "label")
     corr = with_bucket(
         corrections.select(*keys,
@@ -191,7 +297,6 @@ def upsert_spans(spark: SparkSession, out_dir: str, snapshot_id: str,
                for r in corr.select("bucket").distinct().collect()]
     if not touched:
         return read_spans(spark, out_dir, snapshot_id)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spans = (
         spark.read.parquet(_spans_path(out_dir))
         .filter((F.col("snapshot_id") == snapshot_id)
@@ -203,17 +308,16 @@ def upsert_spans(spark: SparkSession, out_dir: str, snapshot_id: str,
         .withColumn("text", F.coalesce(F.col("_corrected"), F.col("text")))
         .drop("_corrected")
     )
-    merged.persist()
-    merged.write.mode("overwrite").partitionBy("snapshot_id", "bucket") \
-        .parquet(_spans_path(out_dir))
-    lineage = merged.groupBy("bucket").agg(
+    staged, staging = _staged_bucket_rewrite(spark, out_dir, snapshot_id,
+                                             merged)
+    lineage = staged.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("span_count"),
-        _content_hash(merged).alias("content_hash"),
+        _content_hash(staged).alias("content_hash"),
     ).withColumn("f1", F.lit(None).cast("double")) \
         .withColumn("snapshot_id", F.lit(snapshot_id)) \
         .select(*LINEAGE_COLS)
     lineage.write.mode("append").parquet(_lineage_path(out_dir))
-    merged.unpersist()
+    _delete_dir(spark, staging)
     return read_spans(spark, out_dir, snapshot_id)
 
 
@@ -253,22 +357,24 @@ def compact_spans(spark: SparkSession, out_dir: str, snapshot_id: str,
     ]
     if not buckets:
         return 0
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spans = (
         spark.read.parquet(_spans_path(out_dir))
         .filter((F.col("snapshot_id") == snapshot_id)
                 & F.col("bucket").isin(buckets))
-        .repartition(len(buckets), "bucket")
-        .persist()
     )
-    spans.write.mode("overwrite").partitionBy("snapshot_id", "bucket") \
-        .parquet(_spans_path(out_dir))
-    lineage = spans.groupBy("bucket").agg(
+    # staging materialization (crash-safe rewrite, see
+    # _staged_bucket_rewrite) + bucket-hash repartition of the staged
+    # read so each bucket's rows land in one task → one file per
+    # partition dir after the dynamic overwrite
+    staged, staging = _staged_bucket_rewrite(
+        spark, out_dir, snapshot_id, spans,
+        repartition_buckets=len(buckets))
+    lineage = staged.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("span_count"),
-        _content_hash(spans).alias("content_hash"),
+        _content_hash(staged).alias("content_hash"),
     ).withColumn("f1", F.lit(None).cast("double")) \
         .withColumn("snapshot_id", F.lit(snapshot_id)) \
         .select(*LINEAGE_COLS)
     lineage.write.mode("append").parquet(_lineage_path(out_dir))
-    spans.unpersist()
+    _delete_dir(spark, staging)
     return len(buckets)

@@ -345,18 +345,14 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 # ---------------------------------------------------------------------------
 
 
-def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc text profile; extended (round 3) with benchmark
-    decontamination hit counts: docs with doc_id % 97 == 3 play the
-    eval set, and every doc sharing one of their 8-grams carries its
-    hit count — the operator's broadcast semi-join, value-checked
-    (the oracle matches on gram STRINGS where the operator matches on
-    xxhash64(gram); identical results absent a 64-bit collision)."""
-    from .operators.dedup import bpe_token_count, decontaminate
+def _doc_profile(docs: DataFrame) -> DataFrame:
+    """The profile-only projection (token stats / TTR / BPE-ish count /
+    fingerprint) — one codegen pass, no joins. Benched on its own as
+    ``doc_text_profile`` so its cost is legible round-over-round; the
+    decontamination semi-join is benched separately (round-4 split,
+    VERDICT r3 'What's wrong' #3)."""
+    from .operators.dedup import bpe_token_count
 
-    docs = _t(spark, sf_dir, "documents")
-    eval_set = docs.filter(F.col("doc_id") % 97 == 3)         .select(F.col("doc_id").alias("qid"), "text")
-    hits = decontaminate(docs, eval_set, k=8)
     tokens = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(tokens).cast("long")
     n_uniq = F.size(F.array_distinct(tokens)).cast("long")
@@ -370,7 +366,29 @@ def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _micro(n_uniq / n_tokens).alias("ttr_micro"),
         bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
         F.md5(normalized).alias("fingerprint"),
-    ).join(hits, "doc_id", "left") \
+    )
+
+
+def q_doc_text_profile_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the profile projection without the decontamination
+    join (the driver-checked query below keeps both merged)."""
+    return _doc_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text profile; extended (round 3) with benchmark
+    decontamination hit counts: docs with doc_id % 97 == 3 play the
+    eval set, and every doc sharing one of their 8-grams carries its
+    hit count — the operator's broadcast semi-join, value-checked
+    (the oracle matches on gram STRINGS where the operator matches on
+    xxhash64(gram); identical results absent a 64-bit collision)."""
+    from .operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 97 == 3) \
+        .select(F.col("doc_id").alias("qid"), "text")
+    hits = decontaminate(docs, eval_set, k=8)
+    return _doc_profile(docs).join(hits, "doc_id", "left") \
         .withColumn("n_eval_hits",
                     F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")) \
         .drop("n_hits").orderBy("doc_id")
@@ -480,18 +498,22 @@ SELECT doc_id, rnk, term, tf, score_micro FROM (
 """
 
 
-def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality scoring (the CCNet-style filtering signal:
     rank documents by their likelihood under a language model — here
-    the corpus's own unigram distribution, the built-in-only analog of
-    a wiki-LM perplexity filter): per doc the summed log-probability
-    of its tokens, where p(t) = corpus_count(t) / total_tokens.
+    the corpus's own n-gram distributions, the built-in-only analog of
+    a wiki-LM perplexity filter): per doc the summed unigram
+    log-probability p(t) = count(t)/total AND (round 4, CCNet
+    fidelity) the summed add-1-smoothed bigram log-probability
+    p(b|a) = (count(a b) + 1) / (count(a) + V).
 
-    Same scale shape as tfidf_topk: one persisted tf index feeding the
-    term-frequency dim (broadcast) and the total-count scalar; log-
-    probs are quantized to integer micros PER TERM before the weighted
-    sum, so the per-doc total is exact integer arithmetic in both
-    engines. Lower sum_lp per token = rarer vocabulary."""
+    Same scale shape as tfidf_topk, twice: a persisted per-doc n-gram
+    index, a hash-agg corpus-count dim joined back on the gram, and
+    broadcast scalars (total tokens, vocabulary size). Log-probs are
+    quantized to integer micros PER GRAM before the weighted sum, so
+    the per-doc totals are exact integer arithmetic in both engines.
+    Lower sum per token = rarer vocabulary/transitions."""
+    from .operators.dedup import word_shingles
     from .operators.indexes import track_persist
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
@@ -509,16 +531,49 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("doc_id", "tf", lp_micro.alias("lp_micro"))
     )
-    return (
+    uni = (
         scored.groupBy("doc_id")
         .agg(F.sum("tf").cast("long").alias("n_tokens"),
              F.sum(F.col("tf") * F.col("lp_micro")).cast("long")
              .alias("sum_lp_micro"))
+    )
+    # bigram half: word_shingles(k=2) tokenizes identically to the
+    # unigram split (both run over the canonical text)
+    bgrams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
+    tf2 = track_persist(bgrams.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("tf2")))
+    c2 = tf2.groupBy("bg").agg(F.sum("tf2").alias("c2"))
+    vocab = freq.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    ctx = freq.select(F.col("term").alias("_a"), F.col("cnt").alias("ca"))
+    lp2_micro = F.floor(
+        F.log((F.col("c2") + F.lit(1.0)) / (F.col("ca") + F.col("v")))
+        * 1e6 + 0.5).cast("long")
+    scored2 = (
+        tf2.join(c2, "bg")
+        .withColumn("_a", F.split(F.col("bg"), " ").getItem(0))
+        .join(F.broadcast(ctx), "_a")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "tf2", lp2_micro.alias("lp2_micro"))
+    )
+    bi = (
+        scored2.groupBy("doc_id")
+        .agg(F.sum("tf2").cast("long").alias("n_bigrams"),
+             F.sum(F.col("tf2") * F.col("lp2_micro")).cast("long")
+             .alias("sum_lp2_micro"))
+    )
+    return (
+        uni.join(bi, "doc_id", "left")
+        .select("doc_id", "n_tokens", "sum_lp_micro",
+                F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                .alias("n_bigrams"),
+                F.coalesce("sum_lp2_micro", F.lit(0)).cast("long")
+                .alias("sum_lp2_micro"))
         .orderBy("doc_id")
     )
 
 
-SQL_UNIGRAM_LOGPROB = r"""
+SQL_LM_LOGPROB = r"""
 WITH corpus AS (
   SELECT doc_id,
     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
@@ -535,10 +590,36 @@ WITH corpus AS (
     CAST(floor(ln(freq.cnt / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM freq))
                * 1e6 + 0.5) AS BIGINT) AS lp_micro
   FROM tf JOIN freq ON tf.term = freq.term
+), uni AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+    CAST(SUM(tf * lp_micro) AS BIGINT) AS sum_lp_micro
+  FROM scored GROUP BY doc_id
+), bgrams AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+    FOR i IN generate_series(1, greatest(len(t) - 1, 0))]) AS bg
+  FROM (SELECT doc_id, string_split(norm, ' ') AS t FROM corpus)
+), tf2 AS (
+  SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf2
+  FROM bgrams GROUP BY doc_id, bg
+), c2 AS (
+  SELECT bg, SUM(tf2) AS c2 FROM tf2 GROUP BY bg
+), scored2 AS (
+  SELECT tf2.doc_id, tf2.tf2,
+    CAST(floor(ln((c2.c2 + 1.0)
+                  / (freq.cnt + (SELECT COUNT(*) FROM freq)))
+               * 1e6 + 0.5) AS BIGINT) AS lp2_micro
+  FROM tf2 JOIN c2 ON tf2.bg = c2.bg
+  JOIN freq ON freq.term = string_split(tf2.bg, ' ')[1]
+), bi AS (
+  SELECT doc_id, CAST(SUM(tf2) AS BIGINT) AS n_bigrams,
+    CAST(SUM(tf2 * lp2_micro) AS BIGINT) AS sum_lp2_micro
+  FROM scored2 GROUP BY doc_id
 )
-SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-  CAST(SUM(tf * lp_micro) AS BIGINT) AS sum_lp_micro
-FROM scored GROUP BY doc_id ORDER BY doc_id
+SELECT uni.doc_id, n_tokens, sum_lp_micro,
+  COALESCE(bi.n_bigrams, 0) AS n_bigrams,
+  COALESCE(bi.sum_lp2_micro, 0) AS sum_lp2_micro
+FROM uni LEFT JOIN bi ON uni.doc_id = bi.doc_id
+ORDER BY uni.doc_id
 """
 
 
@@ -599,7 +680,15 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrub (operators/pii.py — counts + redacted text over a line with
     planted contact details) and the Gopher-style repetition signals
     (operators/boilerplate.py: duplicate-segment and top-bigram
-    fractions) — all value-checked in this one driver row."""
+    fractions) — all value-checked in this one driver row.
+
+    Round 4 completes the Gopher quality rule-set (Rae et al. 2021
+    §A1.1 heuristics): symbol-to-word ratio (# / ellipsis), fraction
+    of lines starting with a bullet, fraction of lines ending in an
+    ellipsis, mean word length, and alphabetic-word fraction — pure
+    Catalyst regex/HOFs like the rest of the row (documents carry no
+    newlines, so the '. '-delimited segments stand in for lines, the
+    same proxy the repetition signals use)."""
     from .operators.boilerplate import (
         dup_segment_fraction,
         top_bigram_fraction,
@@ -628,6 +717,18 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     en_hits = F.size(F.filter(tokens, lambda t: t.isin("the", "a", "of", "and")))
     pred = F.when(en_hits / n_tokens >= 0.02, F.lit("en")).otherwise(F.lit("other"))
     agree = (pred == F.col("lang")).cast("int")
+    symbol_hits = F.size(
+        F.regexp_extract_all(text, F.lit(r"#|\.\.\.|…"), 0))
+    segs = F.filter(
+        F.transform(F.split(text, r"\. "), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0)
+    n_segs = F.greatest(F.size(segs), F.lit(1))
+    bullet_hits = F.size(F.filter(
+        segs, lambda s: F.substring(s, 1, 1).isin("-", "*", "•")))
+    ellipsis_hits = F.size(F.filter(
+        segs, lambda s: s.endswith("...") | s.endswith("…")))
+    alpha_hits = F.size(F.filter(tokens,
+                                 lambda t: t.rlike("[A-Za-z]")))
     return docs.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
@@ -640,6 +741,11 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii(pii_text).alias("redacted"),
         _micro(dup_segment_fraction(text)).alias("dup_seg_micro"),
         _micro(top_bigram_fraction(text)).alias("top_bigram_micro"),
+        _micro(symbol_hits / n_tokens).alias("symbol_ratio_micro"),
+        _micro(bullet_hits / n_segs).alias("bullet_line_micro"),
+        _micro(ellipsis_hits / n_segs).alias("ellipsis_line_micro"),
+        _micro(mean_tok_len).alias("mean_word_len_micro"),
+        _micro(alpha_hits / n_tokens).alias("alpha_word_micro"),
     ).orderBy("doc_id")
 
 
@@ -650,17 +756,18 @@ WITH pii AS (
          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '89' AS pt
   FROM documents
 ), toks AS (
-  SELECT doc_id, lang, n_chars, length(text) AS len_chars,
+  SELECT doc_id, lang, n_chars, text AS orig_text, length(text) AS len_chars,
          regexp_split_to_array(trim(text), '\s+') AS tokens,
          regexp_split_to_array(trim(text), '\s+') AS btoks,
          [x FOR x IN [trim(seg) FOR seg IN regexp_split_to_array(text, '\. ')]
             IF length(x) > 0] AS segs
   FROM documents
 ), feat AS (
-  SELECT doc_id, lang, n_chars, len_chars, btoks, segs,
+  SELECT doc_id, lang, n_chars, orig_text, len_chars, btoks, segs,
          len(tokens) AS n_tokens,
          len(list_filter(tokens, t -> t IN ('the','a','of','and','is'))) AS stop_hits,
-         len(list_filter(tokens, t -> t IN ('the','a','of','and'))) AS en_hits
+         len(list_filter(tokens, t -> t IN ('the','a','of','and'))) AS en_hits,
+         len(list_filter(tokens, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_hits
   FROM toks
 )
 SELECT f.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -691,7 +798,21 @@ SELECT f.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         THEN CAST(list_max(
                [len(list_filter(bg, x -> x = d)) FOR d IN list_distinct(bg)])
              AS DOUBLE) / len(bg)
-        ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS top_bigram_micro
+        ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS top_bigram_micro,
+  CAST(floor(CAST(len(regexp_extract_all(f.orig_text, '#|\.\.\.|…'))
+        AS DOUBLE) / n_tokens * 1e6 + 0.5) AS BIGINT) AS symbol_ratio_micro,
+  CAST(floor(CAST(len(list_filter(f.segs,
+        x -> substr(x, 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+        / greatest(len(f.segs), 1) * 1e6 + 0.5) AS BIGINT)
+    AS bullet_line_micro,
+  CAST(floor(CAST(len(list_filter(f.segs,
+        x -> x LIKE '%...' OR x LIKE '%…')) AS DOUBLE)
+        / greatest(len(f.segs), 1) * 1e6 + 0.5) AS BIGINT)
+    AS ellipsis_line_micro,
+  CAST(floor(CAST(len_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+        * 1e6 + 0.5) AS BIGINT) AS mean_word_len_micro,
+  CAST(floor(CAST(alpha_hits AS DOUBLE) / n_tokens * 1e6 + 0.5)
+        AS BIGINT) AS alpha_word_micro
 FROM feat f
 JOIN pii p ON f.doc_id = p.doc_id
 CROSS JOIN LATERAL (SELECT
@@ -750,7 +871,7 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "join_intersection": (q_join_intersection, SQL_JOIN_INTERSECTION),
     "doc_text_profile": (q_doc_text_profile, SQL_DOC_TEXT_PROFILE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
-    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "lm_logprob": (q_lm_logprob, SQL_LM_LOGPROB),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "text_quality_lang": (q_text_quality_lang, SQL_TEXT_QUALITY_LANG),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

@@ -49,44 +49,35 @@ _SHINGLES_SQL = r"""
 """
 
 
-def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures + LSH banding value-checked in one row per
-    doc (merged from the former minhash_signatures and lsh_bands
-    queries to fit the driver's 50-entry window; operators unchanged)."""
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + LSH band hashes (one 'sig' row per doc)
+    AND the banded candidate pairs over the planted-duplicate corpus
+    (one 'cand' row per pair) as a discriminated union — the former
+    minhash_bands query merged in (round 4, freeing a driver-window
+    slot for dedup_spans; operators unchanged, both halves still fully
+    value-checked)."""
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=4)
     bands = (lsh_bands(sigs, num_hashes=4, rows_per_band=2)
              .groupBy("doc_id")
              .pivot("band_idx", [0, 1]).agg(F.first("band_hash")))
-    return sigs.join(bands, "doc_id").select(
-        "doc_id", "sig0", "sig1", "sig2", "sig3",
+    sig_rows = sigs.join(bands, "doc_id").select(
+        F.lit("sig").alias("kind"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.concat_ws("|", "sig0", "sig1", "sig2", "sig3").alias("sigs"),
         F.col("0").alias("band0_hash"), F.col("1").alias("band1_hash"),
-    ).orderBy("doc_id")
-
-
-SQL_MINHASH_BANDS = rf"""
-WITH corpus AS (SELECT doc_id, text FROM documents),
-sh AS ({_SHINGLES_SQL}),
-sigs AS (
-  SELECT doc_id,
-    min(substr(md5(shingle), 1, 8)) AS sig0,
-    min(substr(md5(shingle), 9, 8)) AS sig1,
-    min(substr(md5(shingle), 17, 8)) AS sig2,
-    min(substr(md5(shingle), 25, 8)) AS sig3
-  FROM sh GROUP BY doc_id
-)
-SELECT doc_id, sig0, sig1, sig2, sig3,
-  md5(sig0 || '|' || sig1) AS band0_hash,
-  md5(sig2 || '|' || sig3) AS band1_hash
-FROM sigs ORDER BY doc_id
-"""
-
-
-def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _with_dups(_t(spark, sf_dir, "documents"))
-    return minhash_candidates(
+    )
+    corpus = _with_dups(docs)
+    cand_rows = minhash_candidates(
         corpus, num_hashes=4, rows_per_band=2, max_bucket_size=200
-    ).orderBy("id_a", "id_b")
+    ).select(
+        F.lit("cand").alias("kind"), "id_a", "id_b",
+        F.lit(None).cast("string").alias("sigs"),
+        F.lit(None).cast("string").alias("band0_hash"),
+        F.lit(None).cast("string").alias("band1_hash"),
+    )
+    return sig_rows.unionByName(cand_rows).orderBy("kind", "id_a", "id_b")
 
 
 SQL_MINHASH_CANDIDATES = rf"""
@@ -106,11 +97,38 @@ sigs AS (
     SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
     FROM bands) WHERE bsz <= 200
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM gbands a JOIN gbands b
-  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-WHERE a.doc_id < b.doc_id
-ORDER BY id_a, id_b
+SELECT 'cand' AS kind, id_a, id_b,
+  CAST(NULL AS VARCHAR) AS sigs,
+  CAST(NULL AS VARCHAR) AS band0_hash, CAST(NULL AS VARCHAR) AS band1_hash
+FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM gbands a JOIN gbands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)
+UNION ALL
+SELECT 'sig' AS kind, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+  sig0 || '|' || sig1 || '|' || sig2 || '|' || sig3 AS sigs,
+  md5(sig0 || '|' || sig1) AS band0_hash,
+  md5(sig2 || '|' || sig3) AS band1_hash
+FROM (
+  SELECT doc_id,
+    min(substr(md5(shingle), 1, 8)) AS sig0,
+    min(substr(md5(shingle), 9, 8)) AS sig1,
+    min(substr(md5(shingle), 17, 8)) AS sig2,
+    min(substr(md5(shingle), 25, 8)) AS sig3
+  FROM (
+    SELECT doc_id, unnest(list_distinct(
+      [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       for i in generate_series(1, greatest(len(t)-2, 0))])) AS shingle
+    FROM (SELECT doc_id,
+            regexp_split_to_array(
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+              '\s+') AS t
+          FROM documents)
+  ) GROUP BY doc_id
+)
+ORDER BY kind, id_a, id_b
 """
 
 
@@ -313,15 +331,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one canonical doc per component. The DuckDB oracle recomputes the
     transitive closure with a recursive CTE — a green hash certifies
     the distributed fixpoint against an independent reachability
-    computation."""
-    from .operators.dedup import dedup_clusters
+    computation.
+
+    Round 4: a synthetic 13-node CHAIN (ids 5000000..5000012, diameter
+    12) is unioned into the candidate edges — LSH clusters are shallow,
+    so without it the fixpoint converges in 2-3 rounds and its DEPTH is
+    never value-checked; the chain forces ~12 propagation rounds
+    through the same driver-checked row."""
+    from .operators.dedup import connected_components, minhash_candidates
 
     corpus = _with_dups(_t(spark, sf_dir, "documents"))
-    out = dedup_clusters(corpus, num_hashes=4, rows_per_band=2,
-                         max_bucket_size=200)
-    return out.select(
-        "doc_id", "cluster_id",
-        F.col("is_canonical").cast("long").alias("canonical"),
+    cands = minhash_candidates(corpus, num_hashes=4, rows_per_band=2,
+                               max_bucket_size=200)
+    chain = spark.createDataFrame(
+        [(5_000_000 + i, 5_000_000 + i + 1) for i in range(12)],
+        "id_a long, id_b long")
+    cc = connected_components(cands.unionByName(chain))
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).cast("long")
+        .alias("canonical"),
     ).orderBy("doc_id")
 
 
@@ -341,11 +371,16 @@ sigs AS (
   SELECT doc_id, band_idx, band_hash FROM (
     SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
     FROM bands) WHERE bsz <= 200
-), cands AS (
+), lsh_cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM gbands a JOIN gbands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
   WHERE a.doc_id < b.doc_id
+), cands AS (
+  SELECT id_a, id_b FROM lsh_cands
+  UNION ALL
+  SELECT 5000000 + i AS id_a, 5000000 + i + 1 AS id_b
+  FROM generate_series(0, 11) t(i)
 ), edges AS (
   SELECT id_a AS u, id_b AS v FROM cands
   UNION ALL SELECT id_b, id_a FROM cands
@@ -360,9 +395,104 @@ FROM reach GROUP BY node ORDER BY doc_id
 """
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (remove-duplicated-passages): docs with
+    doc_id % 10 == 7 get a 150-char passage of doc (id-5) appended —
+    dedup_spans must excise those (plus any naturally shared ≥37-char
+    canonical substrings, which this small-vocabulary corpus has) from
+    the non-canonical (higher-id) copies. The oracle replays the whole
+    winnow-with-positions → owner → interval-merge → complement-cut
+    pipeline in DuckDB, so span boundaries AND the redacted strings
+    are value-checked."""
+    from .operators.dedup import dedup_spans
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    src = base.select(F.col("doc_id").alias("_sid"),
+                      F.col("text").alias("_stext"))
+    planted = (
+        base.join(src, F.col("_sid") == F.col("doc_id") - 5, "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 10 == 7) & F.col("_sid").isNotNull(),
+                F.concat(F.col("text"), F.lit(" "),
+                         F.substring(F.col("_stext"), 1, 150)),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    return dedup_spans(planted, k=30, window=8).orderBy("doc_id")
+
+
+SQL_DEDUP_SPANS = r"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+corpus AS (
+  SELECT b.doc_id,
+    CASE WHEN b.doc_id % 10 = 7 AND s.doc_id IS NOT NULL
+         THEN b.text || ' ' || substr(s.text, 1, 150) ELSE b.text END AS text
+  FROM base b LEFT JOIN base s ON s.doc_id = b.doc_id - 5
+), norm AS (
+  SELECT doc_id,
+    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+  FROM corpus
+), grams AS (
+  SELECT doc_id, length(nt) AS n,
+    [CAST('0x' || substr(md5(substr(nt, i, 30)), 1, 8) AS BIGINT)
+     FOR i IN generate_series(1, greatest(length(nt) - 29, 1))] AS g
+  FROM norm
+), occ AS (
+  SELECT DISTINCT doc_id, w.fp AS fp, w.pos AS pos
+  FROM (
+    SELECT doc_id, unnest([
+      struct_pack(fp := list_min(g[j:j+7]),
+                  pos := j - 1 + list_position(g[j:j+7], list_min(g[j:j+7])))
+      FOR j IN generate_series(1, greatest(len(g) - 7, 1))]) AS w
+    FROM grams WHERE n >= 30)
+), own AS (SELECT fp, MIN(doc_id) AS owner FROM occ GROUP BY fp),
+dup AS (
+  SELECT DISTINCT o.doc_id, o.pos AS s, o.pos + 29 AS e
+  FROM occ o JOIN own ON o.fp = own.fp WHERE o.doc_id > own.owner
+), flagged AS (
+  SELECT doc_id, s, e,
+    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 38
+    THEN 1 ELSE 0 END AS nw
+  FROM dup
+), isl AS (
+  SELECT doc_id, s, e,
+    SUM(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+                  ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged
+), merged AS (
+  SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM isl GROUP BY doc_id, grp
+), iv AS (
+  SELECT doc_id,
+    array_agg(s ORDER BY s) AS ss, array_agg(e ORDER BY s) AS es
+  FROM merged GROUP BY doc_id
+)
+SELECT iv.doc_id,
+  CAST(len(ss) AS BIGINT) AS n_dup_spans,
+  CAST(list_sum([es[i] - ss[i] + 1
+                 FOR i IN generate_series(1, len(ss))]) AS BIGINT)
+    AS dup_chars,
+  array_to_string([CAST(ss[i] AS VARCHAR) || '-' || CAST(es[i] AS VARCHAR)
+                   FOR i IN generate_series(1, len(ss))], ';') AS spans,
+  COALESCE(array_to_string(
+    [substr(nt, seg.st[i], greatest(seg.en[i] - seg.st[i] + 1, 0))
+     FOR i IN generate_series(1, len(seg.st))], ''), '') AS redacted
+FROM iv
+JOIN norm n ON iv.doc_id = n.doc_id
+CROSS JOIN LATERAL (SELECT
+  list_prepend(1, [e + 1 FOR e IN es]) AS st,
+  list_append([s - 1 FOR s IN ss], length(nt)) AS en) seg
+ORDER BY iv.doc_id
+"""
+
+
 SQL_QUERIES_DEDUP = {
-    "minhash_bands": (q_minhash_bands, SQL_MINHASH_BANDS),
     "minhash_candidates": (q_minhash_candidates, SQL_MINHASH_CANDIDATES),
+    "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),

@@ -637,3 +637,76 @@ def test_decontaminate_flags_quoting_docs(spark):
         spark.createDataFrame([(d,) for d in got], "doc_id long"),
         "doc_id", "left_anti")
     assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup (round 4): remove-duplicated-passages
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_spans_excises_planted_paragraph(spark):
+    from icdar_2019_rrc_sroie_spark.operators.dedup import dedup_spans
+
+    boiler = ("all rights reserved this transcript is provided as is "
+              "without warranty of any kind subscribe for updates")
+    uniq = {
+        1: "quarterly revenue grew nine percent on cloud demand",
+        2: "the committee voted to adopt the amended charter today",
+        3: "observed migration patterns shifted east after the flood",
+    }
+    rows = [(i, f"{uniq[i]} {boiler}") for i in (1, 2, 3)]
+    out = {r["doc_id"]: r
+           for r in dedup_spans(
+               spark.createDataFrame(rows, "doc_id long, text string"),
+               k=20, window=4).collect()}
+
+    # doc 1 owns the boilerplate (min id) — nothing excised from it
+    assert 1 not in out
+    for i in (2, 3):
+        r = out[i]
+        assert r["n_dup_spans"] >= 1
+        # the planted paragraph is (mostly) gone, unique text survives
+        assert boiler not in r["redacted"]
+        assert uniq[i][:40] in r["redacted"]
+        assert r["dup_chars"] >= len(boiler) - (20 + 4)  # winnow edges
+
+
+def test_dedup_spans_no_shared_text_no_rows(spark):
+    from icdar_2019_rrc_sroie_spark.operators.dedup import dedup_spans
+
+    rows = [(1, "completely distinct first document body here"),
+            (2, "another unrelated second text with nothing shared")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup_spans(df, k=20, window=4).count() == 0
+
+
+def test_dedup_spans_span_arithmetic(spark):
+    """Redacted + spans are mutually consistent: cutting the reported
+    intervals out of the canonical text reproduces `redacted`."""
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        dedup_spans,
+        normalized_text,
+    )
+    from pyspark.sql import functions as F
+
+    shared = "zebra yankee xray whiskey victor uniform tango sierra"
+    rows = [(10, f"left context {shared} right context"),
+            (11, f"prefix {shared} suffix"),
+            (12, f"{shared} standalone")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = {r["doc_id"]: r["nt"]
+            for r in df.select("doc_id",
+                               normalized_text(F.col("text")).alias("nt"))
+            .collect()}
+    for r in dedup_spans(df, k=20, window=4).collect():
+        nt = norm[r["doc_id"]]
+        cut = sorted(
+            (int(p.split("-")[0]), int(p.split("-")[1]))
+            for p in r["spans"].split(";"))
+        kept, cur = [], 1
+        for s, e in cut:
+            kept.append(nt[cur - 1:s - 1])
+            cur = e + 1
+        kept.append(nt[cur - 1:])
+        assert "".join(kept) == r["redacted"]
+        assert r["dup_chars"] == sum(e - s + 1 for s, e in cut)
