@@ -590,6 +590,23 @@ def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
     got = {r["node"]: r["component"]
            for r in connected_components(edges).collect()}
     assert got == want == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # deferred cleanup (round-4 ADVICE): the surviving cc-* label dir
+    # is registered for deletion at the next release_indexes() — a
+    # long-lived session running many CC jobs stays bounded
+    import os
+
+    from icdar_2019_rrc_sroie_spark.operators.indexes import (
+        release_indexes,
+    )
+
+    def cc_dirs():
+        # setCheckpointDir nests a random subdir; walk to find cc-*
+        return [d for root, dirs, _ in os.walk(tmp_path / "ckpt")
+                for d in dirs if d.startswith("cc-")]
+
+    assert cc_dirs(), "reliable mode should have written a cc-* dir"
+    release_indexes()
+    assert not cc_dirs()
 
 
 def test_dedup_clusters_keep_filter_removes_all_candidate_pairs(spark):

@@ -215,3 +215,41 @@ def test_compact_spans_rewrites_layout_not_content(spark, tmp_path):
     assert (lin == 1).all(), lin
     # idempotent: nothing left to compact
     assert compact_spans(spark, out, "snapA", min_files=2) == 0
+
+
+def test_upsert_spans_bucket_modulus_guard(spark, tmp_path):
+    """Round-4 ADVICE: the store pins its bucket modulus in a meta
+    table at first write; a MERGE with a mismatched n_buckets raises
+    (a wrong modulus would hash corrections into the wrong buckets and
+    silently skip them), an omitted one is derived from the meta."""
+    import pytest
+
+    from icdar_2019_rrc_sroie_spark.plans.lineage import (
+        stored_n_buckets,
+        upsert_spans,
+    )
+
+    out = str(tmp_path / "guard")
+    t = transcripts_df(spark, n_convs=N_CONVS)
+    before = _sorted_rows(run_with_resume(spark, t, out, SNAP, n_buckets=8))
+    assert stored_n_buckets(spark, out) == 8
+
+    k = before[0][:3]
+    corrections = spark.createDataFrame(
+        [(k[0], k[1], k[2], "FIXED")],
+        "conv_id string, turn_idx int, label string, corrected string")
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        upsert_spans(spark, out, SNAP, corrections, n_buckets=16)
+    # n_buckets omitted -> derived from the meta table
+    after = _sorted_rows(upsert_spans(spark, out, SNAP, corrections))
+    assert ((k[0], k[1], k[2], "FIXED") in after
+            and len(after) == len(before))
+    # the staged copy (crash-safety for the bucket rewrite) is dropped
+    # once the commit completes
+    import os
+
+    staging = os.path.join(out, "_staging")
+    assert not os.path.exists(staging) or not os.listdir(staging)
+    # resuming under a different modulus is refused too
+    with pytest.raises(ValueError, match="refusing"):
+        run_with_resume(spark, t, out, "snap2", n_buckets=4)

@@ -76,9 +76,19 @@ def main() -> None:
                                 "bin", "spark-submit")
     env = dict(os.environ,
                PYSPARK_PYTHON=sys.executable,
-               PYSPARK_DRIVER_PYTHON=sys.executable)
+               PYSPARK_DRIVER_PYTHON=sys.executable,
+               # local-cluster WORKERS override spark.local.dir with
+               # SPARK_LOCAL_DIRS (default /tmp — real disk); pin the
+               # same tmpfs shuffle dir the in-process engine uses or
+               # executor shuffle/spill I/O serializes on disk
+               SPARK_LOCAL_DIRS="/dev/shm/spark-local")
+    # default pair 1→4 executors (4→16 cores): N→4N inside the host's
+    # physical-core budget, mirroring scaling_bench's local[2]→local[8]
+    # pair; pass e.g. "2,8" to probe the SMT-limited full-host regime
+    sizes = tuple(int(x) for x in
+                  (sys.argv[1] if len(sys.argv) > 1 else "1,4").split(","))
     results = {}
-    for n_exec in (2, 8):
+    for n_exec in sizes:
         cmd = [
             spark_submit,
             "--master", f"local-cluster[{n_exec},4,4096]",
@@ -97,13 +107,15 @@ def main() -> None:
             raise SystemExit(f"cluster_job failed at {n_exec} executors")
         results[n_exec] = json.loads(m.group(1))
 
-    eff = round(results[8]["flagship_tps"]
-                / (4 * results[2]["flagship_tps"]), 3)
+    small, big = sizes
+    ratio = big / small
+    eff = round(results[big]["flagship_tps"]
+                / (ratio * results[small]["flagship_tps"]), 3)
     print(json.dumps({
         "mode": "local-cluster, spark-submit --py-files",
         "executors": {k: v for k, v in results.items()},
-        "scaling_efficiency_2to8_executors": eff,
-        "cpu_ceiling_8to32_threads": cpu_ceiling(),
+        f"scaling_efficiency_{small}to{big}_executors": eff,
+        "cpu_ceiling_concurrency": cpu_ceiling(small * 4, big * 4),
     }))
 
 
