@@ -418,6 +418,24 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
 
 
+def _gram_hashes_from_norm(norm: Column, k: int) -> Column:
+    """Array of char k-gram hashes (md5-slice → long, engine-portable)
+    of an ALREADY-MATERIALIZED canonical-text column; empty for docs
+    shorter than ``k``. ``norm`` must be a plain column reference, not
+    the normalization expression itself — inlined, the whole
+    regexp_replace would re-run per gram element (O(m·n) regex chars
+    per doc — measured 20+ s for 5k docs vs ~2 s fixed)."""
+    n = F.length(norm)
+    m = n - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<bigint>"))
+
+
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 5,
                         window: int = 4) -> DataFrame:
@@ -431,27 +449,30 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     Pure Catalyst array algebra (hash per k-gram via md5 slice; a true
     rolling polynomial is a constant-factor kernel optimization, same
     fingerprints). Output: (id, fp) rows.
+
+    The canonical text AND the gram-hash array are materialized as
+    COLUMNS between projections: inlined into the downstream lambdas,
+    the normalization regex would re-run per gram element and the md5
+    pass per window — O(m·n) regex chars + O(m²) digests per doc
+    (measured as a 20 s → ~2 s difference at 5k docs; Catalyst's
+    CollapseProject leaves the splits alone because the aliases are
+    expensive and multiply-referenced). No filter on short docs:
+    explode of the empty gram array drops them for free.
     """
-    norm = normalized_text(F.col(text_col))
-    n = F.length(norm)
-    m = n - (k - 1)  # number of k-grams
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-        lambda i: F.conv(
-            F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 8), 16, 10
-        ).cast("long"),
-    )
-    n_windows = F.greatest(m - (window - 1), F.lit(1))
-    minima = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(grams, j, window)),
-    )
-    fps = F.when(n >= k, F.array_distinct(minima)) \
-        .otherwise(F.array().cast("array<bigint>"))
-    return (
-        ensure_parallelism(df)
-        .select(F.col(id_col), F.explode(fps).alias("fp"))
-    )
+    base = ensure_parallelism(df).select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_nt"))
+    base = base.select(
+        F.col(id_col), _gram_hashes_from_norm(F.col("_nt"), k).alias("_g"))
+    n_windows = F.greatest(F.size("_g") - (window - 1), F.lit(1))
+    minima = F.when(
+        F.size("_g") > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(F.col("_g"), j, window)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return base.select(
+        F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp"))
 
 
 def winnow_fingerprint_positions(df: DataFrame, id_col: str = "doc_id",
@@ -467,32 +488,37 @@ def winnow_fingerprint_positions(df: DataFrame, id_col: str = "doc_id",
     FIRST position in the window (``array_position`` — both engines
     return the 1-based first match, so ties break identically).
     Output: distinct (id, fp, pos) rows; docs shorter than ``k``
-    contribute nothing. Linear per document.
+    contribute nothing. Linear per document — the canonical text, the
+    gram array AND the per-window slices are materialized as columns
+    between projections (inlined into the lambdas they would be
+    re-evaluated per window/element: O(m·n) regex chars + O(m²) md5
+    digests per doc, a measured multi-minute stall at 5k docs; same
+    fix as winnow_fingerprints).
     """
-    norm = normalized_text(F.col(text_col))
-    n = F.length(norm)
-    m = n - (k - 1)  # number of k-grams
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-        lambda i: F.conv(
-            F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 8), 16, 10
-        ).cast("long"),
+    base = ensure_parallelism(df).select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_nt"))
+    base = base.select(
+        F.col(id_col), _gram_hashes_from_norm(F.col("_nt"), k).alias("_g"))
+    n_windows = F.greatest(F.size("_g") - (window - 1), F.lit(1))
+    sliced = base.select(
+        F.col(id_col),
+        F.when(
+            F.size("_g") > 0,
+            F.transform(F.sequence(F.lit(1), n_windows),
+                        lambda j: F.slice(F.col("_g"), j, window)),
+        ).otherwise(F.array().cast("array<array<bigint>>")).alias("_sl"),
     )
-    n_windows = F.greatest(m - (window - 1), F.lit(1))
+    # (element, index) lambda: index is 0-based window start offset
     wins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda j: F.struct(
-            F.array_min(F.slice(grams, j, window)).alias("fp"),
-            (j - 1 + F.array_position(
-                F.slice(grams, j, window),
-                F.array_min(F.slice(grams, j, window)))).alias("pos"),
+        F.col("_sl"),
+        lambda s, i: F.struct(
+            F.array_min(s).alias("fp"),
+            (i + F.array_position(s, F.array_min(s))).alias("pos"),
         ),
     )
-    fps = F.when(n >= k, F.array_distinct(wins)) \
-        .otherwise(F.array().cast("array<struct<fp:bigint,pos:bigint>>"))
     return (
-        ensure_parallelism(df)
-        .select(F.col(id_col), F.explode(fps).alias("w"))
+        sliced.select(F.col(id_col),
+                      F.explode(F.array_distinct(wins)).alias("w"))
         .select(id_col, F.col("w.fp").alias("fp"),
                 F.col("w.pos").alias("pos"))
     )

@@ -500,7 +500,109 @@ def q_detection_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "line_id")
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation DAG as ONE DataFrame job —
+    exact-dup removal → near-dup cluster keep-filter → cross-doc
+    duplicated-passage excision → Gopher-style quality gate →
+    per-language stratified rebalancing. Every stage is individually
+    SQL-oracled elsewhere (`dedup_exact`, `dedup_clusters`,
+    `dedup_spans`, `text_quality_lang`, `stratified_sample`); this
+    rows-only entry attests the COMPOSITION: one lazy DAG, no
+    driver-side materialization between stages (only the persisted
+    LSH band index inside minhash_candidates), every join a
+    semi/anti/broadcast join on doc_id.
+
+    Output: one row per SURVIVING document with its per-stage
+    provenance — deterministic, so the driver's rows+hash check is
+    stable. Invariants (monotone stage survival, planted-dup removal)
+    are pinned by tests/test_curation_pipeline.py.
+    """
+    from .operators.dedup import (
+        dedup_clusters,
+        dedup_spans,
+        exact_dedup,
+        normalized_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # planted duplicates so every stage has work: a shifted exact copy
+    # (caught by stage 1) and a near-identical copy of doc_id<50 with
+    # one appended token (survives exact, caught by the cluster stage)
+    near = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "lang",
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"))
+    corpus = (
+        docs.select("doc_id", "lang", "text")
+        .unionByName(docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                                 "lang", "text"))
+        .unionByName(near)
+    )
+
+    # 1. exact dedup: keep the min-id copy of each canonical text
+    keep_ids = exact_dedup(corpus).select(
+        F.col("keep_doc_id").alias("doc_id"))
+    s1 = corpus.join(keep_ids, "doc_id", "left_semi")
+
+    # 2. near-dup clusters -> drop non-canonical members
+    clusters = dedup_clusters(s1, num_hashes=4, rows_per_band=2,
+                              max_bucket_size=200)
+    s2 = s1.join(clusters.filter(~F.col("is_canonical"))
+                 .select("doc_id"), "doc_id", "left_anti")
+
+    # 3. passage excision: survivors keep text minus passages owned by
+    # a lower-id doc
+    spans = dedup_spans(s2, k=30, window=8)
+    s3 = (
+        s2.join(spans.select("doc_id", "n_dup_spans", "redacted"),
+                "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_excised"),
+            F.coalesce(F.col("redacted"),
+                       normalized_text(F.col("text")))
+            .alias("curated_text"),
+        )
+    )
+
+    # 4. quality gate on the CURATED text (Gopher-style bounds)
+    toks = F.split(F.trim(F.col("curated_text")), r"\s+")
+    n_tokens = F.size(toks)
+    n_chars = F.length("curated_text")
+    mean_len = (n_chars - n_tokens + 1) / n_tokens
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n_tokens
+    s4 = (
+        s3.withColumn("n_tokens", n_tokens.cast("long"))
+        .filter((n_tokens >= 10) & (mean_len >= 2.0) & (mean_len <= 12.0)
+                & (alpha >= 0.5))
+    )
+
+    # 5. per-language stratified rebalance (portable md5 bucket, no RNG)
+    counts = s4.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lang"))
+    from pyspark.sql import Window
+
+    min_n = F.min("n_lang").over(Window.partitionBy())
+    rates = counts.select(
+        "lang",
+        F.floor(min_n * F.lit(1_000_000.0) / F.col("n_lang"))
+        .cast("long").alias("rate_ppm"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("d"),
+                                          F.col("doc_id").cast("string"))),
+                           1, 8), 16, 10).cast("long") % 1_000_000
+    )
+    return (
+        s4.join(F.broadcast(rates), "lang")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("rate_ppm"))
+        .select("doc_id", "lang", "n_excised", "n_tokens",
+                F.md5("curated_text").alias("curated_fp"))
+        .orderBy("doc_id")
+    )
+
+
 ROWS_ONLY_QUERIES = {
+    "curation_pipeline": (q_curation_pipeline, None),
     "anchor_matching": (q_anchor_matching, SQL_ANCHOR_MATCHING),
     "raster_crop": (q_raster_crop, None),
     "learned_classifier": (q_learned_classifier, None),

@@ -219,3 +219,29 @@ def test_decontaminate_broadcast_semi_join(spark):
     plan = _formatted_plan(decontaminate(docs, evals, k=8))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_winnow_generate_reads_materialized_grams(spark):
+    """Regression guard for the HOF re-evaluation class (round 4): the
+    gram-hash array and the canonical text must be materialized as
+    columns BEFORE the windowed transform/explode consume them. If
+    either expression gets inlined into the generator, every window
+    re-runs the md5 pass (O(m²) digests) and every gram re-runs the
+    normalization regex (O(m·n) chars) — measured 20-25 s vs 1-4 s at
+    5k docs. The Generate node of the optimized plan must therefore
+    reference plain columns: no md5/regexp_replace inside it."""
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        dedup_spans,
+        winnow_fingerprint_positions,
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for q in (winnow_fingerprints(docs),
+              winnow_fingerprint_positions(docs, k=30, window=8),
+              dedup_spans(docs, k=30, window=8)):
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
+        assert gen_lines, "expected an explode in the plan"
+        for ln in gen_lines:
+            assert "md5" not in ln and "regexp_replace" not in ln, ln
