@@ -233,10 +233,13 @@ def dup_segment_fraction(text: Column, sep: str = r"\. ") -> Column:
 
 def top_bigram_fraction(text: Column) -> Column:
     """Gopher-style repetition signal: the most frequent token bigram's
-    share of all bigrams. Catalyst HOFs only — per-doc O(u·n) in the
-    distinct-bigram count u, fine for document-bounded rows; a corpus
-    that needs sublinear per-doc work would explode bigrams to rows
-    and aggregate instead."""
+    share of all bigrams. Catalyst HOFs only; note the lambdas
+    re-reference ``toks``/``bigrams``, which Catalyst re-evaluates per
+    element (the round-4 HOF-re-evaluation class), so the true per-doc
+    cost is O(u·n²) in token count n and distinct-bigram count u —
+    acceptable ONLY because documents bound n (~10² tokens here); a
+    corpus with long documents should explode bigrams to rows and
+    aggregate instead of using this per-row form."""
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
     bigrams = F.when(n >= 2, F.transform(

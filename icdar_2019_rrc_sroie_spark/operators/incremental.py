@@ -19,12 +19,90 @@ Iceberg table partitioned by snapshot — see CATALOG.md.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import cap_buckets, lsh_bands, minhash_signatures
+from .dedup import cap_buckets, lsh_bands, minhash_signatures, word_shingles
 
 INDEX_SCHEMA = "doc_id long, band_idx int, band_hash string, snapshot_id string"
+
+
+def row_bands(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", num_hashes: int = 8,
+              rows_per_band: int = 2, k: int = 3) -> DataFrame:
+    """(id, band_idx, band_hash) computed PER ROW with column algebra —
+    no shingle explode, no groupBy — so it runs unchanged on a
+    STREAMING DataFrame (stateless narrow ops only). Values are
+    identical to the batch ``minhash_signatures`` → ``lsh_bands`` path
+    (same md5 digests, same lexicographic minima; parity pinned by
+    tests), so a stream banded here joins a stored batch index
+    directly. Docs with fewer than ``k`` words produce no bands (the
+    batch path drops them by construction; here an explicit filter —
+    otherwise their NULL signatures would all collide in one bucket).
+
+    The shingles array is materialized as a column first: referenced
+    inline, each of the ``num_hashes`` transforms would re-run the
+    split/zip pipeline (the HOF re-evaluation class, see
+    winnow_fingerprints)."""
+    assert num_hashes <= 8 and num_hashes % rows_per_band == 0
+    base = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    def _sig(i: int) -> Column:
+        # factory: the transform lambda must stay SINGLE-argument
+        # (PySpark derives the HOF arity from the signature), so the
+        # per-i offset/prefix bind via closure, not default args
+        off = (i % 4) * 8 + 1
+        if i < 4:
+            return F.array_min(F.transform(
+                F.col("_sh"), lambda s: F.substring(F.md5(s), off, 8)))
+        return F.array_min(F.transform(
+            F.col("_sh"),
+            lambda s: F.substring(F.md5(F.concat(F.lit("~"), s)), off, 8)))
+
+    sigs = [_sig(i).alias(f"sig{i}") for i in range(num_hashes)]
+    sigd = base.select(F.col(id_col), *sigs)
+    bands = []
+    for b in range(num_hashes // rows_per_band):
+        cols = [F.col(f"sig{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        bands.append(F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_hash")))
+    return sigd.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def streaming_band_candidates(stream_docs: DataFrame,
+                              stored_index: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              num_hashes: int = 8,
+                              rows_per_band: int = 2,
+                              k: int = 3) -> DataFrame:
+    """Streaming face of incremental dedup: band each arriving doc per
+    row (:func:`row_bands` — stateless) and stream-static inner-join
+    against the stored band index. Output: (id_a, id_b, band_idx) where
+    id_a is the streamed doc and id_b the stored (canonical-by-age)
+    match — one row per matching band, emitted within the micro-batch.
+    Pairs matching on several bands repeat; downstream either tolerates
+    duplicates (alerting) or applies dropDuplicatesWithinWatermark on
+    (id_a, id_b) — kept out of here so the operator stays stateless.
+
+    ``stored_index`` is a STATIC DataFrame (e.g. ``read_band_index``);
+    Spark re-resolves file listings per micro-batch, so index updates
+    between batches are picked up."""
+    new_bands = row_bands(stream_docs, id_col, text_col,
+                          num_hashes, rows_per_band, k)
+    stored = stored_index.select(F.col(id_col).alias("id_b"),
+                                 "band_idx", "band_hash")
+    return (
+        new_bands.select(F.col(id_col).alias("id_a"),
+                         "band_idx", "band_hash")
+        .join(stored, ["band_idx", "band_hash"])
+        .select("id_a", "id_b", "band_idx")
+    )
 
 
 def _bands(df: DataFrame, id_col: str, text_col: str, num_hashes: int,

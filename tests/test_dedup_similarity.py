@@ -727,3 +727,34 @@ def test_dedup_spans_span_arithmetic(spark):
         kept.append(nt[cur - 1:])
         assert "".join(kept) == r["redacted"]
         assert r["dup_chars"] == sum(e - s + 1 for s, e in cut)
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """write_ivf_index + ivf_topk_indexed: the probe scans ONLY the
+    nprobe bucket partitions (directory-level pruning, checked via
+    inputFiles) and returns the same rows as the unindexed ivf_topk."""
+    from icdar_2019_rrc_sroie_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_centroids(emb, k=8, iters=5, sample_size=500)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, cents)
+    query = list(emb.filter("vec_id = 1").collect()[0]["embedding"])
+
+    probe = ivf_topk_indexed(spark, path, cents, query, k=5, nprobe=2)
+    # the bucket predicate must reach the scan as a PARTITION filter
+    # (directory-level pruning; inputFiles() can't show this — it lists
+    # the relation pre-pruning)
+    scan = [ln for ln in probe._jdf.queryExecution().executedPlan()
+            .toString().splitlines() if "PartitionFilters" in ln]
+    assert scan and any("ivf_bucket" in ln for ln in scan), scan
+
+    want = [(r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_topk(emb, cents, query, k=5, nprobe=2).collect()]
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in probe.collect()]
+    assert got == want

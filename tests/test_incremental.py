@@ -83,3 +83,63 @@ def test_exclude_snapshot_partition_filter(spark, stores):
     assert read_band_index(spark, index, exclude_snapshot="snap1") \
         .count() == 0
     assert read_band_index(spark, index).count() == 100
+
+
+def test_row_bands_matches_batch_banding(spark):
+    """Per-row (stream-capable) banding produces byte-identical
+    (id, band_idx, band_hash) rows to the batch explode+groupBy path —
+    the property that lets a stream join a stored batch index."""
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.incremental import row_bands
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    short = spark.createDataFrame([(900_000, "two words")],
+                                  "doc_id long, text string")
+    docs = docs.unionByName(short)
+    batch = {(r["doc_id"], r["band_idx"], r["band_hash"])
+             for r in lsh_bands(minhash_signatures(docs, num_hashes=4),
+                                num_hashes=4).collect()}
+    perrow = {(r["doc_id"], r["band_idx"], r["band_hash"])
+              for r in row_bands(docs, num_hashes=4).collect()}
+    assert perrow == batch
+    assert not any(d == 900_000 for d, _, _ in perrow)  # <k words -> none
+
+
+def test_streaming_candidates_against_stored_index(spark, tmp_path, stores):
+    """A micro-batched stream of new docs is banded per row and
+    stream-static joined against the snapshot-1 band index: the
+    planted duplicate is flagged with its stored partner, unique
+    streamed docs emit nothing."""
+    import glob
+    import os
+
+    from icdar_2019_rrc_sroie_spark.operators.incremental import (
+        read_band_index,
+        streaming_band_candidates,
+    )
+
+    _, index = stores
+    src = str(tmp_path / "stream_src")
+    b1 = _docs(spark, [(200, _text(8800)), (205, _text(5))])  # 205 dups doc 5
+    b2 = _docs(spark, [(210, _text(8801)), (217, _text(17))])  # 217 dups 17
+    b1.coalesce(1).write.parquet(src + "/p1")
+    stream = spark.readStream.schema(b1.schema) \
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    b2.coalesce(1).write.parquet(src + "/p2")
+    for d, ts in ((src + "/p1", 1_000_000_000), (src + "/p2", 2_000_000_000)):
+        for f in glob.glob(d + "/*"):
+            os.utime(f, (ts, ts))
+
+    out = streaming_band_candidates(
+        stream, read_band_index(spark, index), num_hashes=4)
+    q = (out.writeStream.format("memory").queryName("inc_cands")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(600)
+    rows = spark.sql("select * from inc_cands").collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (205, 5) in pairs and (217, 17) in pairs
+    assert not {a for a, _ in pairs} - {205, 217}
