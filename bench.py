@@ -49,6 +49,10 @@ BENCH_QUERIES = (
     "simhash_near_dups",
     "entity_line_labels",
     "ann_bucketed",
+    # added round 4: the composed curation DAG (exact dedup -> cluster
+    # keep-filter -> passage excision -> quality gate -> rebalance) as
+    # one job — the end-to-end number a pipeline operator cares about
+    "curation_pipeline",
 )
 
 

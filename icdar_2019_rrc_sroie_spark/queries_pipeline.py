@@ -508,9 +508,16 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-oracled elsewhere (`dedup_exact`, `dedup_clusters`,
     `dedup_spans`, `text_quality_lang`, `stratified_sample`); this
     rows-only entry attests the COMPOSITION: one lazy DAG, no
-    driver-side materialization between stages (only the persisted
-    LSH band index inside minhash_candidates), every join a
-    semi/anti/broadcast join on doc_id.
+    driver-side collection between stages, every join a
+    semi/anti/broadcast join on doc_id. The two surviving-corpus
+    stage boundaries (post-exact, post-cluster) are persisted via
+    track_persist — each later stage embeds the earlier lineage in
+    several plan branches (clusters + spans + output; Spark does no
+    cross-operator CSE), so without the persist the exact/cluster
+    stages execute up to 3× (22 → ~20 s cold at sf0.1 — the bulk is
+    the genuine stage work: banding + CC + winnowing over the
+    planted-dup corpus; at real scale these boundaries are
+    checkpoints/tables anyway).
 
     Output: one row per SURVIVING document with its per-stage
     provenance — deterministic, so the driver's rows+hash check is
@@ -538,16 +545,19 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(near)
     )
 
+    from .operators.indexes import track_persist
+
     # 1. exact dedup: keep the min-id copy of each canonical text
     keep_ids = exact_dedup(corpus).select(
         F.col("keep_doc_id").alias("doc_id"))
-    s1 = corpus.join(keep_ids, "doc_id", "left_semi")
+    s1 = track_persist(corpus.join(keep_ids, "doc_id", "left_semi"))
 
     # 2. near-dup clusters -> drop non-canonical members
     clusters = dedup_clusters(s1, num_hashes=4, rows_per_band=2,
                               max_bucket_size=200)
-    s2 = s1.join(clusters.filter(~F.col("is_canonical"))
-                 .select("doc_id"), "doc_id", "left_anti")
+    s2 = track_persist(
+        s1.join(clusters.filter(~F.col("is_canonical"))
+                .select("doc_id"), "doc_id", "left_anti"))
 
     # 3. passage excision: survivors keep text minus passages owned by
     # a lower-id doc
