@@ -282,16 +282,15 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return jac.select("id_a", "id_b", "common", "sz_a", "sz_b", "jaccard")
 
 
-def simhash64(text: Column, num_bits: int = 64) -> Column:
-    """SimHash of the token set, as a bigint (32 or 64 bits).
+def simhash_bit_sums(text: Column, num_bits: int = 64) -> Column:
+    """Per-bit ±1 sums of the token set's hash bits — the expensive
+    per-token pass of SimHash, exposed separately so callers can
+    materialize it as a column before packing (see simhash_dedup).
 
     Per token: two independent 32-bit hashes from md5 hex slices (conv →
     long is exact for 32-bit values). Bit j is recovered with exact
     power-of-two floating division — 32-bit values and 2^j for j<32 are
-    exact doubles — then ±1 bit-weighted sums decide each output bit.
-    The two 32-bit halves are packed with shiftleft|OR, so a 64-bit
-    signature may be negative; downstream word extraction must use
-    ``shiftrightunsigned``. Pure Catalyst array algebra — no UDF.
+    exact doubles. Pure Catalyst array algebra — no UDF.
     """
     assert num_bits in (32, 64)
     toks = F.array_distinct(F.split(normalized_text(text), r"\s+"))
@@ -313,7 +312,7 @@ def simhash64(text: Column, num_bits: int = 64) -> Column:
         return F.pmod(F.floor(half / F.pow(F.lit(2.0), F.pmod(j, 32))), 2)
 
     # single pass over tokens, updating all bit counters per token
-    bit_sums = F.aggregate(
+    return F.aggregate(
         tok_hashes,
         init,
         lambda acc, h: F.zip_with(
@@ -323,7 +322,21 @@ def simhash64(text: Column, num_bits: int = 64) -> Column:
             + F.when(_bit(h, j) == 1, F.lit(1)).otherwise(F.lit(-1)),
         ),
     )
-    # pack per 32-bit half: sums < 2^32 are exact doubles
+
+
+def simhash64(text: Column, num_bits: int = 64) -> Column:
+    """SimHash of the token set, as a bigint (32 or 64 bits) —
+    expression form ``pack_simhash(simhash_bit_sums(...))``. The token
+    pass is inlined into both 32-bit halves here (2×); prefer
+    ``simhash_dedup``'s materialized-column form on DataFrames. The
+    64-bit signature may be negative (shiftleft|OR packing);
+    downstream word extraction must use ``shiftrightunsigned``."""
+    return pack_simhash(simhash_bit_sums(text, num_bits), num_bits)
+
+
+def pack_simhash(bit_sums: Column, num_bits: int = 64) -> Column:
+    """Pack per-bit ±1 sums into the signed integer signature, per
+    32-bit half (sums < 2^32 are exact doubles)."""
     def _half_sig(lo_bit: int) -> Column:
         weighted = F.zip_with(
             F.slice(bit_sums, lo_bit + 1, 32),
@@ -343,10 +356,19 @@ def simhash64(text: Column, num_bits: int = 64) -> Column:
 def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
                   num_bits: int = 64) -> DataFrame:
-    """(id, simhash) — near-dup buckets collide on identical simhash."""
-    return ensure_parallelism(df).select(
-        F.col(id_col), simhash64(F.col(text_col), num_bits).alias("simhash")
-    )
+    """(id, simhash) — near-dup buckets collide on identical simhash.
+
+    The per-bit sums aggregate (the expensive per-token pass) is
+    materialized as a column before packing: the expression form
+    ``simhash64`` inlines it into both 32-bit halves, running the
+    token pass twice (the HOF re-evaluation class, constant-factor
+    here)."""
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        simhash_bit_sums(F.col(text_col), num_bits).alias("_bs"))
+    return base.select(
+        F.col(id_col),
+        pack_simhash(F.col("_bs"), num_bits).alias("simhash"))
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
