@@ -623,6 +623,129 @@ ORDER BY uni.doc_id
 """
 
 
+#: Deterministic per-language vowel decoration: the synthetic corpus
+#: shares one vocabulary across lang labels, so language is made to
+#: manifest in the BYTES (same planting pattern as the PII columns in
+#: text_quality_lang) — the model then has something real to learn.
+LANGID_VOWELS = (("de", "äëïöü"), ("fr", "àéîôù"),
+                 ("es", "áéíóú"), ("zh", "丫也依哦乌"))
+
+
+def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via corpus-trained character-trigram
+    profiles (the textcat / langid.py n-gram family — a first-class
+    model upgrade over text_quality_lang's stopword heuristic):
+    training docs (doc_id < 300) build a top-40 trigram profile per
+    language; every doc is scored by how many of each profile's
+    trigrams it contains, predicted language = argmax overlap
+    (ties → lexicographic, integer-exact in both engines).
+
+    Scale shape: one trigram explode (persisted — both the training
+    agg and the scoring join consume it), a per-language hash agg +
+    window top-k for the profiles (tiny: langs × 40 rows → broadcast
+    into the scoring join), one distinct + broadcast join + hash agg +
+    per-doc window for scoring. No self-joins; the profile dim is the
+    only state, exactly the CLD/langid serving shape at corpus scale.
+    """
+    from .operators.indexes import track_persist
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    surf = norm
+    for lang, repl in LANGID_VOWELS:
+        surf = F.when(F.col("lang") == lang,
+                      F.translate(norm, "aeiou", repl)).otherwise(surf)
+    base = docs.select("doc_id", "lang", surf.alias("_t"))
+    n = F.length("_t")
+    tris = F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+                    lambda i: F.col("_t").substr(i, F.lit(3)))
+    ).otherwise(F.array().cast("array<string>"))
+    tri_rows = track_persist(
+        base.select("doc_id", "lang", F.explode(tris).alias("tri")))
+    counts = (
+        tri_rows.filter(F.col("doc_id") < 300)
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tri"))
+    profile = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 40)
+        .select(F.col("lang").alias("cand_lang"), "tri")
+    )
+    doc_tris = tri_rows.select("doc_id", "tri").distinct()
+    overlap = (
+        doc_tris.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("ov"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(F.desc("ov"),
+                                              F.asc("cand_lang"))
+    pred = overlap.withColumn("rk", F.row_number().over(w2)) \
+        .filter(F.col("rk") == 1)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .select(
+            "doc_id", "lang",
+            F.coalesce("cand_lang", F.lit("")).alias("pred_lang"),
+            F.coalesce("ov", F.lit(0)).cast("long").alias("overlap"),
+            (F.coalesce("cand_lang", F.lit("")) == F.col("lang"))
+            .cast("long").alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_LANGID_TRIGRAM = r"""
+WITH surf AS (
+  SELECT doc_id, lang,
+    CASE lang
+      WHEN 'de' THEN translate(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 'aeiou', 'äëïöü')
+      WHEN 'fr' THEN translate(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 'aeiou', 'àéîôù')
+      WHEN 'es' THEN translate(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 'aeiou', 'áéíóú')
+      WHEN 'zh' THEN translate(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 'aeiou', '丫也依哦乌')
+      ELSE regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+    END AS t
+  FROM documents
+), tri AS (
+  SELECT doc_id, lang, unnest(
+    [substr(t, i, 3) FOR i IN generate_series(1, greatest(length(t) - 2, 1))]
+  ) AS tri
+  FROM surf WHERE length(t) >= 3
+), counts AS (
+  SELECT lang, tri, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tri WHERE doc_id < 300 GROUP BY lang, tri
+), profile AS (
+  SELECT lang AS cand_lang, tri FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY lang ORDER BY cnt DESC, tri ASC) AS rk
+    FROM counts) WHERE rk <= 40
+), doc_tris AS (
+  SELECT DISTINCT doc_id, tri FROM tri
+), overlap AS (
+  SELECT d.doc_id, p.cand_lang, CAST(COUNT(*) AS BIGINT) AS ov
+  FROM doc_tris d JOIN profile p ON d.tri = p.tri
+  GROUP BY d.doc_id, p.cand_lang
+), pred AS (
+  SELECT doc_id, cand_lang, ov FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY ov DESC, cand_lang ASC) AS rk
+    FROM overlap) WHERE rk = 1
+)
+SELECT s.doc_id, s.lang,
+  COALESCE(p.cand_lang, '') AS pred_lang,
+  COALESCE(p.ov, 0) AS overlap,
+  CAST(CASE WHEN COALESCE(p.cand_lang, '') = s.lang
+       THEN 1 ELSE 0 END AS BIGINT) AS correct
+FROM (SELECT doc_id, lang FROM documents) s
+LEFT JOIN pred p ON s.doc_id = p.doc_id
+ORDER BY s.doc_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic class rebalancing (training-data curation: cap
     every language at the rarest language's count, in expectation):
@@ -873,6 +996,7 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),
     "lm_logprob": (q_lm_logprob, SQL_LM_LOGPROB),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "langid_trigram": (q_langid_trigram, SQL_LANGID_TRIGRAM),
     "text_quality_lang": (q_text_quality_lang, SQL_TEXT_QUALITY_LANG),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
 }

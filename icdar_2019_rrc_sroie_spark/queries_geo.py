@@ -100,54 +100,42 @@ ORDER BY doc, la, lb
 """
 
 # ---------------------------------------------------------------------------
-# X17 anchor grid generation
-# ---------------------------------------------------------------------------
-
-
-def q_anchor_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grid = anchor_grid(spark, feat_h=8, feat_w=12)
-    return grid.select(
-        "anchor_id",
-        (F.col("xmin") * 2).cast("long").alias("xmin2"),
-        (F.col("ymin") * 2).cast("long").alias("ymin2"),
-        (F.col("xmax") * 2).cast("long").alias("xmax2"),
-        (F.col("ymax") * 2).cast("long").alias("ymax2"),
-    ).orderBy("anchor_id")
-
-
-SQL_ANCHOR_GRID = """
-WITH hs(hi, h) AS (VALUES (0,11.0),(1,15.0),(2,22.0),(3,32.0),(4,45.0),
-                          (5,65.0),(6,93.0),(7,133.0),(8,190.0),(9,273.0)),
-grid AS (
-  SELECT fy, fx, hi, h FROM generate_series(0,7) g1(fy)
-  CROSS JOIN generate_series(0,11) g2(fx) CROSS JOIN hs
-)
-SELECT (fy*12 + fx)*10 + hi AS anchor_id,
-  CAST((fx*16 + 7.5 - 8.0) * 2 AS BIGINT) AS xmin2,
-  CAST((fy*16 + 7.5 - h/2) * 2 AS BIGINT) AS ymin2,
-  CAST((fx*16 + 7.5 + 8.0) * 2 AS BIGINT) AS xmax2,
-  CAST((fy*16 + 7.5 + h/2) * 2 AS BIGINT) AS ymax2
-FROM grid ORDER BY anchor_id
-"""
-
-# ---------------------------------------------------------------------------
-# X13/X14 encode/decode roundtrip
+# X13/X14 encode/decode roundtrip + X17 anchor grid (merged round 4)
 # ---------------------------------------------------------------------------
 
 
 def q_box_encode_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13/X14 encode/decode roundtrip PLUS the X17 anchor grid as a
+    discriminated union (former ``anchor_grid`` query, merged round 4
+    to free a driver-window slot for ``langid_trigram``; operators
+    unchanged, both halves still fully value-checked): 'box' rows
+    carry (vc, vh, roundtrip errors) in v1..v4, 'grid' rows carry the
+    doubled anchor coords."""
     boxes = _boxes(_t(spark, sf_dir, "lineitem"))
     a_ymin = (F.col("ymin") / 2.0) + 3.0
     a_ymax = a_ymin + 10.0 + (F.col("l_linenumber") % 5).cast("double") * 7.0
     vc, vh = encode_box(F.col("ymin"), F.col("ymax"), a_ymin, a_ymax)
     dec_lo, dec_hi = decode_box(vc, vh, a_ymin, a_ymax)
-    return boxes.select(
-        "l_orderkey", "l_linenumber",
-        _micro(vc).alias("vc_micro"),
-        _micro(vh).alias("vh_micro"),
-        _micro(dec_lo - F.col("ymin")).alias("rt_lo_err_micro"),
-        _micro(dec_hi - F.col("ymax")).alias("rt_hi_err_micro"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    box_rows = boxes.select(
+        F.lit("box").alias("kind"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").cast("long").alias("k2"),
+        _micro(vc).alias("v1"),
+        _micro(vh).alias("v2"),
+        _micro(dec_lo - F.col("ymin")).alias("v3"),
+        _micro(dec_hi - F.col("ymax")).alias("v4"),
+    )
+    grid = anchor_grid(spark, feat_h=8, feat_w=12)
+    grid_rows = grid.select(
+        F.lit("grid").alias("kind"),
+        F.col("anchor_id").cast("long").alias("k1"),
+        F.lit(0).cast("long").alias("k2"),
+        (F.col("xmin") * 2).cast("long").alias("v1"),
+        (F.col("ymin") * 2).cast("long").alias("v2"),
+        (F.col("xmax") * 2).cast("long").alias("v3"),
+        (F.col("ymax") * 2).cast("long").alias("v4"),
+    )
+    return box_rows.unionByName(grid_rows).orderBy("kind", "k1", "k2")
 
 
 SQL_BOX_ENCODE_DECODE = f"""
@@ -163,13 +151,28 @@ prep AS (
   FROM prep
 ), v AS (
   SELECT *, (cy-cya)/ha AS vc, ln(h/ha) AS vh FROM enc
+),
+hs(hi, h) AS (VALUES (0,11.0),(1,15.0),(2,22.0),(3,32.0),(4,45.0),
+                     (5,65.0),(6,93.0),(7,133.0),(8,190.0),(9,273.0)),
+agrid AS (
+  SELECT fy, fx, hi, h FROM generate_series(0,7) g1(fy)
+  CROSS JOIN generate_series(0,11) g2(fx) CROSS JOIN hs
 )
-SELECT l_orderkey, l_linenumber,
-  CAST(floor(vc*1e6+0.5) AS BIGINT) AS vc_micro,
-  CAST(floor(vh*1e6+0.5) AS BIGINT) AS vh_micro,
-  CAST(floor(((vc*ha+cya) - exp(vh)*ha/2.0 - ymin)*1e6+0.5) AS BIGINT) AS rt_lo_err_micro,
-  CAST(floor(((vc*ha+cya) + exp(vh)*ha/2.0 - ymax)*1e6+0.5) AS BIGINT) AS rt_hi_err_micro
-FROM v ORDER BY l_orderkey, l_linenumber
+SELECT 'box' AS kind, l_orderkey AS k1, CAST(l_linenumber AS BIGINT) AS k2,
+  CAST(floor(vc*1e6+0.5) AS BIGINT) AS v1,
+  CAST(floor(vh*1e6+0.5) AS BIGINT) AS v2,
+  CAST(floor(((vc*ha+cya) - exp(vh)*ha/2.0 - ymin)*1e6+0.5) AS BIGINT) AS v3,
+  CAST(floor(((vc*ha+cya) + exp(vh)*ha/2.0 - ymax)*1e6+0.5) AS BIGINT) AS v4
+FROM v
+UNION ALL
+SELECT 'grid' AS kind, CAST((fy*12 + fx)*10 + hi AS BIGINT) AS k1,
+  CAST(0 AS BIGINT) AS k2,
+  CAST((fx*16 + 7.5 - 8.0) * 2 AS BIGINT) AS v1,
+  CAST((fy*16 + 7.5 - h/2) * 2 AS BIGINT) AS v2,
+  CAST((fx*16 + 7.5 + 8.0) * 2 AS BIGINT) AS v3,
+  CAST((fy*16 + 7.5 + h/2) * 2 AS BIGINT) AS v4
+FROM agrid
+ORDER BY kind, k1, k2
 """
 
 # ---------------------------------------------------------------------------
@@ -617,7 +620,6 @@ ORDER BY l_orderkey, anchor_id
 SQL_QUERIES_GEO = {
     "iou_pairs": (q_iou_pairs, SQL_IOU_PAIRS),
     "detection_prefix": (q_detection_prefix, SQL_DETECTION_PREFIX),
-    "anchor_grid": (q_anchor_grid, SQL_ANCHOR_GRID),
     "box_encode_decode": (q_box_encode_decode, SQL_BOX_ENCODE_DECODE),
     "clip_split": (q_clip_split, SQL_CLIP_SPLIT),
     "total_lookback": (q_total_lookback, SQL_TOTAL_LOOKBACK),

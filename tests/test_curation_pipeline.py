@@ -65,3 +65,20 @@ def test_excised_docs_have_changed_fingerprint(spark, result):
     for doc_id, fp in excised.items():
         if doc_id in orig:
             assert fp != orig[doc_id]
+
+
+def test_langid_trigram_classifies_decorated_corpus(spark):
+    """The corpus-trained char-trigram profiles must actually separate
+    the five decorated languages (not just run): exact accuracy on the
+    deterministic corpus."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.indexes import (
+        release_indexes,
+    )
+    from icdar_2019_rrc_sroie_spark.queries import q_langid_trigram
+
+    out = q_langid_trigram(spark, SF_DIR)
+    acc = out.agg(F.avg("correct")).collect()[0][0]
+    release_indexes()
+    assert acc >= 0.95, acc
