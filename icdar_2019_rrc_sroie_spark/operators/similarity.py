@@ -259,6 +259,74 @@ def ann_topk_bucketed(df: DataFrame, query: list[float], k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def ann_knn_join(df: DataFrame, k: int = 5, n_bits: int | None = None,
+                 seed: int = 7, multiprobe: int = 1,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int | None = None,
+                 max_bucket_size: int | None = 200) -> DataFrame:
+    """Approximate k-NN JOIN: for EVERY row, its ``k`` most-cosine-similar
+    other rows — the retrieval-shaped batch workload (embedding dedup
+    wants pairs above a threshold; clustering/retrieval pipelines want
+    each doc's neighborhood). Reuses the sign-LSH candidate machinery
+    of :func:`embedding_near_dups` (bucket equi-joins + masked
+    multiprobe, never a cross join; candidates are exact-cosine scored)
+    and keeps the best ``k`` per query row with a window — so recall is
+    probabilistic exactly like the near-dup path (brute-force parity on
+    clustered data pinned by test), while the join fan-out stays
+    bounded by the bucket caps.
+
+    Output: (id_a, id_b, cosine, rnk) with rnk 1..k per id_a; both
+    directions are emitted (a neighbor list is per row, unlike the
+    near-dup pair list). Rows whose buckets were capped away or that
+    share no bucket with anything get no rows — at 100 TB that is the
+    correct failure mode (log shows the cap drops; singletons have no
+    neighbors at this probe width).
+    """
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if n_bits is None:
+        n_bits = scaled_n_bits(df.count())
+    planes = random_hyperplanes(dim, n_bits, seed)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col),
+        sign_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    from .dedup import cap_buckets
+
+    bucketed = cap_buckets(bucketed, ["bucket"], max_bucket_size,
+                           label="ann_knn_join")
+    l0 = bucketed.select(F.col(id_col).alias("id_a"),
+                         F.col(vec_col).alias("va"), "bucket")
+    r0 = bucketed.select(F.col(id_col).alias("id_b"),
+                         F.col(vec_col).alias("vb"), "bucket")
+
+    def pair_join(left, right, key):
+        return (
+            left.join(right, key)
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+        )
+
+    cands = pair_join(l0, r0, ["bucket"])
+    if multiprobe >= 1:
+        for i in range(n_bits):
+            mask = ~(1 << i) & ((1 << n_bits) - 1)
+            lm = l0.withColumn("mb", F.col("bucket").bitwiseAND(F.lit(mask)))
+            rm = r0.withColumn("mb", F.col("bucket").bitwiseAND(F.lit(mask)))
+            cands = cands.unionByName(
+                pair_join(lm.drop("bucket"), rm.drop("bucket"), ["mb"]))
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        cands.select("id_a", "id_b",
+                     cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def cosine_topk_arrow(df: DataFrame, query: list[float], k: int = 10,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:

@@ -611,8 +611,27 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN JOIN over the embeddings table (every vector's
+    top-3 neighbors via the sign-LSH bucket machinery + exact-cosine
+    window). Rows-only: recall is probabilistic by design (same as
+    ann_bucketed's family); brute-force parity on clustered data is
+    pinned by tests/test_dedup_similarity.py."""
+    from .operators.similarity import ann_knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        ann_knn_join(emb, k=3, n_bits=8, multiprobe=1)
+        .select("id_a", "id_b", "rnk",
+                F.floor(F.col("cosine") * 1e6 + 0.5).cast("long")
+                .alias("cosine_micro"))
+        .orderBy("id_a", "rnk")
+    )
+
+
 ROWS_ONLY_QUERIES = {
     "curation_pipeline": (q_curation_pipeline, None),
+    "ann_knn_join": (q_ann_knn_join, None),
     "anchor_matching": (q_anchor_matching, SQL_ANCHOR_MATCHING),
     "raster_crop": (q_raster_crop, None),
     "learned_classifier": (q_learned_classifier, None),

@@ -758,3 +758,44 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
             for r in ivf_topk(emb, cents, query, k=5, nprobe=2).collect()]
     got = [(r["vec_id"], round(r["cosine"], 9)) for r in probe.collect()]
     assert got == want
+
+
+def test_ann_knn_join_recall_vs_bruteforce(spark):
+    """Per-row k-NN join recall on clustered data: each cluster
+    member's LSH neighborhood must recover most of its true top-k."""
+    import numpy as np
+
+    from icdar_2019_rrc_sroie_spark.operators.similarity import (
+        ann_knn_join,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.indexes import (
+        release_indexes,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = [rng.standard_normal(16) * 3 for _ in range(3)]
+    rows = []
+    for i in range(180):
+        v = centers[i % 3] + 0.15 * rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {}
+    for r in ann_knn_join(df, k=5, n_bits=4, multiprobe=1,
+                          max_bucket_size=None).collect():
+        got.setdefault(r["id_a"], []).append((r["rnk"], r["id_b"]))
+    release_indexes()
+
+    m = np.array([r[1] for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -2)
+    recalls = []
+    for qid in range(0, 180, 7):
+        brute = set(np.argsort(-sims[qid])[:5])
+        ann = {b for _, b in sorted(got.get(qid, []))}
+        recalls.append(len(brute & ann) / 5)
+        # ordering: rnk must follow descending cosine
+        rnks = [rk for rk, _ in sorted(got.get(qid, []))]
+        assert rnks == list(range(1, len(rnks) + 1))
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
