@@ -110,6 +110,31 @@ def shingle_rows(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# MinHash hash material shared by the batch path (minhash_signatures →
+# lsh_bands) and the per-row/stream path (incremental.row_bands): band
+# hashes from the two paths MUST stay joinable, so the constants and
+# the per-hash digest-slice rule live here, once.
+MINHASH_SECOND_DIGEST_PREFIX = "~"
+MINHASH_BAND_SEP = "|"
+
+
+def minhash_digest_expr(shingle: Column, i: int) -> Column:
+    """Hash ``i`` of one shingle: the 8-hex-char slice ``[8(i%4),
+    8(i%4)+8)`` of md5(shingle) for i < 4, of the prefixed second
+    digest for i >= 4. The batch path computes the digests once per
+    shingle row and slices in the aggregate (cheaper); this per-call
+    form is what the per-row path folds into its transforms —
+    byte-identical either way (pinned by the row_bands parity test)."""
+    src = F.md5(shingle) if i < 4 else F.md5(
+        F.concat(F.lit(MINHASH_SECOND_DIGEST_PREFIX), shingle))
+    return F.substring(src, (i % 4) * 8 + 1, 8)
+
+
+def band_hash_expr(sig_cols: list[Column]) -> Column:
+    """One LSH band hash from its signature columns."""
+    return F.md5(F.concat_ws(MINHASH_BAND_SEP, *sig_cols))
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 8,
                        k: int = 3) -> DataFrame:
@@ -126,7 +151,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     assert num_hashes <= 8
     sh = shingle_rows(ensure_parallelism(df), id_col, text_col, k)
     digest1 = F.md5(F.col("shingle"))
-    digest2 = F.md5(F.concat(F.lit("~"), F.col("shingle")))
+    digest2 = F.md5(F.concat(F.lit(MINHASH_SECOND_DIGEST_PREFIX),
+                             F.col("shingle")))
     sh = sh.select(id_col, digest1.alias("d1"),
                    *([digest2.alias("d2")] if num_hashes > 4 else []))
     aggs = []
@@ -148,7 +174,7 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
                 for r in range(rows_per_band)]
         bands.append(
             F.struct(F.lit(b).alias("band_idx"),
-                     F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+                     band_hash_expr(cols).alias("band_hash"))
         )
     return signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("band")
@@ -165,23 +191,45 @@ def cap_buckets(df: DataFrame, keys: list[str],
     belongs to exact_dedup. Used by minhash_candidates,
     simhash_near_dups and similarity.embedding_near_dups.
 
-    No silent caps: the result is the index table the caller would
-    persist anyway, so the pre-cap index is persisted here (via
-    track_persist — release_indexes frees it) and the number of rows
-    the cap removes is counted against it and logged as a WARNING
-    when non-zero. With ``max_bucket_size=None`` the input is persisted
-    unchanged — either way the caller must NOT re-persist.
+    No silent caps, and no eager jobs either: the dropped-row count
+    rides the caller's OWN first action via the Observation API (an
+    ``observe`` on the pre-cap index costs nothing extra at execution
+    and fires a daemon thread that logs a WARNING once the metric
+    lands) — constructing the DataFrame stays lazy, so plan-only uses
+    and larger compositions pay nothing. The pre-cap index is
+    persisted (via track_persist — release_indexes frees it; both
+    join sides read it). With ``max_bucket_size=None`` the input is
+    persisted unchanged — either way the caller must NOT re-persist.
     """
     if max_bucket_size is None:
         return track_persist(df)
+    import threading
+    import uuid
+
+    from pyspark.sql import Observation
+
     bucket_sz = F.count(F.lit(1)).over(Window.partitionBy(*keys))
-    base = track_persist(df.withColumn("bucket_sz", bucket_sz))
-    n_dropped = base.filter(F.col("bucket_sz") > max_bucket_size).count()
-    if n_dropped:
-        logger.warning(
-            "%s: max_bucket_size=%d dropped %d index rows in "
-            "over-cap buckets (degenerate mass — identical-text dedup "
-            "belongs to exact_dedup)", label, max_bucket_size, n_dropped)
+    obs = Observation(f"cap_buckets:{label}:{uuid.uuid4().hex[:8]}")
+    base = track_persist(
+        df.withColumn("bucket_sz", bucket_sz)
+        .observe(obs, F.sum(
+            F.when(F.col("bucket_sz") > max_bucket_size, 1).otherwise(0)
+        ).alias("dropped"))
+    )
+
+    def _report() -> None:
+        # blocks until the caller's first action materializes the
+        # index; daemon — dies quietly if the plan is never executed
+        n_dropped = obs.get["dropped"]
+        if n_dropped:
+            logger.warning(
+                "%s: max_bucket_size=%d dropped %d index rows in "
+                "over-cap buckets (degenerate mass — identical-text "
+                "dedup belongs to exact_dedup)",
+                label, max_bucket_size, n_dropped)
+
+    threading.Thread(target=_report, daemon=True,
+                     name=f"cap-audit-{label}").start()
     return base.filter(F.col("bucket_sz") <= max_bucket_size) \
         .drop("bucket_sz")
 

@@ -22,7 +22,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import cap_buckets, lsh_bands, minhash_signatures, word_shingles
+from .dedup import (
+    band_hash_expr,
+    cap_buckets,
+    lsh_bands,
+    minhash_digest_expr,
+    minhash_signatures,
+    word_shingles,
+)
 
 INDEX_SCHEMA = "doc_id long, band_idx int, band_hash string, snapshot_id string"
 
@@ -51,14 +58,11 @@ def row_bands(df: DataFrame, id_col: str = "doc_id",
     def _sig(i: int) -> Column:
         # factory: the transform lambda must stay SINGLE-argument
         # (PySpark derives the HOF arity from the signature), so the
-        # per-i offset/prefix bind via closure, not default args
-        off = (i % 4) * 8 + 1
-        if i < 4:
-            return F.array_min(F.transform(
-                F.col("_sh"), lambda s: F.substring(F.md5(s), off, 8)))
+        # per-i binding is via closure; the digest-slice rule itself
+        # comes from dedup.minhash_digest_expr — the single source of
+        # truth both paths share (bands must stay joinable)
         return F.array_min(F.transform(
-            F.col("_sh"),
-            lambda s: F.substring(F.md5(F.concat(F.lit("~"), s)), off, 8)))
+            F.col("_sh"), lambda s: minhash_digest_expr(s, i)))
 
     sigs = [_sig(i).alias(f"sig{i}") for i in range(num_hashes)]
     sigd = base.select(F.col(id_col), *sigs)
@@ -68,7 +72,7 @@ def row_bands(df: DataFrame, id_col: str = "doc_id",
                 for r in range(rows_per_band)]
         bands.append(F.struct(
             F.lit(b).alias("band_idx"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_hash")))
+            band_hash_expr(cols).alias("band_hash")))
     return sigd.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_hash")
@@ -90,9 +94,17 @@ def streaming_band_candidates(stream_docs: DataFrame,
     duplicates (alerting) or applies dropDuplicatesWithinWatermark on
     (id_a, id_b) — kept out of here so the operator stays stateless.
 
-    ``stored_index`` is a STATIC DataFrame (e.g. ``read_band_index``);
-    Spark re-resolves file listings per micro-batch, so index updates
-    between batches are picked up."""
+    ``stored_index`` is a STATIC DataFrame (e.g. ``read_band_index``)
+    whose file listing is PINNED when the DataFrame is created — new
+    snapshots written to the index while the stream runs are NOT seen
+    by this query, and overwriting a snapshot the running stream
+    references (write_band_index's idempotent re-ingest) deletes files
+    it may still read. Operational contract: treat the index as
+    immutable for the life of the stream; to pick up newly-ingested
+    snapshots, restart the query with a fresh ``read_band_index`` (or
+    run the join inside ``foreachBatch``, re-reading the index per
+    batch). On Iceberg the same join reads a pinned snapshot and the
+    restart swaps to the newest one — see CATALOG.md."""
     new_bands = row_bands(stream_docs, id_col, text_col,
                           num_hashes, rows_per_band, k)
     stored = stored_index.select(F.col(id_col).alias("id_b"),
@@ -134,10 +146,15 @@ def write_band_index(df: DataFrame, index_path: str, snapshot_id: str,
              F.countDistinct(id_col).cast("long").alias("n_docs"))
         .collect()[0]
     )
+    # lineage is idempotent like the bands write: the snapshot's
+    # partition is replaced, so a re-ingest never double-counts
     spark.createDataFrame(
-        [(snapshot_id, stats["n_docs"], stats["n_bands"])],
-        "snapshot_id string, n_docs long, n_bands long",
-    ).write.mode("append").parquet(f"{index_path}/_lineage")
+        [(int(stats["n_docs"]), int(stats["n_bands"]), snapshot_id)],
+        "n_docs long, n_bands long, snapshot_id string",
+    ).write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("snapshot_id") \
+        .parquet(f"{index_path}/_lineage")
     return int(stats["n_bands"])
 
 

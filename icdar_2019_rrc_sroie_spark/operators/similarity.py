@@ -281,11 +281,27 @@ def ann_knn_join(df: DataFrame, k: int = 5, n_bits: int | None = None,
     share no bucket with anything get no rows — at 100 TB that is the
     correct failure mode (log shows the cap drops; singletons have no
     neighbors at this probe width).
+
+    ``multiprobe`` supports 0 (own bucket) or 1 (plus single-bit-flip
+    buckets via masked joins); wider probing raises rather than
+    silently clamping. Pass ``dim``/``n_bits`` explicitly to keep
+    construction fully lazy — inferring them costs two small driver
+    jobs (first + count).
     """
     from pyspark.sql import Window
 
+    if multiprobe not in (0, 1):
+        raise ValueError(
+            "ann_knn_join: multiprobe must be 0 or 1 — the masked "
+            "self-join form has no 2-bit variant (each extra bit "
+            "squares the join count); raising instead of silently "
+            "probing less than asked")
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        first = df.select(vec_col).first()
+        if first is None:  # empty input -> empty neighbor list
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double, rnk int")
+        dim = len(first[0])
     if n_bits is None:
         n_bits = scaled_n_bits(df.count())
     planes = random_hyperplanes(dim, n_bits, seed)
@@ -384,10 +400,10 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
 
     Candidates come from equi-joins on the random-hyperplane bucket id
     (never a cross join): vectors within a small angle agree on most
-    hyperplane signs, so with ``multiprobe`` ≥ 1 the self-join also
+    hyperplane signs, so with ``multiprobe=1`` the self-join also
     probes buckets one bit-flip away (join on the masked bucket with
-    one hyperplane ignored — n_bits+1 equi-joins total, recall grows
-    with multiprobe at linear candidate cost). Exact cosine verifies
+    one hyperplane ignored — n_bits+1 equi-joins total; values other
+    than 0/1 raise, there is no wider variant). Exact cosine verifies
     every candidate. Recall is probabilistic (standard sign-LSH);
     brute-force parity is pinned by tests on planted duplicates.
 
@@ -412,8 +428,16 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
       extra action over the persisted index) and logs it — the
       monitoring hook for skew triage on a real corpus.
     """
+    if multiprobe not in (0, 1):
+        raise ValueError(
+            "embedding_near_dups: multiprobe must be 0 or 1 — the "
+            "masked self-join form has no 2-bit variant; raising "
+            "instead of silently probing less than asked")
     if dim is None:
         first = df.select(vec_col).first()
+        if first is None:  # empty corpus -> no pairs
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double")
         dim = len(first[0])
     if n_bits is None:
         n_bits = scaled_n_bits(df.count())

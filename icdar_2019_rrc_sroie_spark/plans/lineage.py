@@ -242,11 +242,16 @@ def _staged_bucket_rewrite(spark: SparkSession, out_dir: str,
     store untouched; a crash DURING it leaves the staged copy on disk
     (under ``<out_dir>/_staging/``) from which rerunning the overwrite
     is safe. Staging is dropped only after the lineage append — the
-    commit's last step, same ordering as the resume path.
+    commit's last step, same ordering as the resume path — by
+    deleting the WHOLE ``_staging`` parent, so stale copies orphaned
+    by earlier crashes are swept by the next successful commit (the
+    store is single-writer, like the resume path; concurrent writers
+    need a real catalog — see CATALOG.md).
 
     Returns ``(staged_df, staging_path)`` — the staged DataFrame is
     file-backed, safe to aggregate for lineage after the overwrite;
-    the caller deletes ``staging_path`` as its final step.
+    the caller deletes the ``_staging`` parent of ``staging_path`` as
+    its final step (sweeping any stale crash leftovers with it).
     """
     import uuid
 
@@ -317,7 +322,7 @@ def upsert_spans(spark: SparkSession, out_dir: str, snapshot_id: str,
         .withColumn("snapshot_id", F.lit(snapshot_id)) \
         .select(*LINEAGE_COLS)
     lineage.write.mode("append").parquet(_lineage_path(out_dir))
-    _delete_dir(spark, staging)
+    _delete_dir(spark, os.path.dirname(staging))
     return read_spans(spark, out_dir, snapshot_id)
 
 
@@ -376,5 +381,5 @@ def compact_spans(spark: SparkSession, out_dir: str, snapshot_id: str,
         .withColumn("snapshot_id", F.lit(snapshot_id)) \
         .select(*LINEAGE_COLS)
     lineage.write.mode("append").parquet(_lineage_path(out_dir))
-    _delete_dir(spark, staging)
+    _delete_dir(spark, os.path.dirname(staging))
     return len(buckets)

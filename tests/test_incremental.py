@@ -69,11 +69,13 @@ def test_index_write_idempotent_and_lineage(spark, stores):
     snap1_docs, index = stores
     n1 = read_band_index(spark, index).count()
     # re-running the same snapshot replaces its partition, no dup rows
+    # — in the bands AND in the lineage (a retried ingest must not
+    # double-count in audits)
     write_band_index(spark.read.parquet(snap1_docs), index, "snap1",
                      num_hashes=4)
     assert read_band_index(spark, index).count() == n1
     lin = index_lineage(spark, index)
-    assert lin.filter(F.col("snapshot_id") == "snap1").count() == 2
+    assert lin.filter(F.col("snapshot_id") == "snap1").count() == 1
     row = lin.collect()[0]
     assert row["n_docs"] == 50 and row["n_bands"] == 100  # 2 bands/doc
 

@@ -253,3 +253,26 @@ def test_upsert_spans_bucket_modulus_guard(spark, tmp_path):
     # resuming under a different modulus is refused too
     with pytest.raises(ValueError, match="refusing"):
         run_with_resume(spark, t, out, "snap2", n_buckets=4)
+
+
+def test_staging_sweep_removes_stale_crash_leftovers(spark, tmp_path):
+    """A successful MERGE sweeps the whole _staging parent — staging
+    dirs orphaned by earlier crashes don't accumulate."""
+    import os
+
+    from icdar_2019_rrc_sroie_spark.plans.lineage import upsert_spans
+
+    out = str(tmp_path / "sweep")
+    t = transcripts_df(spark, n_convs=N_CONVS)
+    before = _sorted_rows(run_with_resume(spark, t, out, SNAP, n_buckets=4))
+    # plant a fake stale staging dir (as a crashed MERGE would leave)
+    stale = os.path.join(out, "_staging", "deadbeef")
+    os.makedirs(stale)
+    open(os.path.join(stale, "part-0.parquet"), "w").write("x")
+
+    k = before[0][:3]
+    corrections = spark.createDataFrame(
+        [(k[0], k[1], k[2], "SWEPT")],
+        "conv_id string, turn_idx int, label string, corrected string")
+    upsert_spans(spark, out, SNAP, corrections)
+    assert not os.path.exists(os.path.join(out, "_staging"))

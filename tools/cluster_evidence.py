@@ -87,6 +87,9 @@ def main() -> None:
     # pair; pass e.g. "2,8" to probe the SMT-limited full-host regime
     sizes = tuple(int(x) for x in
                   (sys.argv[1] if len(sys.argv) > 1 else "1,4").split(","))
+    if len(sizes) != 2 or sizes[0] >= sizes[1]:
+        raise SystemExit("pass exactly two ascending executor counts, "
+                         "e.g. 1,4 — validated BEFORE the batteries run")
     results = {}
     for n_exec in sizes:
         cmd = [
