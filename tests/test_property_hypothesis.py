@@ -101,3 +101,61 @@ def test_winnow_py_matches_spark(spark):
         got[r["doc_id"]].add(r["fp"])
     for i, t in enumerate(texts):
         assert got[i] == _winnow_py(t), i
+
+
+def test_dedup_spans_randomized_invariants(spark):
+    """Randomized structural invariants of substring-level dedup over
+    corpora with planted shared chunks (seeded loop — one Spark job
+    total, unlike per-example hypothesis):
+
+    * len(redacted) == len(canonical) - dup_chars (complement cut);
+    * every reported span lies within the canonical text and spans
+      are disjoint, ascending, gap-separated after merging;
+    * a doc never excises text it canonically owns (min id per fp).
+    """
+    import random
+
+    from icdar_2019_rrc_sroie_spark.operators.dedup import dedup_spans
+
+    rng = random.Random(19)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "julie", "kilo", "lima"]
+    shared_chunks = [
+        " ".join(rng.choices(words, k=8)) + f" shared{c}"
+        for c in range(4)
+    ]
+    rows = []
+    for i in range(40):
+        # filler tokens are UNIQUE per doc: fingerprint ownership is
+        # per-fingerprint (min doc id), so any cross-doc substring
+        # collision in the filler would legitimately excise part of a
+        # "chunk owner"'s text — only the planted chunks may be shared
+        # for the ownership invariant below to hold
+        body = " ".join(f"u{i}x{j}" for j in range(rng.randint(5, 25)))
+        if i % 3 == 0:
+            body += " " + shared_chunks[i % 4]
+        rows.append((i, body))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = {i: " ".join(t.lower().split()) for i, t in rows}
+
+    out = dedup_spans(df, k=20, window=4, gap=24).collect()
+    for r in out:
+        nt = norm[r["doc_id"]]
+        spans = [tuple(map(int, p.split("-")))
+                 for p in r["spans"].split(";")]
+        assert len(r["redacted"]) == len(nt) - r["dup_chars"]
+        prev_e = -10**9
+        for s, e in spans:
+            assert 1 <= s <= e <= len(nt)
+            assert s > prev_e + 24  # merged: gaps respected
+            prev_e = e
+    # owner docs keep their text: the FIRST doc carrying each chunk
+    # (min id among carriers) must not excise that chunk
+    excised = {r["doc_id"]: r["redacted"] for r in out}
+    for c, chunk in enumerate(shared_chunks):
+        carriers = sorted(i for i in range(40)
+                          if i % 3 == 0 and i % 4 == c)
+        if len(carriers) >= 2:
+            owner = carriers[0]
+            owner_text = excised.get(owner, norm[owner])
+            assert " ".join(chunk.lower().split()) in owner_text
