@@ -154,9 +154,13 @@ def enrich_spans_stream(transcript_stream: DataFrame,
     """Stream-static join: streaming span rows enriched with a static
     dimension table (per-label weights/config). Spark plans the static
     side as a broadcast against every micro-batch — no state store, no
-    watermark needed; the dim is re-read per batch so a replaced
-    parquet dim takes effect on the next trigger. This is the
-    streaming analog of the batch plan's broadcast class-weights join
-    (A3)."""
+    watermark needed. Note the static side's FILE LISTING (for a
+    file-backed dim) is pinned when the DataFrame is created: the
+    values are re-read per batch from those files, but a dim replaced
+    on disk (new part files) is NOT picked up and its deleted files
+    can fail the stream — swap dims by restarting the query or joining
+    inside foreachBatch (same contract as
+    incremental.streaming_band_candidates). This is the streaming
+    analog of the batch plan's broadcast class-weights join (A3)."""
     spans = extract_spans_stateless(transcript_stream)
     return spans.join(F.broadcast(label_dim), "label", "left")
