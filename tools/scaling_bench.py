@@ -92,17 +92,37 @@ def _sub(snippet: str, **env_extra) -> str:
     return out.stdout.strip().splitlines()[-1]
 
 
+def single_thread_calib() -> float:
+    """Single-thread Mops sample — the host-throttle detector (this
+    box shows hour-long external throttle windows where the quiet-band
+    13+ Mops drops to 3-8 at ZERO load; ratios measured there invert,
+    see BASELINE.md)."""
+    import time
+
+    n, acc = 4_000_000, 0
+    t0 = time.perf_counter()
+    for i in range(n):
+        acc += i * 31 & 1023
+    return round(n / (time.perf_counter() - t0) / 1e6, 2)
+
+
 def main() -> None:
+    calib_before = single_thread_calib()
     _sub(GEN_SNIPPET)
     r2 = json.loads(_sub(RUN_SNIPPET, SPARK_GRAFT_CPUS=2))
     r8 = json.loads(_sub(RUN_SNIPPET, SPARK_GRAFT_CPUS=8))
     r32 = json.loads(_sub(RUN_SNIPPET, SPARK_GRAFT_CPUS=32))
     hw_ceiling = float(_sub(CPU_CALIBRATION))
+    calibs = [calib_before, single_thread_calib()]
     print(json.dumps({
         "local2": r2, "local8": r8, "local32": r32,
         "efficiency_2_to_8": round(r8["tps"] / (4 * r2["tps"]), 3),
         "efficiency_8_to_32": round(r32["tps"] / (4 * r8["tps"]), 3),
         "hw_ceiling_8_to_32_pure_cpu": hw_ceiling,
+        "cpu_calib_mops": calibs,
+        # quiet band on this host is 11-14 Mops; below ~9 the run sat
+        # in an external-throttle window and the ratios are suspect
+        "throttled_window": min(calibs) < 9.0,
     }))
 
 
