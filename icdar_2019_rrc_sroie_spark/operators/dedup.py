@@ -1,14 +1,23 @@
 """Deduplication operators for training-data pipelines.
 
-Exact (hash-groupBy), MinHash+LSH (shingle → per-seed min-hash → band →
-bucket equi-join), SimHash, and n-gram Jaccard verification. All hash
-material is md5-based so results are engine-portable (the DuckDB oracle
-computes identical signatures) and independent of Spark's murmur seed.
+The full batch family: exact (hash-groupBy), MinHash+LSH (shingle →
+per-seed min-hash → band → bucket equi-join), SimHash + Hamming
+pigeonhole joins, n-gram Jaccard verification, winnowing fingerprints
+(document-level AND positioned → substring-level ``dedup_spans``),
+pairs → clusters → canonical via hash-min ``connected_components``,
+and eval-set ``decontaminate``. The incremental/streaming face lives
+in operators/incremental.py (same band-hash material — shared
+constants below). All hash material is md5-based so results are
+engine-portable (the DuckDB oracle computes identical signatures) and
+independent of Spark's murmur seed.
 
 Scale notes: candidate generation is a self-equi-join on (band_idx,
 band_hash) — a shuffle join whose key cardinality grows with corpus
 size, so no skew concentrator; the expensive Jaccard verification runs
-only on candidates. Never a cross join.
+only on candidates; every self-join has a logged bucket-cap guard.
+Never a cross join. Arrays consumed by windowed lambdas are
+materialized as columns first (HOF re-evaluation class — see
+winnow_fingerprints).
 """
 
 from __future__ import annotations
