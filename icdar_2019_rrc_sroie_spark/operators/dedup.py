@@ -35,10 +35,13 @@ logger = logging.getLogger(__name__)
 # forces a plan→RDD conversion on the driver (no job, but repeated
 # analysis); one operator pipeline probes the same logical plan several
 # times (minhash → bands → jaccard all start from the same scan), so
-# the verdict is cached by (session, semantic hash). The memo only
-# decides whether to ADD a spreading repartition — a stale entry can
-# cost a redundant shuffle, never correctness.
-_WIDTH_MEMO: dict[tuple[int, int], bool] = {}
+# the verdict is cached by (applicationId, semantic hash) — the app id
+# is stable for the session's life and never reused the way id() of a
+# GC'd session object can be. The memo only decides whether to ADD a
+# spreading repartition — a stale entry can cost a redundant shuffle
+# (false 'narrow') or lose parallelism on the CPU-hot projection it
+# guards (false 'wide'), never correctness.
+_WIDTH_MEMO: dict[tuple[str, int], bool] = {}
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -52,7 +55,8 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        key = (id(df.sparkSession), df.semanticHash())
+        key = (df.sparkSession.sparkContext.applicationId,
+               df.semanticHash())
     except Exception:  # noqa: BLE001 — semanticHash unavailable: probe raw
         key = None
     narrow = _WIDTH_MEMO.get(key) if key is not None else None
@@ -127,16 +131,23 @@ MINHASH_SECOND_DIGEST_PREFIX = "~"
 MINHASH_BAND_SEP = "|"
 
 
+def minhash_slice_expr(digest: Column, i: int) -> Column:
+    """The slice rule of hash ``i``: 8 hex chars at offset 8*(i%4) of
+    its source digest (d1 for i < 4, the prefixed d2 for i >= 4) —
+    THE single source of truth shared by the batch aggregate, the
+    per-row stream path and this module's per-call form."""
+    return F.substring(digest, (i % 4) * 8 + 1, 8)
+
+
 def minhash_digest_expr(shingle: Column, i: int) -> Column:
-    """Hash ``i`` of one shingle: the 8-hex-char slice ``[8(i%4),
-    8(i%4)+8)`` of md5(shingle) for i < 4, of the prefixed second
-    digest for i >= 4. The batch path computes the digests once per
-    shingle row and slices in the aggregate (cheaper); this per-call
-    form is what the per-row path folds into its transforms —
+    """Hash ``i`` of one shingle, computed from the raw shingle (digest
+    + slice in one expression). The batch and per-row paths compute the
+    1-2 digests once per shingle and apply :func:`minhash_slice_expr`
+    (cheaper); this form exists for tests/one-off expressions —
     byte-identical either way (pinned by the row_bands parity test)."""
     src = F.md5(shingle) if i < 4 else F.md5(
         F.concat(F.lit(MINHASH_SECOND_DIGEST_PREFIX), shingle))
-    return F.substring(src, (i % 4) * 8 + 1, 8)
+    return minhash_slice_expr(src, i)
 
 
 def band_hash_expr(sig_cols: list[Column]) -> Column:
@@ -167,9 +178,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     aggs = []
     for i in range(num_hashes):
         src = F.col("d1") if i < 4 else F.col("d2")
-        aggs.append(
-            F.min(F.substring(src, (i % 4) * 8 + 1, 8)).alias(f"sig{i}")
-        )
+        aggs.append(F.min(minhash_slice_expr(src, i)).alias(f"sig{i}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -202,17 +211,20 @@ def cap_buckets(df: DataFrame, keys: list[str],
 
     No silent caps, and no eager jobs either: the dropped-row count
     rides the caller's OWN first action via the Observation API (an
-    ``observe`` on the pre-cap index costs nothing extra at execution
-    and fires a daemon thread that logs a WARNING once the metric
-    lands) — constructing the DataFrame stays lazy, so plan-only uses
-    and larger compositions pay nothing. The pre-cap index is
-    persisted (via track_persist — release_indexes frees it; both
-    join sides read it). With ``max_bucket_size=None`` the input is
-    persisted unchanged — either way the caller must NOT re-persist.
+    ``observe`` on the pre-cap index costs nothing extra at execution)
+    — constructing the DataFrame stays lazy, so plan-only uses and
+    larger compositions pay nothing. Pending audits are drained by ONE
+    shared non-blocking poller thread (see :func:`_audit_register`):
+    it logs a WARNING when the metric lands, and quietly drops the
+    audit when the plan is never executed or the session goes away —
+    no per-call thread can block forever or raise through py4j after
+    session teardown. The pre-cap index is persisted (via
+    track_persist — release_indexes frees it; both join sides read
+    it). With ``max_bucket_size=None`` the input is persisted
+    unchanged — either way the caller must NOT re-persist.
     """
     if max_bucket_size is None:
         return track_persist(df)
-    import threading
     import uuid
 
     from pyspark.sql import Observation
@@ -225,22 +237,99 @@ def cap_buckets(df: DataFrame, keys: list[str],
             F.when(F.col("bucket_sz") > max_bucket_size, 1).otherwise(0)
         ).alias("dropped"))
     )
-
-    def _report() -> None:
-        # blocks until the caller's first action materializes the
-        # index; daemon — dies quietly if the plan is never executed
-        n_dropped = obs.get["dropped"]
-        if n_dropped:
-            logger.warning(
-                "%s: max_bucket_size=%d dropped %d index rows in "
-                "over-cap buckets (degenerate mass — identical-text "
-                "dedup belongs to exact_dedup)",
-                label, max_bucket_size, n_dropped)
-
-    threading.Thread(target=_report, daemon=True,
-                     name=f"cap-audit-{label}").start()
-    return base.filter(F.col("bucket_sz") <= max_bucket_size) \
+    out = base.filter(F.col("bucket_sz") <= max_bucket_size) \
         .drop("bucket_sz")
+    _audit_register(obs, out, label, max_bucket_size)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cap-audit poller: one daemon drains ALL pending cap_buckets audits by
+# polling the JVM Observation non-blockingly (getRowOrEmpty). The r4
+# design spawned one thread per cap_buckets call that BLOCKED on
+# Observation.get — a plan that never executed leaked a blocked thread
+# forever, and a session stopped mid-action made the blocked call raise
+# through py4j from a background thread (the one pytest warning of r4).
+# ---------------------------------------------------------------------------
+
+_AUDIT_GRACE_SEC = 30.0  # keep a GC'd-plan audit this long before dropping
+_AUDIT_POLL_SEC = 0.25
+_audit_lock = __import__("threading").Lock()
+_audit_pending: list[dict] = []
+_audit_thread = None
+
+
+def _audit_register(obs, df: DataFrame, label: str, cap: int) -> None:
+    import threading
+    import weakref
+
+    entry = {"jo": obs._jo, "ref": weakref.ref(df), "label": label,
+             "cap": cap, "dead_since": None}
+    global _audit_thread
+    with _audit_lock:
+        _audit_pending.append(entry)
+        if _audit_thread is None or not _audit_thread.is_alive():
+            _audit_thread = threading.Thread(
+                target=_audit_poll_loop, daemon=True, name="cap-audit")
+            _audit_thread.start()
+
+
+def _audit_poll_loop() -> None:
+    import time as _time
+
+    global _audit_thread
+    while True:
+        with _audit_lock:
+            pending = list(_audit_pending)
+        done = []
+        for e in pending:
+            try:
+                row = e["jo"].getRowOrEmpty()
+                if row.isDefined():
+                    n = row.get().getAs("dropped")
+                    if n:
+                        logger.warning(
+                            "%s: max_bucket_size=%d dropped %d index "
+                            "rows in over-cap buckets (degenerate mass "
+                            "— identical-text dedup belongs to "
+                            "exact_dedup)", e["label"], e["cap"], n)
+                    done.append(e)
+                    continue
+            except Exception:  # noqa: BLE001 — session/JVM gone: drop
+                done.append(e)
+                continue
+            if e["ref"]() is None:
+                # capped DataFrame was GC'd without an action landing;
+                # grace period covers "composed into a bigger plan then
+                # dropped the intermediate before executing"
+                if e["dead_since"] is None:
+                    e["dead_since"] = _time.monotonic()
+                elif _time.monotonic() - e["dead_since"] > _AUDIT_GRACE_SEC:
+                    done.append(e)
+        with _audit_lock:
+            for e in done:
+                if e in _audit_pending:
+                    _audit_pending.remove(e)
+            if not _audit_pending:
+                _audit_thread = None
+                return
+        _time.sleep(_AUDIT_POLL_SEC)
+
+
+def flush_cap_audits(timeout: float = 2.0) -> None:
+    """Best-effort drain of pending cap audits (tests / clean teardown):
+    waits up to ``timeout`` for the poller to log-and-clear whatever
+    has landed, then force-drops the rest."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout
+    while _time.monotonic() < deadline:
+        with _audit_lock:
+            if not _audit_pending:
+                return
+        _time.sleep(_AUDIT_POLL_SEC / 2)
+    with _audit_lock:
+        _audit_pending.clear()
 
 
 def minhash_candidates(df: DataFrame, id_col: str = "doc_id",

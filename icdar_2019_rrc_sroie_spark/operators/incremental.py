@@ -23,11 +23,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import (
+    MINHASH_SECOND_DIGEST_PREFIX,
     band_hash_expr,
     cap_buckets,
     lsh_bands,
-    minhash_digest_expr,
     minhash_signatures,
+    minhash_slice_expr,
     word_shingles,
 )
 
@@ -47,25 +48,38 @@ def row_bands(df: DataFrame, id_col: str = "doc_id",
     batch path drops them by construction; here an explicit filter —
     otherwise their NULL signatures would all collide in one bucket).
 
-    The shingles array is materialized as a column first: referenced
-    inline, each of the ``num_hashes`` transforms would re-run the
-    split/zip pipeline (the HOF re-evaluation class, see
-    winnow_fingerprints)."""
+    The shingles array is materialized as a column first — and so are
+    the one-or-two md5 digest ARRAYS: slicing materialized digests
+    inside the per-hash transforms costs 1-2 md5 calls per shingle
+    exactly like the batch path, where digesting inside each of the
+    ``num_hashes`` lambdas re-ran md5 up to 8× per shingle (the HOF
+    re-evaluation class, see winnow_fingerprints; flagged by round-4
+    advice). The digest-slice rule comes from
+    dedup.minhash_slice_expr — the single source of truth both paths
+    share (bands must stay joinable)."""
     assert num_hashes <= 8 and num_hashes % rows_per_band == 0
     base = df.select(
         F.col(id_col), word_shingles(F.col(text_col), k).alias("_sh")
     ).filter(F.size("_sh") > 0)
+    digests = [F.transform(F.col("_sh"), F.md5).alias("_d1")]
+    if num_hashes > 4:
+        digests.append(F.transform(
+            F.col("_sh"),
+            lambda s: F.md5(F.concat(
+                F.lit(MINHASH_SECOND_DIGEST_PREFIX), s))).alias("_d2"))
+    digested = base.select(F.col(id_col), *digests)
+
     def _sig(i: int) -> Column:
         # factory: the transform lambda must stay SINGLE-argument
         # (PySpark derives the HOF arity from the signature), so the
-        # per-i binding is via closure; the digest-slice rule itself
-        # comes from dedup.minhash_digest_expr — the single source of
-        # truth both paths share (bands must stay joinable)
+        # per-i binding is via closure; the digest array sits in
+        # ARGUMENT position (evaluated once per row)
+        src = F.col("_d1") if i < 4 else F.col("_d2")
         return F.array_min(F.transform(
-            F.col("_sh"), lambda s: minhash_digest_expr(s, i)))
+            src, lambda d: minhash_slice_expr(d, i)))
 
     sigs = [_sig(i).alias(f"sig{i}") for i in range(num_hashes)]
-    sigd = base.select(F.col(id_col), *sigs)
+    sigd = digested.select(F.col(id_col), *sigs)
     bands = []
     for b in range(num_hashes // rows_per_band):
         cols = [F.col(f"sig{b * rows_per_band + r}")
@@ -194,6 +208,16 @@ def incremental_candidates(new_docs: DataFrame, index_path: str,
     is canonical by age — the keep-decision drops/links id_a); for new
     rows id_a < id_b. ``max_bucket_size`` caps both the new-band
     buckets and the stored-index buckets (cap_buckets logs any drops).
+
+    The stored-side cap is SCOPED to buckets the new snapshot actually
+    touches (broadcast semi-join on the new snapshot's distinct band
+    keys BEFORE the count window): counting every historical bucket
+    would cost a full window shuffle + persist of the whole index per
+    ingest — quietly eroding the flat-in-history property this module
+    exists for (round-4 advice). A bucket's row count is unchanged by
+    filtering to that bucket, and untouched buckets produce no pairs
+    either way, so the output is identical; the cap's cost is now
+    proportional to the matched slice, not the accumulated history.
     """
     spark = new_docs.sparkSession
     new_bands = cap_buckets(
@@ -203,9 +227,12 @@ def incremental_candidates(new_docs: DataFrame, index_path: str,
     stored = read_band_index(spark, index_path,
                              exclude_snapshot=snapshot_id)
     if max_bucket_size is not None:
-        stored = cap_buckets(stored, ["band_idx", "band_hash"],
-                             max_bucket_size,
-                             label="incremental_candidates(stored)")
+        touched = new_bands.select("band_idx", "band_hash").distinct()
+        stored = cap_buckets(
+            stored.join(F.broadcast(touched),
+                        ["band_idx", "band_hash"], "left_semi"),
+            ["band_idx", "band_hash"], max_bucket_size,
+            label="incremental_candidates(stored)")
     left = new_bands.select(F.col(id_col).alias("id_a"),
                             "band_idx", "band_hash")
     right = stored.select(F.col(id_col).alias("id_b"),

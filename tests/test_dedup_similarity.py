@@ -799,3 +799,90 @@ def test_ann_knn_join_recall_vs_bruteforce(spark):
         rnks = [rk for rk, _ in sorted(got.get(qid, []))]
         assert rnks == list(range(1, len(rnks) + 1))
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+# ---------------------------------------------------------------------------
+# cap_buckets audit poller (round-5: single non-blocking drainer)
+# ---------------------------------------------------------------------------
+
+
+def test_cap_audit_single_thread_and_no_leak(spark):
+    """Plan-only cap_buckets constructions must not accumulate blocked
+    threads (round-4 advice: one forever-blocked daemon per call): all
+    pending audits share ONE poller thread, and flush_cap_audits
+    clears plans that never executed."""
+    import threading
+
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        _audit_pending,
+        cap_buckets,
+        flush_cap_audits,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.indexes import release_indexes
+
+    flush_cap_audits()
+    df = spark.range(100).withColumn("k", F.col("id") % 10)
+    for i in range(5):
+        cap_buckets(df, ["k"], 3, label=f"never-run-{i}")  # never executed
+    pollers = [t for t in threading.enumerate() if t.name == "cap-audit"]
+    assert len(pollers) == 1  # one drainer for all five pending audits
+    assert len(_audit_pending) == 5
+    flush_cap_audits(timeout=0)  # force-drop the never-executed audits
+    assert not _audit_pending
+    release_indexes()
+
+
+def test_cap_audit_logs_dropped_rows(spark, caplog):
+    """The dropped-row WARNING still lands (no silent caps) — now via
+    the poller instead of a blocking per-call thread."""
+    import logging
+    import time
+
+    from icdar_2019_rrc_sroie_spark.operators.dedup import cap_buckets
+    from icdar_2019_rrc_sroie_spark.operators.indexes import release_indexes
+
+    df = spark.range(30).withColumn("k", F.col("id") % 3)  # buckets of 10
+    with caplog.at_level(
+            logging.WARNING,
+            logger="icdar_2019_rrc_sroie_spark.operators.dedup"):
+        capped = cap_buckets(df, ["k"], 5, label="audit-log-test")
+        assert capped.count() == 0  # every bucket over the cap
+        for _ in range(40):  # poller fires within ~2 poll intervals
+            if any("audit-log-test" in r.message for r in caplog.records):
+                break
+            time.sleep(0.1)
+    hits = [r for r in caplog.records if "audit-log-test" in r.message]
+    assert hits and "dropped 30" in hits[0].message
+    release_indexes()
+
+
+def test_cap_audit_survives_session_teardown(spark):
+    """A pending audit whose JVM handle fails (session stopped
+    mid-flight) is dropped quietly — the round-4 design raised
+    through py4j from the background thread (the single pytest
+    warning of that round). The failure is injected via a stub JVM
+    handle so the shared test session survives."""
+    import time
+    import types
+
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        _audit_pending,
+        _audit_register,
+        flush_cap_audits,
+    )
+
+    flush_cap_audits()
+
+    class _GoneJo:
+        def getRowOrEmpty(self):
+            raise RuntimeError("py4j: SparkSession stopped")
+
+    df = spark.range(2)  # weakref target only
+    _audit_register(types.SimpleNamespace(_jo=_GoneJo()), df,
+                    "teardown-test", 100)
+    # poller must clear the entry (the JVM call raises) without dying
+    for _ in range(40):
+        if not any(e["label"] == "teardown-test" for e in _audit_pending):
+            break
+        time.sleep(0.1)
+    assert not any(e["label"] == "teardown-test" for e in _audit_pending)

@@ -145,3 +145,34 @@ def test_streaming_candidates_against_stored_index(spark, tmp_path, stores):
     pairs = {(r["id_a"], r["id_b"]) for r in rows}
     assert (205, 5) in pairs and (217, 17) in pairs
     assert not {a for a, _ in pairs} - {205, 217}
+
+
+def test_stored_cap_scoped_to_touched_buckets(spark, tmp_path):
+    """max_bucket_size on the stored side counts bucket sizes only
+    within buckets the new snapshot touches (round-5: a full-history
+    count window per ingest eroded the flat-cost property). Semantics
+    are unchanged: a planted over-cap stored bucket still drops, small
+    matched buckets still pair."""
+    index = str(tmp_path / "cap_index")
+    # snapshot 1: docs 0..29 share ONE text (over-cap bucket of 30);
+    # docs 100..104 unique; doc 7 from _text keeps a small bucket
+    snap1 = _docs(spark, [(i, _text(7777)) for i in range(30)]
+                  + [(100 + i, _text(i)) for i in range(5)])
+    write_band_index(snap1, index, "snap1", num_hashes=4)
+
+    # snapshot 2: one doc duplicating the over-cap text, one
+    # duplicating unique doc 102's text, one unique
+    snap2 = _docs(spark, [(200, _text(7777)), (201, _text(2)),
+                          (202, _text(9999))])
+    cands = incremental_candidates(snap2, index, "snap2", num_hashes=4,
+                                   max_bucket_size=10)
+    rows = {(r["id_a"], r["id_b"], r["src"]) for r in cands.collect()}
+    assert (201, 102, "cross") in rows           # small bucket pairs
+    assert not any(a == 200 for a, _, _ in rows)  # over-cap bucket dropped
+    # without the cap the degenerate bucket floods: 30 partners
+    uncapped = incremental_candidates(snap2, index, "snap2",
+                                      num_hashes=4)
+    assert sum(1 for r in uncapped.collect() if r["id_a"] == 200) == 30
+
+    from icdar_2019_rrc_sroie_spark.operators.indexes import release_indexes
+    release_indexes()
