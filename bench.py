@@ -53,6 +53,11 @@ BENCH_QUERIES = (
     # keep-filter -> passage excision -> quality gate -> rebalance) as
     # one job — the end-to-end number a pipeline operator cares about
     "curation_pipeline",
+    # added round 5: the multiprobe restructure (probe-key explode +
+    # single id-only join) — benched so the join-shape change keeps a
+    # recorded per-round delta
+    "embedding_near_dups",
+    "ann_knn_join",
 )
 
 

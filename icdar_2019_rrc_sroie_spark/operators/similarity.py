@@ -259,6 +259,66 @@ def ann_topk_bucketed(df: DataFrame, query: list[float], k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def _probe_candidates(bucketed: DataFrame, id_col: str, n_bits: int,
+                      multiprobe: int, symmetric: bool) -> DataFrame:
+    """Sign-LSH candidate (id_a, id_b) pairs via probe-key EXPLODE +
+    ONE self-equi-join carrying ids only.
+
+    Each row emits its probe keys — with ``multiprobe=1``, the n_bits
+    single-bit-masked buckets (mask i matches every pair differing at
+    most in bit i, so the union over masks is exactly Hamming ≤ 1 —
+    the own-bucket join of the old n_bits+1-join form is subsumed);
+    with ``multiprobe=0`` just the full bucket. One equi-join on
+    (probe_idx, probe_key) then produces every candidate pair with
+    O(1) stages regardless of n_bits, and the shuffle carries only
+    (id, int, int) rows — the round-4 shape pushed the dim-sized
+    vector payloads through n_bits+1 sequential joins (at 10⁹ vectors
+    scaled_n_bits ≈ 21 join stages, each shuffling dim×8 bytes/row).
+    Vectors are re-joined once by the caller for exact scoring.
+
+    ``symmetric=False`` keeps ordered pairs (id_a < id_b, near-dup
+    lists); ``True`` keeps both directions (k-NN neighbor lists).
+    Duplicate pair hits across probes are dropped here, before any
+    vector payload is attached.
+    """
+    if multiprobe == 0:
+        probes = [F.struct(F.lit(n_bits).alias("pidx"),
+                           F.col("bucket").alias("pkey"))]
+    else:
+        full = (1 << n_bits) - 1
+        probes = [
+            F.struct(
+                F.lit(i).alias("pidx"),
+                F.col("bucket").bitwiseAND(F.lit(full ^ (1 << i)))
+                .alias("pkey"))
+            for i in range(n_bits)
+        ]
+    probed = bucketed.select(
+        F.col(id_col), F.explode(F.array(*probes)).alias("p")
+    ).select(id_col, "p.pidx", "p.pkey")
+    left = probed.select(F.col(id_col).alias("id_a"), "pidx", "pkey")
+    right = probed.select(F.col(id_col).alias("id_b"), "pidx", "pkey")
+    cond = (F.col("id_a") != F.col("id_b")) if symmetric \
+        else (F.col("id_a") < F.col("id_b"))
+    return (
+        left.join(right, ["pidx", "pkey"])
+        .filter(cond)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _rejoin_vectors(pairs: DataFrame, bucketed: DataFrame, id_col: str,
+                    vec_col: str) -> DataFrame:
+    """Attach both vectors to an id-only candidate pair list (one join
+    per side against the persisted bucketed index)."""
+    va = bucketed.select(F.col(id_col).alias("id_a"),
+                         F.col(vec_col).alias("va"))
+    vb = bucketed.select(F.col(id_col).alias("id_b"),
+                         F.col(vec_col).alias("vb"))
+    return pairs.join(va, "id_a").join(vb, "id_b")
+
+
 def ann_knn_join(df: DataFrame, k: int = 5, n_bits: int | None = None,
                  seed: int = 7, multiprobe: int = 1,
                  id_col: str = "vec_id", vec_col: str = "embedding",
@@ -267,12 +327,13 @@ def ann_knn_join(df: DataFrame, k: int = 5, n_bits: int | None = None,
     """Approximate k-NN JOIN: for EVERY row, its ``k`` most-cosine-similar
     other rows — the retrieval-shaped batch workload (embedding dedup
     wants pairs above a threshold; clustering/retrieval pipelines want
-    each doc's neighborhood). Reuses the sign-LSH candidate machinery
-    of :func:`embedding_near_dups` (bucket equi-joins + masked
-    multiprobe, never a cross join; candidates are exact-cosine scored)
-    and keeps the best ``k`` per query row with a window — so recall is
-    probabilistic exactly like the near-dup path (brute-force parity on
-    clustered data pinned by test), while the join fan-out stays
+    each doc's neighborhood). Candidates come from the probe-key
+    explode + single id-only self-join (:func:`_probe_candidates` —
+    never a cross join, O(1) join stages at any n_bits); vectors are
+    re-joined once and every candidate is exact-cosine scored, keeping
+    the best ``k`` per query row with a window — recall is
+    probabilistic exactly like the near-dup path (brute-force parity
+    on clustered data pinned by test), while the join fan-out stays
     bounded by the bucket caps.
 
     Output: (id_a, id_b, cosine, rnk) with rnk 1..k per id_a; both
@@ -282,20 +343,18 @@ def ann_knn_join(df: DataFrame, k: int = 5, n_bits: int | None = None,
     correct failure mode (log shows the cap drops; singletons have no
     neighbors at this probe width).
 
-    ``multiprobe`` supports 0 (own bucket) or 1 (plus single-bit-flip
-    buckets via masked joins); wider probing raises rather than
-    silently clamping. Pass ``dim``/``n_bits`` explicitly to keep
-    construction fully lazy — inferring them costs two small driver
-    jobs (first + count).
+    ``multiprobe`` supports 0 (own bucket) or 1 (single-bit-flip
+    probing); wider probing raises rather than silently clamping.
+    Pass ``dim``/``n_bits`` explicitly to keep construction fully
+    lazy — inferring them costs two small driver jobs (first + count).
     """
     from pyspark.sql import Window
 
     if multiprobe not in (0, 1):
         raise ValueError(
-            "ann_knn_join: multiprobe must be 0 or 1 — the masked "
-            "self-join form has no 2-bit variant (each extra bit "
-            "squares the join count); raising instead of silently "
-            "probing less than asked")
+            "ann_knn_join: multiprobe must be 0 or 1 — wider probing "
+            "multiplies the probe-key fan-out n_bits-fold per extra "
+            "bit; raising instead of silently probing less than asked")
     if dim is None:
         first = df.select(vec_col).first()
         if first is None:  # empty input -> empty neighbor list
@@ -313,31 +372,13 @@ def ann_knn_join(df: DataFrame, k: int = 5, n_bits: int | None = None,
 
     bucketed = cap_buckets(bucketed, ["bucket"], max_bucket_size,
                            label="ann_knn_join")
-    l0 = bucketed.select(F.col(id_col).alias("id_a"),
-                         F.col(vec_col).alias("va"), "bucket")
-    r0 = bucketed.select(F.col(id_col).alias("id_b"),
-                         F.col(vec_col).alias("vb"), "bucket")
-
-    def pair_join(left, right, key):
-        return (
-            left.join(right, key)
-            .filter(F.col("id_a") != F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
-        )
-
-    cands = pair_join(l0, r0, ["bucket"])
-    if multiprobe >= 1:
-        for i in range(n_bits):
-            mask = ~(1 << i) & ((1 << n_bits) - 1)
-            lm = l0.withColumn("mb", F.col("bucket").bitwiseAND(F.lit(mask)))
-            rm = r0.withColumn("mb", F.col("bucket").bitwiseAND(F.lit(mask)))
-            cands = cands.unionByName(
-                pair_join(lm.drop("bucket"), rm.drop("bucket"), ["mb"]))
-    cands = cands.dropDuplicates(["id_a", "id_b"])
+    cands = _probe_candidates(bucketed, id_col, n_bits, multiprobe,
+                              symmetric=True)
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
-        cands.select("id_a", "id_b",
-                     cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        _rejoin_vectors(cands, bucketed, id_col, vec_col)
+        .select("id_a", "id_b",
+                cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
@@ -398,13 +439,15 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     threshold) via sign-LSH bucketing — the embedding-space member of
     the dedup family.
 
-    Candidates come from equi-joins on the random-hyperplane bucket id
-    (never a cross join): vectors within a small angle agree on most
-    hyperplane signs, so with ``multiprobe=1`` the self-join also
-    probes buckets one bit-flip away (join on the masked bucket with
-    one hyperplane ignored — n_bits+1 equi-joins total; values other
-    than 0/1 raise, there is no wider variant). Exact cosine verifies
-    every candidate. Recall is probabilistic (standard sign-LSH);
+    Candidates come from ONE equi-join on exploded probe keys of the
+    random-hyperplane bucket id (:func:`_probe_candidates` — never a
+    cross join): vectors within a small angle agree on most hyperplane
+    signs, so with ``multiprobe=1`` each row probes under every
+    single-bit-masked bucket key, matching exactly the pairs within
+    Hamming distance 1 of each other (values other than 0/1 raise,
+    there is no wider variant). The candidate shuffle carries ids
+    only; vectors are re-joined once and exact cosine verifies every
+    candidate. Recall is probabilistic (standard sign-LSH);
     brute-force parity is pinned by tests on planted duplicates.
 
     Scale parameterization (mirrors ``simhash_near_dups``):
@@ -430,9 +473,10 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     """
     if multiprobe not in (0, 1):
         raise ValueError(
-            "embedding_near_dups: multiprobe must be 0 or 1 — the "
-            "masked self-join form has no 2-bit variant; raising "
-            "instead of silently probing less than asked")
+            "embedding_near_dups: multiprobe must be 0 or 1 — wider "
+            "probing multiplies the probe-key fan-out n_bits-fold per "
+            "extra bit; raising instead of silently probing less than "
+            "asked")
     if dim is None:
         first = df.select(vec_col).first()
         if first is None:  # empty corpus -> no pairs
@@ -453,28 +497,8 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     # pass targets, so its removal must be visible)
     bucketed = cap_buckets(bucketed, ["bucket"], max_bucket_size,
                            label="embedding_near_dups")
-
-    def pair_join(left, right, key):
-        return (
-            left.join(right, key)
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb")
-        )
-
-    l0 = bucketed.select(F.col(id_col).alias("id_a"),
-                         F.col(vec_col).alias("va"), "bucket")
-    r0 = bucketed.select(F.col(id_col).alias("id_b"),
-                         F.col(vec_col).alias("vb"), "bucket")
-    cands = pair_join(l0, r0, ["bucket"])
-    if multiprobe >= 1:
-        for i in range(n_bits):
-            mask = ~(1 << i) & ((1 << n_bits) - 1)
-            lm = l0.withColumn("mb", F.col("bucket").bitwiseAND(F.lit(mask)))
-            rm = r0.withColumn("mb", F.col("bucket").bitwiseAND(F.lit(mask)))
-            cands = cands.unionByName(
-                pair_join(lm.drop("bucket"), rm.drop("bucket"), ["mb"])
-                .select("id_a", "id_b", "va", "vb"))
-    cands = cands.dropDuplicates(["id_a", "id_b"])
+    cands = _probe_candidates(bucketed, id_col, n_bits, multiprobe,
+                              symmetric=False)
     if log_candidates:
         import logging
 
@@ -483,6 +507,7 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
             "embedding_near_dups: n_bits=%d candidates=%d", n_bits, n_cands)
     cos = cosine_expr(F.col("va"), F.col("vb"))
     return (
-        cands.select("id_a", "id_b", cos.alias("cosine"))
+        _rejoin_vectors(cands, bucketed, id_col, vec_col)
+        .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

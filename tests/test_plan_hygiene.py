@@ -245,3 +245,30 @@ def test_winnow_generate_reads_materialized_grams(spark):
         assert gen_lines, "expected an explode in the plan"
         for ln in gen_lines:
             assert "md5" not in ln and "regexp_replace" not in ln, ln
+
+
+def test_probe_candidates_single_join_any_n_bits(spark):
+    """Multiprobe candidate generation is ONE self-equi-join on
+    exploded probe keys (round-5 restructure): the optimized plan of
+    embedding_near_dups carries exactly 3 Join nodes — 1 candidate
+    join + 2 id-only vector re-joins — whether n_bits is 4 or 12 (the
+    round-4 masked form built n_bits+1 joins, each shuffling vector
+    payloads)."""
+    import re
+
+    from icdar_2019_rrc_sroie_spark.operators.indexes import release_indexes
+    from icdar_2019_rrc_sroie_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .limit(64)
+    for bits in (4, 12):
+        out = embedding_near_dups(df, threshold=0.9, n_bits=bits,
+                                  multiprobe=1, dim=64,
+                                  max_bucket_size=None)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        n_joins = len(re.findall(r"^\s*[:+\-\s]*Join ", plan,
+                                 re.MULTILINE))
+        assert n_joins == 3, f"n_bits={bits}: {n_joins} joins\n{plan}"
+        release_indexes()
