@@ -253,3 +253,203 @@ def incremental_candidates(new_docs: DataFrame, index_path: str,
         .withColumn("src", F.lit("new"))
     )
     return cross.unionByName(within)
+
+
+# ---------------------------------------------------------------------------
+# Incremental cluster maintenance (round 5): merge a new snapshot's
+# candidate edges into STORED component labels without recomputing
+# connected components over all historical edges — the last
+# quadratic-in-time cost in the otherwise flat ingest path. The
+# propagation fixpoint runs over CONTRACTED edges only (one label pair
+# per new edge, never the historical edge set), so its cost is
+# O(new edges), independent of history.
+# ---------------------------------------------------------------------------
+
+
+def _cluster_merge_mapping(stored_labels: DataFrame, new_edges: DataFrame,
+                           max_iterations: int = 25
+                           ) -> tuple[DataFrame, DataFrame]:
+    """The small artifacts of a label merge:
+
+    * ``relabel`` — (_old, _new) component renames (_old != _new),
+      bounded by 2x the new edge count;
+    * ``new_rows`` — (node, component) for nodes the store has never
+      seen.
+
+    Every new-edge node is looked up in ``stored_labels`` (missing →
+    labeled by its own id — labels are component-min node ids, so a
+    fresh node's initial label is itself); each new edge contracts to
+    its endpoints' label pair; hash-min CC over those contracted pairs
+    (``connected_components`` — same fixpoint, tiny input) yields the
+    merged component per touched label. Because stored labels are
+    minima and fresh labels are node ids, the min over merged labels
+    IS the global component minimum — the store's canonical-label
+    invariant survives merging by construction.
+
+    The stored-label lookup is one equi-join against the label table
+    (map-side with a broadcastable snapshot); historical EDGES are
+    never an input — by signature, not just by plan.
+    """
+    from .dedup import connected_components
+
+    nodes = (
+        new_edges.select(F.col("id_a").alias("node"))
+        .unionAll(new_edges.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    stored = stored_labels.select("node", F.col("component").alias("_stored"))
+    cur = nodes.join(stored, "node", "left").select(
+        "node", F.coalesce("_stored", F.col("node")).alias("lbl"))
+    la = cur.select(F.col("node").alias("id_a"), F.col("lbl").alias("lbl_a"))
+    lb = cur.select(F.col("node").alias("id_b"), F.col("lbl").alias("lbl_b"))
+    cedges = (
+        new_edges.select("id_a", "id_b")
+        .join(la, "id_a").join(lb, "id_b")
+        .filter(F.col("lbl_a") != F.col("lbl_b"))
+        .select("lbl_a", "lbl_b").distinct()
+    )
+    cc = connected_components(cedges, "lbl_a", "lbl_b", max_iterations)
+    relabel = (
+        cc.select(F.col("node").alias("_old"), F.col("component").alias("_new"))
+        .filter(F.col("_old") != F.col("_new"))
+    )
+    new_rows = (
+        cur.join(stored.select("node"), "node", "left_anti")
+        .join(F.broadcast(relabel), F.col("lbl") == F.col("_old"), "left")
+        .select("node", F.coalesce("_new", F.col("lbl")).alias("component"))
+    )
+    return relabel, new_rows
+
+
+def merge_into_clusters(stored_labels: DataFrame, new_edges: DataFrame,
+                        max_iterations: int = 25) -> DataFrame:
+    """Updated (node, component) labels after folding ``new_edges``
+    (e.g. :func:`incremental_candidates` output) into ``stored_labels``
+    — equivalent to a full ``connected_components`` recompute over all
+    edges ever seen (pinned by test), at the cost of a fixpoint over
+    the CONTRACTED new edges plus one linear map over the stored
+    labels (untouched components pass through byte-identical).
+
+    Idempotent: re-merging edges the store already reflects contracts
+    every edge to a self-loop — empty relabel, labels unchanged. For a
+    store that rewrites only affected partitions instead of mapping
+    the whole table, see :func:`merge_labels_store`.
+    """
+    relabel, new_rows = _cluster_merge_mapping(
+        stored_labels, new_edges, max_iterations)
+    updated = (
+        stored_labels.join(F.broadcast(relabel),
+                           F.col("component") == F.col("_old"), "left")
+        .select("node", F.coalesce("_new", F.col("component"))
+                .alias("component"))
+    )
+    return updated.unionByName(new_rows)
+
+
+LABELS_N_BUCKETS_DEFAULT = 64
+
+
+def _labels_bucket(component: Column, n_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(component), F.lit(n_buckets)).cast("int")
+
+
+def write_cluster_labels(labels: DataFrame, labels_path: str,
+                         n_buckets: int = LABELS_N_BUCKETS_DEFAULT) -> None:
+    """Initialize the label store: (node, component) partitioned by
+    ``comp_bucket = xxhash64(component) % n_buckets`` so incremental
+    merges rewrite only the partitions holding affected components.
+    The modulus is pinned in ``<path>/_meta`` (same discipline as the
+    lineage span store — a silently changed modulus would scatter
+    components across partitions)."""
+    spark = labels.sparkSession
+    labels.select(
+        "node", "component",
+        _labels_bucket(F.col("component"), n_buckets).alias("comp_bucket"),
+    ).write.mode("overwrite").partitionBy("comp_bucket") \
+        .parquet(f"{labels_path}/labels")
+    spark.createDataFrame([(n_buckets,)], "n_buckets int") \
+        .write.mode("overwrite").parquet(f"{labels_path}/_meta")
+
+
+def read_cluster_labels(spark: SparkSession, labels_path: str) -> DataFrame:
+    return spark.read.parquet(f"{labels_path}/labels") \
+        .select("node", "component")
+
+
+def merge_labels_store(spark: SparkSession, labels_path: str,
+                       new_edges: DataFrame, snapshot_id: str,
+                       max_iterations: int = 25) -> dict:
+    """Fold a snapshot's candidate edges into the persisted label store,
+    rewriting ONLY the ``comp_bucket`` partitions that hold an affected
+    component (old side of a rename, new side, or a brand-new node's
+    component) — per-ingest write cost proportional to the touched
+    clusters, not the accumulated corpus. Appends one lineage row
+    (snapshot_id, n_renames, n_new_nodes, n_buckets_rewritten) under
+    ``<path>/_lineage`` (idempotent per snapshot — dynamic overwrite).
+
+    Two-phase write: the updated bucket contents are materialized to a
+    ``_staging`` dir FIRST, then dynamic-partition-overwritten into the
+    store — overwriting partitions while lazily reading them would race
+    the scan against the delete (same crash-safety discipline as
+    plans/lineage.py's staged bucket rewrite; on Iceberg this is one
+    atomic MERGE, see docs/CATALOG.md). Returns the lineage row as a
+    dict. Label reads prune to the affected partitions (asserted via
+    PartitionFilters in tests).
+    """
+    import uuid
+
+    meta = spark.read.parquet(f"{labels_path}/_meta").collect()[0]
+    n_buckets = int(meta["n_buckets"])
+    stored = read_cluster_labels(spark, labels_path)
+    relabel, new_rows = _cluster_merge_mapping(stored, new_edges,
+                                               max_iterations)
+    relabel = relabel.persist()
+    new_rows = new_rows.persist()
+    bucket_rows = (
+        relabel.select(_labels_bucket(F.col("_old"), n_buckets).alias("b"))
+        .unionAll(relabel.select(
+            _labels_bucket(F.col("_new"), n_buckets).alias("b")))
+        .unionAll(new_rows.select(
+            _labels_bucket(F.col("component"), n_buckets).alias("b")))
+        .distinct().collect()
+    )
+    affected = sorted({int(r["b"]) for r in bucket_rows})
+    n_renames = relabel.count()
+    n_new = new_rows.count()
+    if affected:
+        aff = (
+            spark.read.parquet(f"{labels_path}/labels")
+            .filter(F.col("comp_bucket").isin(affected))
+            .select("node", "component")
+        )
+        updated = (
+            aff.join(F.broadcast(relabel),
+                     F.col("component") == F.col("_old"), "left")
+            .select("node", F.coalesce("_new", F.col("component"))
+                    .alias("component"))
+            .unionByName(new_rows)
+            .select("node", "component",
+                    _labels_bucket(F.col("component"), n_buckets)
+                    .alias("comp_bucket"))
+        )
+        staging = f"{labels_path}/_staging/{uuid.uuid4().hex}"
+        updated.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite") \
+            .option("partitionOverwriteMode", "dynamic") \
+            .partitionBy("comp_bucket").parquet(f"{labels_path}/labels")
+        from .indexes import _delete_path
+
+        _delete_path(spark, f"{labels_path}/_staging")
+    relabel.unpersist()
+    new_rows.unpersist()
+    row = {"snapshot_id": snapshot_id, "n_renames": int(n_renames),
+           "n_new_nodes": int(n_new), "n_buckets_rewritten": len(affected)}
+    spark.createDataFrame(
+        [(row["n_renames"], row["n_new_nodes"],
+          row["n_buckets_rewritten"], snapshot_id)],
+        "n_renames long, n_new_nodes long, n_buckets_rewritten long, "
+        "snapshot_id string",
+    ).write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("snapshot_id").parquet(f"{labels_path}/_lineage")
+    return row

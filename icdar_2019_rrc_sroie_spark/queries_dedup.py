@@ -50,12 +50,18 @@ _SHINGLES_SQL = r"""
 
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures + LSH band hashes (one 'sig' row per doc)
-    AND the banded candidate pairs over the planted-duplicate corpus
-    (one 'cand' row per pair) as a discriminated union — the former
-    minhash_bands query merged in (round 4, freeing a driver-window
-    slot for dedup_spans; operators unchanged, both halves still fully
-    value-checked)."""
+    """MinHash signatures + LSH band hashes (one 'sig' row per doc),
+    the banded candidate pairs over the planted-duplicate corpus (one
+    'cand' row per pair), AND the incremental cross-snapshot path (one
+    'inc_cross'/'inc_new' row per pair) as a discriminated union — the
+    former minhash_bands query merged in round 4, incremental_
+    candidates merged in round 5 (the flat-in-history ingest flagship
+    had pytest plan-asserts but no driver-checked values; its band
+    algebra is DuckDB-expressible exactly like the batch path). The
+    Spark side exercises the REAL store: snapshot A's bands are
+    written to a scratch band index (write_band_index) and snapshot B
+    — odd docs plus planted +2e6 copies of every 10th even doc — is
+    deduped against the stored parquet only."""
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=4)
     bands = (lsh_bands(sigs, num_hashes=4, rows_per_band=2)
@@ -77,11 +83,79 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("band0_hash"),
         F.lit(None).cast("string").alias("band1_hash"),
     )
-    return sig_rows.unionByName(cand_rows).orderBy("kind", "id_a", "id_b")
+    import os
+    import tempfile
+
+    from .operators.incremental import (
+        incremental_candidates,
+        write_band_index,
+    )
+
+    snap_a = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    snap_b = docs.filter(F.col("doc_id") % 2 == 1) \
+        .select("doc_id", "text").unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
+    # scratch index on local disk (pid-suffixed: concurrent checkers
+    # must not race); NOT a TemporaryDirectory — the returned plan is
+    # lazy and the driver collects after this function returns
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"sroie_inc_oracle_idx_{os.getpid()}")
+    write_band_index(snap_a, idx, "snapA", num_hashes=4)
+    inc_rows = incremental_candidates(
+        snap_b, idx, "snapB", num_hashes=4
+    ).select(
+        F.concat(F.lit("inc_"), F.col("src")).alias("kind"),
+        "id_a", "id_b",
+        F.lit(None).cast("string").alias("sigs"),
+        F.lit(None).cast("string").alias("band0_hash"),
+        F.lit(None).cast("string").alias("band1_hash"),
+    )
+    return sig_rows.unionByName(cand_rows).unionByName(inc_rows) \
+        .orderBy("kind", "id_a", "id_b")
+
+
+def _sig_bands_sql(src: str, pfx: str) -> str:
+    """CTE fragments computing ``{pfx}bands(doc_id, band_idx,
+    band_hash)`` from a ``{src}(doc_id, text)`` CTE — the num_hashes=4
+    / rows_per_band=2 banding shared by the batch and incremental
+    oracle halves."""
+    return rf"""{pfx}sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+     for i in generate_series(1, greatest(len(t)-2, 0))])) AS shingle
+  FROM (SELECT doc_id,
+          regexp_split_to_array(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+            '\s+') AS t
+        FROM {src})
+), {pfx}sigs AS (
+  SELECT doc_id,
+    min(substr(md5(shingle), 1, 8)) AS sig0,
+    min(substr(md5(shingle), 9, 8)) AS sig1,
+    min(substr(md5(shingle), 17, 8)) AS sig2,
+    min(substr(md5(shingle), 25, 8)) AS sig3
+  FROM {pfx}sh GROUP BY doc_id
+), {pfx}bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(sig0 || '|' || sig1) AS band_hash
+  FROM {pfx}sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, md5(sig2 || '|' || sig3) AS band_hash
+  FROM {pfx}sigs
+)"""
 
 
 SQL_MINHASH_CANDIDATES = rf"""
 WITH corpus AS ({_WITH_DUPS_SQL}),
+snap_a AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+snap_b AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 0
+),
+{_sig_bands_sql('snap_a', 'a_')},
+{_sig_bands_sql('snap_b', 'b_')},
 sh AS ({_SHINGLES_SQL}),
 sigs AS (
   SELECT doc_id,
@@ -127,6 +201,25 @@ FROM (
               '\s+') AS t
           FROM documents)
   ) GROUP BY doc_id
+)
+UNION ALL
+SELECT 'inc_cross' AS kind, id_a, id_b,
+  CAST(NULL AS VARCHAR) AS sigs,
+  CAST(NULL AS VARCHAR) AS band0_hash, CAST(NULL AS VARCHAR) AS band1_hash
+FROM (
+  SELECT DISTINCT b.doc_id AS id_a, a.doc_id AS id_b
+  FROM b_bands b JOIN a_bands a
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+)
+UNION ALL
+SELECT 'inc_new' AS kind, id_a, id_b,
+  CAST(NULL AS VARCHAR) AS sigs,
+  CAST(NULL AS VARCHAR) AS band0_hash, CAST(NULL AS VARCHAR) AS band1_hash
+FROM (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM b_bands x JOIN b_bands y
+    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id
 )
 ORDER BY kind, id_a, id_b
 """

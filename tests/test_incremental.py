@@ -176,3 +176,97 @@ def test_stored_cap_scoped_to_touched_buckets(spark, tmp_path):
 
     from icdar_2019_rrc_sroie_spark.operators.indexes import release_indexes
     release_indexes()
+
+
+# ---------------------------------------------------------------------------
+# Incremental cluster maintenance (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_merge_into_clusters_matches_full_recompute(spark):
+    """Folding a snapshot's edges into stored labels must equal a full
+    connected_components recompute over ALL edges — including a
+    planted cross-snapshot merge of two existing clusters — while
+    untouched components pass through byte-identical."""
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        connected_components,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.incremental import (
+        merge_into_clusters,
+    )
+
+    hist = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (30, 31)]
+    new = [(3, 10),            # merges cluster {1,2,3} with {10,11}
+           (40, 41), (41, 42),  # brand-new cluster
+           (50, 22)]            # new node joins cluster {20,21,22}
+    stored = connected_components(_edges(spark, hist))
+    got = {(r["node"], r["component"])
+           for r in merge_into_clusters(
+               stored, _edges(spark, new)).collect()}
+    want = {(r["node"], r["component"])
+            for r in connected_components(
+                _edges(spark, hist + new)).collect()}
+    assert got == want
+    # untouched component {30,31} survives byte-identical
+    assert (30, 30) in got and (31, 30) in got
+    # the cross-snapshot merge landed: global min 1 owns {10,11}
+    assert (10, 1) in got and (11, 1) in got
+    # re-merging the same edges is a no-op (idempotent ingest)
+    again = {(r["node"], r["component"])
+             for r in merge_into_clusters(
+                 merge_into_clusters(stored, _edges(spark, new)),
+                 _edges(spark, new)).collect()}
+    assert again == want
+
+
+def test_merge_labels_store_rewrites_only_affected_buckets(spark, tmp_path):
+    """The persisted label store rewrites ONLY comp_bucket partitions
+    holding affected components: unaffected partitions' files keep
+    their mtimes, reads of a component prune via PartitionFilters, and
+    the merged store equals the pure-DataFrame merge."""
+    import glob
+    import os
+
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        connected_components,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.incremental import (
+        merge_into_clusters,
+        merge_labels_store,
+        read_cluster_labels,
+        write_cluster_labels,
+    )
+
+    hist = [(i * 10, i * 10 + 1) for i in range(40)]  # 40 two-node clusters
+    stored = connected_components(_edges(spark, hist))
+    path = str(tmp_path / "labels_store")
+    write_cluster_labels(stored, path, n_buckets=16)
+
+    before = {f: os.path.getmtime(f)
+              for f in glob.glob(f"{path}/labels/comp_bucket=*/*.parquet")}
+    new = [(0, 10), (395, 390)]  # merge clusters 0+10; new node 395 joins 390
+    row = merge_labels_store(spark, path, _edges(spark, new), "snap2")
+    assert row["n_renames"] >= 1 and row["n_new_nodes"] == 1
+    assert 0 < row["n_buckets_rewritten"] < 16
+
+    got = {(r["node"], r["component"])
+           for r in read_cluster_labels(spark, path).collect()}
+    want = {(r["node"], r["component"])
+            for r in merge_into_clusters(stored, _edges(spark, new)).collect()}
+    assert got == want
+
+    after = {f: os.path.getmtime(f)
+             for f in glob.glob(f"{path}/labels/comp_bucket=*/*.parquet")}
+    untouched = [f for f in before if f in after and before[f] == after[f]]
+    # most bucket partitions were never rewritten
+    assert len(untouched) >= len(before) - row["n_buckets_rewritten"] > 0
+
+    # component reads prune at scan time
+    plan = (spark.read.parquet(f"{path}/labels")
+            .filter(F.col("comp_bucket") == 3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan and "comp_bucket" in plan

@@ -93,11 +93,54 @@ def main() -> None:
             t_full = time.perf_counter() - t0
             release_indexes()
 
+        # round 5: cluster-label maintenance — fold the new snapshot's
+        # candidate edges into a persisted label store (contracted-edge
+        # fixpoint + affected-partition rewrite) vs recomputing
+        # connected components over ALL accumulated edges
+        from icdar_2019_rrc_sroie_spark.operators.dedup import (
+            connected_components,
+        )
+        from icdar_2019_rrc_sroie_spark.operators.incremental import (
+            merge_labels_store,
+            write_cluster_labels,
+        )
+
+        hist_edges = minhash_candidates(hist, num_hashes=4).persist()
+        hist_edges.count()
+        labels = connected_components(hist_edges).persist()
+        store = f"/dev/shm/inc_bench_labels_{mult}"
+        write_cluster_labels(labels, store, n_buckets=64)
+        new_edges = incremental_candidates(new_docs, idx, "new",
+                                           num_hashes=4) \
+            .select("id_a", "id_b").persist()
+        new_edges.count()
+        release_indexes()
+        # warm the merge path on a throwaway store clone (a re-merge on
+        # the real store would be an idempotent no-op, not comparable)
+        warm_store = f"/dev/shm/inc_bench_labels_warm_{mult}"
+        write_cluster_labels(labels, warm_store, n_buckets=64)
+        merge_labels_store(spark, warm_store, new_edges, "warm")
+        release_indexes()
+        t0 = time.perf_counter()
+        merge_row = merge_labels_store(spark, store, new_edges, "new")
+        t_merge = time.perf_counter() - t0
+        labels.unpersist()
+        all_edges = hist_edges.unionByName(new_edges)
+        t0 = time.perf_counter()
+        materialize(connected_components(all_edges))
+        t_full_cc = time.perf_counter() - t0
+        hist_edges.unpersist()
+        new_edges.unpersist()
+        release_indexes()
+
         out[f"hist_{mult}x"] = {
             "n_history_docs": n_hist, "n_bands": n_bands,
             "index_write_sec": round(t_index, 2),
             "incremental_sec": round(t_inc, 2),
             "full_rededup_sec": round(t_full, 2),
+            "label_merge_sec": round(t_merge, 2),
+            "full_cc_recompute_sec": round(t_full_cc, 2),
+            "label_buckets_rewritten": merge_row["n_buckets_rewritten"],
         }
     print(json.dumps(out))
 
