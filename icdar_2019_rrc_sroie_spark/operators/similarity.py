@@ -192,6 +192,88 @@ def ivf_topk_indexed(spark, index_path: str,
     )
 
 
+def nprobe_buckets_expr(vec: Column, centroids: list[list[float]],
+                        nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest centroid indices (ascending
+    squared-L2, ties to the lower index), pure Catalyst — the per-ROW
+    version of the driver-side probe ordering in :func:`ivf_topk`.
+    ``array_sort`` over (dist, idx) structs orders lexicographically,
+    so the tie-break is deterministic; ``dists`` is referenced only in
+    argument position (evaluated once — not the HOF re-evaluation
+    trap)."""
+    dists = F.transform(
+        _centroid_array(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    ranked = F.array_sort(F.transform(
+        dists, lambda d, i: F.struct(d.alias("d"), i.alias("i"))))
+    return F.transform(F.slice(ranked, 1, nprobe),
+                       lambda s: s["i"].cast("int"))
+
+
+def ivf_knn_indexed(spark, index_path: str,
+                    centroids: list[list[float]], queries: DataFrame,
+                    k: int = 10, nprobe: int = 1,
+                    query_id_col: str = "query_id",
+                    query_vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Batch-query ANN over a materialized IVF index: for EVERY row of
+    ``queries``, its top-``k`` neighbors from the ``nprobe`` nearest
+    bucket partitions — per-query identical to
+    :func:`ivf_topk_indexed` (pinned by test), but one job for a whole
+    query table instead of one scan per query vector (the retrieval
+    pipeline shape: thousands of probes per batch).
+
+    Plan: each query row explodes to its ``nprobe`` nearest centroid
+    indices (pure Catalyst, :func:`nprobe_buckets_expr`); the DISTINCT
+    probed bucket set — bounded by ``len(centroids)``, never by the
+    query count, so the driver round-trip is O(centroids) — becomes a
+    static ``isin`` partition filter on the index scan (only the union
+    of probed partitions is ever listed/opened, asserted via
+    PartitionFilters in tests); one broadcast equi-join on
+    ``ivf_bucket`` fans probed index rows out to their queries; exact
+    cosine + per-query window top-k. The index side never shuffles —
+    the only wide op is the window over the (already bucket-pruned,
+    cosine-scored) candidate rows, keyed by query.
+
+    Output: (``query_id``, ``vec_id``, ivf_bucket, cosine, rnk) with
+    rnk 1..k per query.
+    """
+    probes = track_persist(queries.select(
+        F.col(query_id_col), F.col(query_vec_col).alias("_qvec"),
+        F.explode(
+            nprobe_buckets_expr(F.col(query_vec_col), centroids, nprobe)
+        ).alias("ivf_bucket"),
+    ))
+    buckets = sorted({
+        int(r["ivf_bucket"])
+        for r in probes.select("ivf_bucket").distinct().collect()
+    })
+    index = (
+        spark.read.parquet(index_path)
+        .filter(F.col("ivf_bucket").isin(buckets))
+        .select(F.col(id_col), F.col(vec_col).alias("_ivec"),
+                F.col("ivf_bucket").cast("int").alias("ivf_bucket"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col) \
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        index.join(F.broadcast(probes), "ivf_bucket")
+        .select(query_id_col, id_col, "ivf_bucket",
+                cosine_expr(F.col("_ivec"), F.col("_qvec")).alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def random_hyperplanes(dim: int, n_bits: int = 8,
                        seed: int = 7) -> list[list[float]]:
     """Deterministic random-projection matrix for sign-LSH.

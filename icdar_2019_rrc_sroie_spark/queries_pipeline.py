@@ -290,15 +290,46 @@ ORDER BY doc_id, anchor_id
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN over the embeddings table: sampled k-means index +
-    nprobe=2 probe (exactness vs brute force pytest-verified)."""
-    from .operators.similarity import ivf_topk, train_centroids
+    """IVF ANN over the embeddings table, both serving shapes as a
+    discriminated union: ``single`` rows = the unindexed nprobe=2
+    probe for one query vector (exactness vs brute force
+    pytest-verified); ``batch`` rows = ``ivf_knn_indexed`` over a
+    16-query table against a materialized partition-pruned index
+    (round 5 — per-query parity with ``ivf_topk_indexed`` and
+    PartitionFilters pruning pytest-asserted)."""
+    import os
+    import tempfile
+
+    from .operators.similarity import (
+        ivf_knn_indexed,
+        ivf_topk,
+        train_centroids,
+        write_ivf_index,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = train_centroids(emb, k=8, iters=5, sample_size=2000)
     query = emb.filter(F.col("vec_id") == 0).select("embedding") \
         .collect()[0][0]
-    return ivf_topk(emb, cents, list(query), k=20, nprobe=2)
+    single = ivf_topk(emb, cents, list(query), k=20, nprobe=2).select(
+        F.lit("single").alias("kind"),
+        F.lit(None).cast("long").alias("query_id"),
+        "vec_id", F.col("ivf_bucket").cast("int").alias("ivf_bucket"),
+        "cosine", F.lit(None).cast("int").alias("rnk"),
+    )
+    # scratch index on local disk (pid-suffixed — concurrent checkers
+    # must not race); lazy-read by the returned plan, so not a
+    # TemporaryDirectory
+    idx = os.path.join(tempfile.gettempdir(),
+                       f"sroie_ivf_oracle_idx_{os.getpid()}")
+    write_ivf_index(emb, idx, cents)
+    queries = emb.filter(F.col("vec_id") % 97 == 3) \
+        .limit(16).selectExpr("vec_id as query_id", "embedding")
+    batch = ivf_knn_indexed(spark, idx, cents, queries, k=5, nprobe=2) \
+        .select(F.lit("batch").alias("kind"), "query_id", "vec_id",
+                "ivf_bucket", "cosine", "rnk")
+    return single.unionByName(batch) \
+        .orderBy("kind", "query_id", "rnk", "vec_id")
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -760,6 +760,54 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert got == want
 
 
+def test_ivf_knn_indexed_batch_parity_and_pruning(spark, tmp_path):
+    """ivf_knn_indexed over a query TABLE: per-query rows identical to
+    one ivf_topk_indexed call per vector, and the single index scan
+    prunes to exactly the union of probed bucket partitions."""
+    from icdar_2019_rrc_sroie_spark.operators.indexes import (
+        release_indexes,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.similarity import (
+        ivf_knn_indexed,
+        ivf_topk_indexed,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_centroids(emb, k=8, iters=5, sample_size=500)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, cents)
+    qrows = emb.filter("vec_id in (1, 7, 13, 29)") \
+        .selectExpr("vec_id as query_id", "embedding").collect()
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<float>")
+
+    batch = ivf_knn_indexed(spark, path, cents, queries, k=5, nprobe=2)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["vec_id"], round(r["cosine"], 9)))
+
+    probed_union = set()
+    for qr in qrows:
+        single = ivf_topk_indexed(
+            spark, path, cents, list(qr["embedding"]), k=5, nprobe=2)
+        want = [(i + 1, r["vec_id"], round(r["cosine"], 9))
+                for i, r in enumerate(single.collect())]
+        assert sorted(got[qr["query_id"]]) == want, qr["query_id"]
+        probed_union |= {r["ivf_bucket"] for r in single.collect()}
+
+    # the ONE batch scan prunes to the union of probed partitions —
+    # a static isin over <= len(cents) values, visible to the listing
+    scan = [ln for ln in batch._jdf.queryExecution().executedPlan()
+            .toString().splitlines() if "PartitionFilters" in ln]
+    assert scan and any("ivf_bucket" in ln for ln in scan), scan
+    in_sets = [ln for ln in scan if "IN (" in ln or "in(" in ln.lower()]
+    assert in_sets, scan
+    release_indexes()
+
+
 def test_ann_knn_join_recall_vs_bruteforce(spark):
     """Per-row k-NN join recall on clustered data: each cluster
     member's LSH neighborhood must recover most of its true top-k."""
