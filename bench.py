@@ -315,6 +315,24 @@ def calib_steady(payload: dict, tolerance: float = 0.20) -> bool:
     return min(calibs) >= (1.0 - tolerance) * max(calibs)
 
 
+def select_attempt(attempts: list[dict]) -> dict:
+    """Pick the attempt with the higher calibration floor and annotate
+    it. A retry reruns in the same (now JIT/code-cache-warm) JVM, so
+    the published artifact can silently switch between cold and warm
+    regimes across rounds (VERDICT r4 #4 / ADVICE r4): the winning
+    attempt index and attempt 1's total + calibration are always
+    recorded so the cold cost stays visible whenever the retry wins."""
+    best_i = max(range(len(attempts)),
+                 key=lambda i: min(attempts[i]["cpu_calib_mops"]))
+    best = attempts[best_i]
+    best["degraded"] = not calib_steady(best)
+    best["n_attempts"] = len(attempts)
+    best["winning_attempt"] = best_i + 1
+    best["attempt1_total_sec"] = attempts[0]["value"]
+    best["attempt1_calib_mops"] = attempts[0]["cpu_calib_mops"]
+    return best
+
+
 def main() -> None:
     """Calibration-gated battery (round-4, VERDICT r3 'What's wrong'
     #1): the recorded BENCH_r03 ran through a host-contention burst and
@@ -333,10 +351,7 @@ def main() -> None:
         print("bench: calibration drop >20% mid-run (host contention); "
               "retrying battery", file=sys.stderr)
         attempts.append(run_battery(spark, sf_dir, sf))
-    best = max(attempts, key=lambda p: min(p["cpu_calib_mops"]))
-    best["degraded"] = not calib_steady(best)
-    best["n_attempts"] = len(attempts)
-    print(json.dumps(best))
+    print(json.dumps(select_attempt(attempts)))
 
 
 if __name__ == "__main__":

@@ -35,3 +35,23 @@ def test_best_attempt_is_higher_floor():
     b = _p([12.0, 11.5, 11.8])  # steady
     best = max([a, b], key=lambda p: min(p["cpu_calib_mops"]))
     assert best is b and bench.calib_steady(best)
+
+
+def test_select_attempt_records_cold_attempt():
+    # retry wins -> the artifact must still carry attempt 1's (cold)
+    # total and calibration, plus which attempt won (r5, VERDICT r4 #4)
+    a = {"cpu_calib_mops": [13.0, 9.0, 13.0], "value": 150.0}
+    b = {"cpu_calib_mops": [12.0, 11.5, 11.8], "value": 95.0}
+    out = bench.select_attempt([a, b])
+    assert out["winning_attempt"] == 2 and out["value"] == 95.0
+    assert out["attempt1_total_sec"] == 150.0
+    assert out["attempt1_calib_mops"] == [13.0, 9.0, 13.0]
+    assert out["n_attempts"] == 2 and not out["degraded"]
+
+
+def test_select_attempt_single_attempt_annotates_itself():
+    a = {"cpu_calib_mops": [12.0, 11.5, 11.8], "value": 95.0}
+    out = bench.select_attempt([a])
+    assert out["winning_attempt"] == 1
+    assert out["attempt1_total_sec"] == 95.0
+    assert out["n_attempts"] == 1 and not out["degraded"]
