@@ -200,6 +200,16 @@ def bench_split_entries(spark, sf_dir: str,
     materialize(dedup_spans(docs, k=30, window=8))
     timings["dedup_spans"] = round(time.perf_counter() - t0, 3)
 
+    # trained-BPE tokenization over the full documents table (round 5:
+    # the Arrow kernel with the per-process distinct-word cache — the
+    # oracled query runs it merged into doc_text_profile; this entry
+    # isolates the tokenizer's own cost)
+    from icdar_2019_rrc_sroie_spark.operators.bpe import bpe_profile
+
+    t0 = time.perf_counter()
+    materialize(bpe_profile(docs))
+    timings["bpe_tokenize"] = round(time.perf_counter() - t0, 3)
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()

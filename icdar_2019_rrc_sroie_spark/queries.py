@@ -381,7 +381,13 @@ def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval set, and every doc sharing one of their 8-grams carries its
     hit count — the operator's broadcast semi-join, value-checked
     (the oracle matches on gram STRINGS where the operator matches on
-    xxhash64(gram); identical results absent a 64-bit collision)."""
+    xxhash64(gram); identical results absent a 64-bit collision).
+    Round 5 adds the TRAINED-BPE columns (``n_bpe_true_tokens`` +
+    ``bpe_stream_md5`` — an md5 of the full in-order token stream):
+    corpus-trained merges applied with the canonical greedy loop in an
+    Arrow kernel, replayed by the oracle as a DuckDB recursive CTE
+    (operators/bpe.py)."""
+    from .operators.bpe import bpe_profile
     from .operators.dedup import decontaminate
 
     docs = _t(spark, sf_dir, "documents")
@@ -391,11 +397,18 @@ def q_doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_profile(docs).join(hits, "doc_id", "left") \
         .withColumn("n_eval_hits",
                     F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")) \
-        .drop("n_hits").orderBy("doc_id")
+        .drop("n_hits") \
+        .join(bpe_profile(docs), "doc_id", "left") \
+        .orderBy("doc_id")
 
 
-SQL_DOC_TEXT_PROFILE = r"""
-WITH toks AS (
+def _sql_doc_text_profile() -> str:
+    """Built at import: embeds the trained BPE merge table (a VALUES
+    list) into the recursive-CTE replay of the canonical greedy BPE."""
+    from .operators.bpe import bpe_sql_ctes
+
+    return "WITH RECURSIVE " + bpe_sql_ctes() + r""",
+toks AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS tokens
   FROM documents
 ), nt AS (
@@ -421,10 +434,16 @@ SELECT toks.doc_id,
   CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
     AS BIGINT) AS n_bpe_tokens,
   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
-  COALESCE(hits.n_eval_hits, 0) AS n_eval_hits
+  COALESCE(hits.n_eval_hits, 0) AS n_eval_hits,
+  COALESCE(bpe_doc.n_bpe_true_tokens, 0) AS n_bpe_true_tokens,
+  COALESCE(bpe_doc.bpe_stream_md5, md5('')) AS bpe_stream_md5
 FROM toks LEFT JOIN hits ON toks.doc_id = hits.doc_id
+LEFT JOIN bpe_doc ON toks.doc_id = bpe_doc.doc_id
 ORDER BY toks.doc_id
 """
+
+
+SQL_DOC_TEXT_PROFILE = _sql_doc_text_profile()
 
 
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,134 @@
+"""Trained-BPE tokenizer (round 5): trainer determinism, canonical
+greedy semantics, kernel-vs-independent-oracle parity, and the Spark
+Arrow seam."""
+
+import hashlib
+import json
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from icdar_2019_rrc_sroie_spark.operators.bpe import (  # noqa: E402
+    bpe_profile,
+    default_merges_path,
+    encode_word,
+    load_merges,
+)
+from icdar_2019_rrc_sroie_spark.operators.dedup import (  # noqa: E402
+    BPE_TOKEN_PATTERN,
+)
+
+SEP = "\x1f"
+
+
+def _encode_replace_oracle(word: str, merges: list[tuple[str, str]]):
+    """Independent implementation: separator-wrapped string + replace —
+    the same representation the DuckDB oracle uses, none of the
+    kernel's list code."""
+    s = "".join(SEP + c + SEP for c in word)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    while True:
+        best = None
+        for (a, b), r in ranks.items():
+            if SEP + a + SEP + SEP + b + SEP in s:
+                if best is None or r < best[0]:
+                    best = (r, a, b)
+        if best is None:
+            break
+        _, a, b = best
+        s = s.replace(SEP + a + SEP + SEP + b + SEP, SEP + a + b + SEP)
+    return [t for t in s.split(SEP) if t]
+
+
+def test_trainer_is_deterministic(tmp_path):
+    import subprocess
+
+    out = tmp_path / "merges.json"
+    subprocess.run(
+        [sys.executable, "/root/repo/tools/train_bpe.py", str(out)],
+        check=True, capture_output=True)
+    with open(default_merges_path()) as f:
+        assert json.loads(out.read_text()) == json.load(f)
+
+
+def test_canonical_fixpoint_not_sequential_apply():
+    # a later merge assembles the operand of an earlier one: the
+    # canonical loop must go back for it (sequential one-pass-per-merge
+    # application would stop at [ab, ab])
+    merges = [("ab", "ab"), ("a", "b")]
+    ranks = {m: i for i, m in enumerate(merges)}
+    assert encode_word("abab", ranks) == ["abab"]
+    assert _encode_replace_oracle("abab", merges) == ["abab"]
+
+
+def test_merge_all_occurrences_left_to_right():
+    merges = [("a", "a")]
+    ranks = {m: i for i, m in enumerate(merges)}
+    assert encode_word("aaa", ranks) == ["aa", "a"]
+    assert encode_word("aaaa", ranks) == ["aa", "aa"]
+    assert _encode_replace_oracle("aaa", merges) == ["aa", "a"]
+
+
+def test_kernel_matches_replace_oracle_on_corpus_words():
+    import duckdb
+
+    merges = load_merges()
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    texts = [r[0] for r in duckdb.sql(
+        "SELECT text FROM '/root/testdata/sf0.001/documents.parquet' "
+        "ORDER BY doc_id").fetchall()]
+    pat = re.compile(BPE_TOKEN_PATTERN)
+    words = sorted({w for t in texts for w in pat.findall(t)})
+    assert len(words) > 20
+    n_split = 0
+    for w in words:
+        got = encode_word(w, ranks)
+        assert got == _encode_replace_oracle(w, merges), w
+        assert "".join(got) == w
+        n_split += len(got) > 1
+    # the 64-merge vocabulary must be mid-granularity: some words
+    # split, some merged whole (guards against retraining to
+    # exhaustion, where every in-corpus word is one token)
+    assert 0 < n_split < len(words)
+
+
+def test_bpe_profile_spark_matches_python(spark):
+    merges = load_merges()
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 40")
+    got = {r["doc_id"]: (r["n_bpe_true_tokens"], r["bpe_stream_md5"])
+           for r in bpe_profile(docs).collect()}
+    pat = re.compile(BPE_TOKEN_PATTERN)
+    for r in docs.select("doc_id", "text").collect():
+        stream = []
+        for w in pat.findall(r["text"]):
+            stream.extend(encode_word(w, ranks))
+        want = (len(stream),
+                hashlib.md5(SEP.join(stream).encode()).hexdigest())
+        assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_bpe_profile_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "customer order")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in bpe_profile(df).collect()}
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert rows[1]["n_bpe_true_tokens"] == 0
+    assert rows[1]["bpe_stream_md5"] == empty_md5
+    assert rows[2]["n_bpe_true_tokens"] == 0
+    assert rows[2]["bpe_stream_md5"] == empty_md5
+    assert rows[3]["n_bpe_true_tokens"] >= 2
+
+
+@pytest.mark.parametrize("word", ["", "x", "  ", "a'b\"c"])
+def test_encode_word_edge_cases(word):
+    merges = load_merges()
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    got = encode_word(word, ranks)
+    assert "".join(got) == word
+    assert got == _encode_replace_oracle(word, merges)

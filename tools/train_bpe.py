@@ -1,0 +1,96 @@
+"""Offline BPE trainer — corpus-trained merge rules for the engine's
+true-token counter (round 5, VERDICT r4 'Next round' #8: the former
+``bpe_token_count`` counts pretokens; real pipelines need trained
+merges).
+
+Classic Sennrich-style training over the sf0.01 ``documents`` corpus:
+pretokenize with the shared lookahead-free GPT-style pattern
+(``operators/dedup.py:BPE_TOKEN_PATTERN`` — the same regex the profile
+query and the DuckDB oracle use), then repeatedly merge the
+highest-frequency adjacent symbol pair. Fully deterministic: ties
+break on the lexicographically smallest (a, b) pair, so rerunning
+reproduces ``icdar_2019_rrc_sroie_spark/models/bpe_merges.json``
+byte-exactly (pinned by tests/test_bpe.py).
+
+Usage: python tools/train_bpe.py [out.json] [n_merges]
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, "/root/repo")
+
+from icdar_2019_rrc_sroie_spark.operators.bpe import (  # noqa: E402
+    default_merges_path,
+)
+from icdar_2019_rrc_sroie_spark.operators.dedup import (  # noqa: E402
+    BPE_TOKEN_PATTERN,
+)
+
+CORPUS = "/root/testdata/sf0.01/documents.parquet"
+# The synthetic documents corpus has a ~61-word vocabulary; training to
+# exhaustion (127 merges) turns every in-corpus word into a single
+# token, which makes the tokenizer trivially equal to the pretokenizer
+# on its own corpus. 64 merges leaves most words at 2-4 tokens — a
+# mid-granularity vocabulary that actually exercises merge application.
+N_MERGES = 64
+
+
+def word_counts(texts: list[str]) -> Counter:
+    pat = re.compile(BPE_TOKEN_PATTERN)
+    counts: Counter = Counter()
+    for t in texts:
+        counts.update(pat.findall(t))
+    return counts
+
+
+def train_merges(counts: Counter, n_merges: int) -> list[tuple[str, str]]:
+    vocab = {w: (list(w), c) for w, c in counts.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        # deterministic: max count, ties to the lexicographically
+        # smallest pair
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w, (syms, c) in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = (out, c)
+    return merges
+
+
+def main() -> None:
+    import duckdb
+
+    out = sys.argv[1] if len(sys.argv) > 1 else default_merges_path()
+    n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else N_MERGES
+    texts = [r[0] for r in duckdb.sql(
+        f"SELECT text FROM '{CORPUS}' ORDER BY doc_id").fetchall()]
+    counts = word_counts(texts)
+    merges = train_merges(counts, n_merges)
+    with open(out, "w") as f:
+        json.dump([list(m) for m in merges], f, ensure_ascii=False,
+                  separators=(",", ":"))
+    print(f"{out}: {len(merges)} merges from {len(counts)} distinct "
+          f"pretokens / {sum(counts.values())} occurrences")
+
+
+if __name__ == "__main__":
+    main()
