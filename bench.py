@@ -210,6 +210,16 @@ def bench_split_entries(spark, sf_dir: str,
     materialize(bpe_profile(docs))
     timings["bpe_tokenize"] = round(time.perf_counter() - t0, 3)
 
+    # trained quality classifier (round 5): hashed-bigram dot product
+    # as pure Catalyst — zero shuffle, no UDF, weights constant-folded
+    from icdar_2019_rrc_sroie_spark.operators.quality_clf import (
+        quality_classify,
+    )
+
+    t0 = time.perf_counter()
+    materialize(quality_classify(docs))
+    timings["quality_classify"] = round(time.perf_counter() - t0, 3)
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()

@@ -830,14 +830,34 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ellipsis, mean word length, and alphabetic-word fraction — pure
     Catalyst regex/HOFs like the rest of the row (documents carry no
     newlines, so the '. '-delimited segments stand in for lines, the
-    same proxy the repetition signals use)."""
+    same proxy the repetition signals use).
+
+    Round 5 adds the TRAINED fastText-style classifier
+    (operators/quality_clf.py — logistic regression over hashed
+    unigram+bigram buckets, weights as a constant-folded literal,
+    integer-micro scores): each doc carries the classifier numerator
+    for its real text AND for its token-sorted corruption (identical
+    unigram multiset — only word-order statistics separate them), so
+    the oracle value-checks the model on both classes."""
     from .operators.boilerplate import (
         dup_segment_fraction,
         top_bigram_fraction,
     )
     from .operators.pii import email_count, phone_count, redact_pii
+    from .operators.quality_clf import (
+        grams_expr,
+        load_weights,
+        norm_tokens_expr,
+        score_numer_expr,
+    )
 
+    clf_w = load_weights()
     docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn(
+        "_qg", grams_expr(norm_tokens_expr(F.col("text")))
+    ).withColumn(
+        "_qgn", grams_expr(F.array_sort(norm_tokens_expr(F.col("text")))))
+    clf_numer = score_numer_expr(F.col("_qg"), clf_w)
     text = F.col("text")
     pii_text = F.concat(
         text, F.lit(" CONTACT d"), F.col("doc_id").cast("string"),
@@ -888,10 +908,22 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         _micro(ellipsis_hits / n_segs).alias("ellipsis_line_micro"),
         _micro(mean_tok_len).alias("mean_word_len_micro"),
         _micro(alpha_hits / n_tokens).alias("alpha_word_micro"),
+        F.size("_qg").cast("long").alias("clf_n_grams"),
+        clf_numer.alias("clf_numer_micro"),
+        (clf_numer > 0).cast("int").alias("clf_is_quality"),
+        score_numer_expr(F.col("_qgn"), clf_w)
+        .alias("clf_neg_numer_micro"),
     ).orderBy("doc_id")
 
 
-SQL_TEXT_QUALITY_LANG = r"""
+def _sql_text_quality_lang() -> str:
+    """Built at import: embeds the trained classifier weight vector as
+    a list literal (twice — real-text and sorted-corruption scoring)."""
+    from .operators.quality_clf import clf_sql_exprs
+
+    pos = clf_sql_exprs(grams_sql="c.pg")
+    neg = clf_sql_exprs(grams_sql="c.ng")
+    return r"""
 WITH pii AS (
   SELECT doc_id,
     text || ' CONTACT d' || doc_id || '@shop.example.com TEL 012-'
@@ -911,6 +943,20 @@ WITH pii AS (
          len(list_filter(tokens, t -> t IN ('the','a','of','and'))) AS en_hits,
          len(list_filter(tokens, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_hits
   FROM toks
+), clf_toks AS (
+  SELECT doc_id,
+    regexp_split_to_array(
+      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS nt,
+    list_sort(regexp_split_to_array(
+      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS st
+  FROM documents
+), clf AS (
+  SELECT doc_id,
+    list_concat(nt, [nt[i] || ' ' || nt[i+1]
+      FOR i IN generate_series(1, greatest(len(nt)-1, 0))]) AS pg,
+    list_concat(st, [st[i] || ' ' || st[i+1]
+      FOR i IN generate_series(1, greatest(len(st)-1, 0))]) AS ng
+  FROM clf_toks
 )
 SELECT f.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(stop_hits AS BIGINT) AS stop_hits,
@@ -954,14 +1000,22 @@ SELECT f.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(floor(CAST(len_chars - n_tokens + 1 AS DOUBLE) / n_tokens
         * 1e6 + 0.5) AS BIGINT) AS mean_word_len_micro,
   CAST(floor(CAST(alpha_hits AS DOUBLE) / n_tokens * 1e6 + 0.5)
-        AS BIGINT) AS alpha_word_micro
+        AS BIGINT) AS alpha_word_micro,
+  """ + pos["n_grams"] + r""" AS clf_n_grams,
+  """ + pos["numer"] + r""" AS clf_numer_micro,
+  """ + pos["is_quality"] + r""" AS clf_is_quality,
+  """ + neg["numer"] + r""" AS clf_neg_numer_micro
 FROM feat f
 JOIN pii p ON f.doc_id = p.doc_id
+JOIN clf c ON f.doc_id = c.doc_id
 CROSS JOIN LATERAL (SELECT
   [f.btoks[i] || ' ' || f.btoks[i+1]
    FOR i IN generate_series(1, greatest(len(f.btoks) - 1, 0))] AS bg) b
 ORDER BY f.doc_id
 """
+
+
+SQL_TEXT_QUALITY_LANG = _sql_text_quality_lang()
 
 # ---------------------------------------------------------------------------
 # Exact dedup (fingerprint groupBy; the per-doc fingerprint itself is
