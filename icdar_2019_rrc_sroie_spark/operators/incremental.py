@@ -300,6 +300,10 @@ def _cluster_merge_mapping(stored_labels: DataFrame, new_edges: DataFrame,
     stored = stored_labels.select("node", F.col("component").alias("_stored"))
     cur = nodes.join(stored, "node", "left").select(
         "node", F.coalesce("_stored", F.col("node")).alias("lbl"))
+    # tolerate conflicting duplicate labels (a store mid-crash-recovery
+    # can hold a node twice): keep the smaller = newer label; bounded
+    # by the new-edge node set
+    cur = cur.groupBy("node").agg(F.min("lbl").alias("lbl"))
     la = cur.select(F.col("node").alias("id_a"), F.col("lbl").alias("lbl_a"))
     lb = cur.select(F.col("node").alias("id_b"), F.col("lbl").alias("lbl_b"))
     cedges = (
@@ -395,6 +399,24 @@ def merge_labels_store(spark: SparkSession, labels_path: str,
     atomic MERGE, see docs/CATALOG.md). Returns the lineage row as a
     dict. Label reads prune to the affected partitions (asserted via
     PartitionFilters in tests).
+
+    Two rename edge cases the happy path hides (round-5 self-review):
+
+    * a bucket EMPTIED by the merge (every component it held renamed
+      away, nothing else hashing there) produces no rows, and dynamic
+      overwrite only replaces partitions present in the written data —
+      its stale files must be swept explicitly (the post-commit delete
+      below), or reads would resurrect pre-merge labels;
+    * a crash between the partition overwrite and that sweep (or mid-
+      overwrite — dynamic overwrite is not atomic across partitions)
+      can leave a node present in two buckets with conflicting labels.
+      Recovery contract: re-run the SAME snapshot's merge (the missing
+      ``_lineage`` row marks it incomplete). The re-merge heals: label
+      lookups and the affected-slice rewrite both resolve conflicting
+      duplicates to the smaller label (renames only ever decrease —
+      hash-min components), and the emptied-bucket sweep then removes
+      the stale copy. Pinned by
+      tests/test_incremental.py::test_merge_labels_store_heals_partial_crash.
     """
     import uuid
 
@@ -405,12 +427,33 @@ def merge_labels_store(spark: SparkSession, labels_path: str,
                                                max_iterations)
     relabel = relabel.persist()
     new_rows = new_rows.persist()
+    # buckets holding CONFLICTING duplicate labels of new-edge nodes:
+    # after a mid-overwrite crash, the re-merge sees the conflict
+    # resolved by the min-label lookup (no rename is rediscovered), so
+    # the stale copy's bucket must be pulled into the rewrite
+    # explicitly — a renamed component's rows are co-located in one
+    # partition and at least one member is a new-edge node, so every
+    # crash-stale component surfaces here. Bounded by new-edge nodes.
+    enodes = (
+        new_edges.select(F.col("id_a").alias("node"))
+        .unionAll(new_edges.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    conflict_buckets = (
+        enodes.join(stored, "node")
+        .groupBy("node")
+        .agg(F.collect_set("component").alias("ls"))
+        .filter(F.size("ls") > 1)
+        .select(F.explode("ls").alias("c"))
+        .select(_labels_bucket(F.col("c"), n_buckets).alias("b"))
+    )
     bucket_rows = (
         relabel.select(_labels_bucket(F.col("_old"), n_buckets).alias("b"))
         .unionAll(relabel.select(
             _labels_bucket(F.col("_new"), n_buckets).alias("b")))
         .unionAll(new_rows.select(
             _labels_bucket(F.col("component"), n_buckets).alias("b")))
+        .unionAll(conflict_buckets)
         .distinct().collect()
     )
     affected = sorted({int(r["b"]) for r in bucket_rows})
@@ -421,6 +464,10 @@ def merge_labels_store(spark: SparkSession, labels_path: str,
             spark.read.parquet(f"{labels_path}/labels")
             .filter(F.col("comp_bucket").isin(affected))
             .select("node", "component")
+            # heal crash-window duplicates: a node left in two buckets
+            # by an interrupted overwrite keeps its SMALLER label
+            # (renames only decrease); cost bounded by the slice
+            .groupBy("node").agg(F.min("component").alias("component"))
         )
         updated = (
             aff.join(F.broadcast(relabel),
@@ -439,6 +486,17 @@ def merge_labels_store(spark: SparkSession, labels_path: str,
             .partitionBy("comp_bucket").parquet(f"{labels_path}/labels")
         from .indexes import _delete_path
 
+        # sweep EMPTIED buckets: dynamic overwrite replaces only
+        # partitions present in the written data, so an affected bucket
+        # whose every component was renamed away keeps its stale files
+        # unless deleted here (missing dirs are a no-op delete)
+        present = {int(r["comp_bucket"]) for r in spark.read
+                   .parquet(staging).select("comp_bucket")
+                   .distinct().collect()}
+        for b in affected:
+            if b not in present:
+                _delete_path(
+                    spark, f"{labels_path}/labels/comp_bucket={b}")
         _delete_path(spark, f"{labels_path}/_staging")
     relabel.unpersist()
     new_rows.unpersist()

@@ -270,3 +270,94 @@ def test_merge_labels_store_rewrites_only_affected_buckets(spark, tmp_path):
             .filter(F.col("comp_bucket") == 3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in plan and "comp_bucket" in plan
+
+
+def test_merge_labels_store_sweeps_emptied_bucket(spark, tmp_path):
+    """Dynamic partition overwrite only replaces partitions present in
+    the written data: a bucket whose EVERY component is renamed away
+    must have its stale files swept, or reads resurrect pre-merge
+    labels (round-5 self-review bug — with few components per bucket
+    the happy path never empties one)."""
+    import glob
+
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        connected_components,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.incremental import (
+        merge_into_clusters,
+        merge_labels_store,
+        read_cluster_labels,
+        write_cluster_labels,
+    )
+
+    # 3 clusters over MANY buckets -> each component alone in its
+    # bucket; merging {100,101} into {1,2} must EMPTY bucket(100)
+    hist = [(1, 2), (100, 101), (200, 201)]
+    stored = connected_components(_edges(spark, hist))
+    path = str(tmp_path / "labels_store")
+    write_cluster_labels(stored, path, n_buckets=256)
+    new = [(2, 100)]
+    merge_labels_store(spark, path, _edges(spark, new), "snap2")
+
+    got = {(r["node"], r["component"])
+           for r in read_cluster_labels(spark, path).collect()}
+    want = {(r["node"], r["component"])
+            for r in merge_into_clusters(stored, _edges(spark, new)).collect()}
+    assert got == want  # no resurrected (100, 100)/(101, 100) rows
+    assert {n for n, _ in got} == {1, 2, 100, 101, 200, 201}
+    # the emptied partition dir is actually gone
+    from icdar_2019_rrc_sroie_spark.operators.incremental import (
+        LABELS_N_BUCKETS_DEFAULT,  # noqa: F401 - keep import surface
+        _labels_bucket,
+    )
+
+    b100 = spark.range(1).select(
+        _labels_bucket(F.lit(100).cast("long"), 256)).collect()[0][0]
+    assert glob.glob(f"{path}/labels/comp_bucket={b100}/*.parquet") == []
+
+
+def test_merge_labels_store_heals_partial_crash(spark, tmp_path):
+    """A crash between the partition overwrite and the emptied-bucket
+    sweep leaves a node in two buckets with conflicting labels; the
+    recovery contract (re-run the same snapshot's merge) must converge
+    to the clean result."""
+    import shutil
+
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        connected_components,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.incremental import (
+        _labels_bucket,
+        merge_into_clusters,
+        merge_labels_store,
+        read_cluster_labels,
+        write_cluster_labels,
+    )
+
+    hist = [(1, 2), (100, 101), (200, 201)]
+    stored = connected_components(_edges(spark, hist))
+    path = str(tmp_path / "labels_store")
+    write_cluster_labels(stored, path, n_buckets=256)
+    b100 = spark.range(1).select(
+        _labels_bucket(F.lit(100).cast("long"), 256)).collect()[0][0]
+    # snapshot the stale partition, merge, then put the stale copy
+    # BACK — simulating a crash after the overwrite but before the
+    # sweep (nodes 100/101 now live in bucket(1) AND bucket(100))
+    stale = str(tmp_path / "stale_bucket")
+    shutil.copytree(f"{path}/labels/comp_bucket={b100}", stale)
+    new = [(2, 100)]
+    merge_labels_store(spark, path, _edges(spark, new), "snap2")
+    shutil.copytree(stale, f"{path}/labels/comp_bucket={b100}")
+    dup_nodes = [r["node"] for r in
+                 read_cluster_labels(spark, path).groupBy("node")
+                 .count().filter("count > 1").collect()]
+    assert sorted(dup_nodes) == [100, 101]  # the injected corruption
+
+    # recovery: re-run the SAME snapshot's merge
+    merge_labels_store(spark, path, _edges(spark, new), "snap2")
+    got = {(r["node"], r["component"])
+           for r in read_cluster_labels(spark, path).collect()}
+    want = {(r["node"], r["component"])
+            for r in merge_into_clusters(stored, _edges(spark, new)).collect()}
+    assert got == want
+    assert len(got) == 6  # no duplicates survive
