@@ -268,13 +268,16 @@ def incremental_candidates(new_docs: DataFrame, index_path: str,
 
 def _cluster_merge_mapping(stored_labels: DataFrame, new_edges: DataFrame,
                            max_iterations: int = 25
-                           ) -> tuple[DataFrame, DataFrame]:
+                           ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The small artifacts of a label merge:
 
     * ``relabel`` — (_old, _new) component renames (_old != _new),
       bounded by 2x the new edge count;
     * ``new_rows`` — (node, component) for nodes the store has never
-      seen.
+      seen;
+    * ``cur`` — the per-node lookup table (node, lbl, n_lbls) the above
+      derive from, PERSISTED (released via ``release_indexes``) and
+      bounded by the new-edge node set.
 
     Every new-edge node is looked up in ``stored_labels`` (missing →
     labeled by its own id — labels are component-min node ids, so a
@@ -286,11 +289,22 @@ def _cluster_merge_mapping(stored_labels: DataFrame, new_edges: DataFrame,
     IS the global component minimum — the store's canonical-label
     invariant survives merging by construction.
 
-    The stored-label lookup is one equi-join against the label table
-    (map-side with a broadcastable snapshot); historical EDGES are
-    never an input — by signature, not just by plan.
+    The store is scanned EXACTLY ONCE: the lookup join materializes
+    into the persisted ``cur``, and everything downstream (contracted
+    edges — whose lineage the CC fixpoint re-evaluates per iteration —
+    the new-node anti-filter, the crash-conflict buckets) reads the
+    persisted rows. Before round-5 profiling, each of those consumers
+    re-scanned the full store per action: ~3-5 scans per merge, which
+    made a 10-edge maintenance merge GROW with history (8.7 s → 26 s
+    at 64× — the exact property this module exists to avoid).
+    Historical EDGES are never an input — by signature, not just by
+    plan. The one remaining O(store) cost per merge is that single
+    node-lookup scan: the store is partitioned by component hash, so a
+    node probe can't prune (a node-bucketed secondary index or Iceberg
+    bloom filters would close that; documented, not emulated).
     """
     from .dedup import connected_components
+    from .indexes import track_persist
 
     nodes = (
         new_edges.select(F.col("id_a").alias("node"))
@@ -298,12 +312,19 @@ def _cluster_merge_mapping(stored_labels: DataFrame, new_edges: DataFrame,
         .distinct()
     )
     stored = stored_labels.select("node", F.col("component").alias("_stored"))
-    cur = nodes.join(stored, "node", "left").select(
-        "node", F.coalesce("_stored", F.col("node")).alias("lbl"))
-    # tolerate conflicting duplicate labels (a store mid-crash-recovery
-    # can hold a node twice): keep the smaller = newer label; bounded
-    # by the new-edge node set
-    cur = cur.groupBy("node").agg(F.min("lbl").alias("lbl"))
+    # ONE store scan; n_lbls > 1 marks crash-window duplicate labels
+    # (a node left in two buckets by an interrupted overwrite) — the
+    # lookup keeps the smaller = newer label, and _lbls retains every
+    # copy so the store rewrite can pull the stale buckets in
+    cur = track_persist(
+        nodes.join(stored, "node", "left")
+        .groupBy("node")
+        .agg(F.collect_set("_stored").alias("_lbls"))
+        .select(
+            "node", "_lbls",
+            F.coalesce(F.array_min("_lbls"), F.col("node")).alias("lbl"),
+            F.size("_lbls").alias("n_lbls"))
+    )
     la = cur.select(F.col("node").alias("id_a"), F.col("lbl").alias("lbl_a"))
     lb = cur.select(F.col("node").alias("id_b"), F.col("lbl").alias("lbl_b"))
     cedges = (
@@ -318,11 +339,11 @@ def _cluster_merge_mapping(stored_labels: DataFrame, new_edges: DataFrame,
         .filter(F.col("_old") != F.col("_new"))
     )
     new_rows = (
-        cur.join(stored.select("node"), "node", "left_anti")
+        cur.filter(F.col("n_lbls") == 0)
         .join(F.broadcast(relabel), F.col("lbl") == F.col("_old"), "left")
         .select("node", F.coalesce("_new", F.col("lbl")).alias("component"))
     )
-    return relabel, new_rows
+    return relabel, new_rows, cur
 
 
 def merge_into_clusters(stored_labels: DataFrame, new_edges: DataFrame,
@@ -339,7 +360,7 @@ def merge_into_clusters(stored_labels: DataFrame, new_edges: DataFrame,
     store that rewrites only affected partitions instead of mapping
     the whole table, see :func:`merge_labels_store`.
     """
-    relabel, new_rows = _cluster_merge_mapping(
+    relabel, new_rows, _ = _cluster_merge_mapping(
         stored_labels, new_edges, max_iterations)
     updated = (
         stored_labels.join(F.broadcast(relabel),
@@ -375,9 +396,19 @@ def write_cluster_labels(labels: DataFrame, labels_path: str,
         .write.mode("overwrite").parquet(f"{labels_path}/_meta")
 
 
+def _labels_df(spark: SparkSession, labels_path: str) -> DataFrame:
+    """The raw partitioned label table — or an empty, schema-correct
+    stand-in for a store that holds no rows yet (a zero-row partitioned
+    parquet write leaves no readable files, only the pinned _meta)."""
+    try:
+        return spark.read.parquet(f"{labels_path}/labels")
+    except Exception:  # noqa: BLE001 — bootstrapped empty store
+        return spark.createDataFrame(
+            [], "node long, component long, comp_bucket int")
+
+
 def read_cluster_labels(spark: SparkSession, labels_path: str) -> DataFrame:
-    return spark.read.parquet(f"{labels_path}/labels") \
-        .select("node", "component")
+    return _labels_df(spark, labels_path).select("node", "component")
 
 
 def merge_labels_store(spark: SparkSession, labels_path: str,
@@ -423,8 +454,8 @@ def merge_labels_store(spark: SparkSession, labels_path: str,
     meta = spark.read.parquet(f"{labels_path}/_meta").collect()[0]
     n_buckets = int(meta["n_buckets"])
     stored = read_cluster_labels(spark, labels_path)
-    relabel, new_rows = _cluster_merge_mapping(stored, new_edges,
-                                               max_iterations)
+    relabel, new_rows, cur = _cluster_merge_mapping(stored, new_edges,
+                                                    max_iterations)
     relabel = relabel.persist()
     new_rows = new_rows.persist()
     # buckets holding CONFLICTING duplicate labels of new-edge nodes:
@@ -433,18 +464,11 @@ def merge_labels_store(spark: SparkSession, labels_path: str,
     # the stale copy's bucket must be pulled into the rewrite
     # explicitly — a renamed component's rows are co-located in one
     # partition and at least one member is a new-edge node, so every
-    # crash-stale component surfaces here. Bounded by new-edge nodes.
-    enodes = (
-        new_edges.select(F.col("id_a").alias("node"))
-        .unionAll(new_edges.select(F.col("id_b").alias("node")))
-        .distinct()
-    )
+    # crash-stale component surfaces here. Read from the persisted
+    # lookup (`cur`), NOT a fresh store scan.
     conflict_buckets = (
-        enodes.join(stored, "node")
-        .groupBy("node")
-        .agg(F.collect_set("component").alias("ls"))
-        .filter(F.size("ls") > 1)
-        .select(F.explode("ls").alias("c"))
+        cur.filter(F.col("n_lbls") > 1)
+        .select(F.explode("_lbls").alias("c"))
         .select(_labels_bucket(F.col("c"), n_buckets).alias("b"))
     )
     bucket_rows = (
@@ -461,7 +485,7 @@ def merge_labels_store(spark: SparkSession, labels_path: str,
     n_new = new_rows.count()
     if affected:
         aff = (
-            spark.read.parquet(f"{labels_path}/labels")
+            _labels_df(spark, labels_path)
             .filter(F.col("comp_bucket").isin(affected))
             .select("node", "component")
             # heal crash-window duplicates: a node left in two buckets
@@ -500,6 +524,7 @@ def merge_labels_store(spark: SparkSession, labels_path: str,
         _delete_path(spark, f"{labels_path}/_staging")
     relabel.unpersist()
     new_rows.unpersist()
+    cur.unpersist()
     row = {"snapshot_id": snapshot_id, "n_renames": int(n_renames),
            "n_new_nodes": int(n_new), "n_buckets_rewritten": len(affected)}
     spark.createDataFrame(
@@ -511,3 +536,87 @@ def merge_labels_store(spark: SparkSession, labels_path: str,
         .option("partitionOverwriteMode", "dynamic") \
         .partitionBy("snapshot_id").parquet(f"{labels_path}/_lineage")
     return row
+
+
+# ---------------------------------------------------------------------------
+# Composed longitudinal ingest (round 5): the full loop — band the
+# snapshot, candidate-join it against stored history, fold the edges
+# into the persisted cluster labels — as one idempotent step, callable
+# from a batch scheduler or a Structured Streaming foreachBatch sink.
+# ---------------------------------------------------------------------------
+
+
+def init_labels_store(spark: SparkSession, labels_path: str,
+                      n_buckets: int = LABELS_N_BUCKETS_DEFAULT) -> None:
+    """Bootstrap an EMPTY label store (idempotent: an existing store is
+    left untouched — its pinned bucket modulus must not be clobbered)."""
+    try:
+        spark.read.parquet(f"{labels_path}/_meta").collect()
+        return
+    except Exception:  # noqa: BLE001 — no store yet
+        pass
+    write_cluster_labels(
+        spark.createDataFrame([], "node long, component long"),
+        labels_path, n_buckets)
+
+
+def ingest_snapshot(docs: DataFrame, index_path: str, labels_path: str,
+                    snapshot_id: str, id_col: str = "doc_id",
+                    text_col: str = "text", num_hashes: int = 8,
+                    rows_per_band: int = 2, k: int = 3,
+                    max_bucket_size: int | None = None) -> dict:
+    """One longitudinal-dedup ingest step: band ``docs`` into the index
+    under ``snapshot_id``, candidate-join against all PRIOR snapshots
+    (history text never rescanned), fold the resulting edges into the
+    persisted cluster labels. Returns
+    ``{snapshot_id, n_bands, n_pairs, n_renames, n_new_nodes}``.
+
+    Idempotent end-to-end, so a foreachBatch re-delivery (or a crashed
+    batch re-run) converges instead of corrupting: the band-index write
+    replaces the snapshot's partition (dynamic overwrite), the
+    candidate join excludes the snapshot's own stored bands, and
+    re-merging edges the labels already reflect is a no-op (pinned by
+    tests). Every piece is proportional to the SNAPSHOT, not the
+    accumulated corpus — the property a continuous ingest needs.
+    """
+    spark = docs.sparkSession
+    init_labels_store(spark, labels_path)
+    n_bands = write_band_index(docs, index_path, snapshot_id, id_col,
+                               text_col, num_hashes, rows_per_band, k)
+    pairs = incremental_candidates(
+        docs, index_path, snapshot_id, id_col, text_col, num_hashes,
+        rows_per_band, k, max_bucket_size).persist()
+    n_pairs = pairs.count()
+    row = merge_labels_store(spark, labels_path,
+                             pairs.select("id_a", "id_b"), snapshot_id)
+    pairs.unpersist()
+    return {"snapshot_id": snapshot_id, "n_bands": int(n_bands),
+            "n_pairs": int(n_pairs), "n_renames": row["n_renames"],
+            "n_new_nodes": row["n_new_nodes"]}
+
+
+def streaming_ingest(doc_stream: DataFrame, index_path: str,
+                     labels_path: str, checkpoint: str,
+                     prefix: str = "batch", **ingest_kwargs):
+    """Streaming face of the longitudinal loop: every micro-batch runs
+    :func:`ingest_snapshot` inside ``foreachBatch`` with a
+    deterministic per-batch snapshot id, so the stored index / label
+    store / lineage grow one snapshot per batch and a re-delivered
+    batch id lands idempotently (Spark's foreachBatch is
+    at-least-once; the snapshot-partition overwrite + no-op re-merge
+    make the step effectively exactly-once). Reading the stored index
+    INSIDE the batch function also sidesteps the pinned-file-listing
+    caveat of the stream-static join (`streaming_band_candidates`):
+    each batch lists the index fresh and sees every prior snapshot.
+
+    Returns the unstarted ``DataStreamWriter`` (caller picks trigger /
+    start, same convention as the other streaming builders)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_snapshot(batch_df, index_path, labels_path,
+                        f"{prefix}-{batch_id:08d}", **ingest_kwargs)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )

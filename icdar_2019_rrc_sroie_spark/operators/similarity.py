@@ -167,6 +167,27 @@ def write_ivf_index(df: DataFrame, index_path: str,
         .parquet(index_path)
 
 
+def append_ivf_index(df: DataFrame, index_path: str,
+                     centroids: list[list[float]],
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> None:
+    """Incremental IVF maintenance: append a new batch of vectors to an
+    existing index under their nearest-centroid partitions — per-ingest
+    cost proportional to the BATCH (an append adds files; existing
+    partition files are never rewritten), mirroring the band-index
+    ingest discipline of operators/incremental.py. Centroids must be
+    the ones the index was built with (standard IVF practice: the
+    coarse quantizer is frozen; re-train + full rebuild when drift
+    accumulates). Probes over the appended index keep pruning at
+    listing time — pinned by test."""
+    df.select(
+        F.col(id_col), F.col(vec_col),
+        nearest_centroid_expr(F.col(vec_col), centroids)
+        .alias("ivf_bucket"),
+    ).write.mode("append").partitionBy("ivf_bucket") \
+        .parquet(index_path)
+
+
 def ivf_topk_indexed(spark, index_path: str,
                      centroids: list[list[float]], query: list[float],
                      k: int = 10, nprobe: int = 1,

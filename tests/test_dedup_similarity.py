@@ -808,6 +808,53 @@ def test_ivf_knn_indexed_batch_parity_and_pruning(spark, tmp_path):
     release_indexes()
 
 
+def test_append_ivf_index_incremental_parity(spark, tmp_path):
+    """Appending a second batch must (a) leave the first batch's files
+    untouched (append adds files, never rewrites), (b) serve queries
+    identical to an index built from the union in one shot, (c) keep
+    partition pruning."""
+    import glob
+    import os
+
+    from icdar_2019_rrc_sroie_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_topk_indexed,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = train_centroids(emb, k=8, iters=5, sample_size=500)
+    first = emb.filter("vec_id % 2 = 0")
+    second = emb.filter("vec_id % 2 = 1")
+
+    inc_path = str(tmp_path / "ivf_inc")
+    write_ivf_index(first, inc_path, cents)
+    before = {f: os.path.getmtime(f)
+              for f in glob.glob(f"{inc_path}/ivf_bucket=*/*.parquet")}
+    append_ivf_index(second, inc_path, cents)
+    after = {f: os.path.getmtime(f)
+             for f in glob.glob(f"{inc_path}/ivf_bucket=*/*.parquet")}
+    assert set(before) <= set(after)
+    assert all(after[f] == m for f, m in before.items())
+
+    full_path = str(tmp_path / "ivf_full")
+    write_ivf_index(emb, full_path, cents)
+    query = list(emb.filter("vec_id = 3").collect()[0]["embedding"])
+    got = [(r["vec_id"], round(r["cosine"], 9)) for r in
+           ivf_topk_indexed(spark, inc_path, cents, query,
+                            k=8, nprobe=2).collect()]
+    want = [(r["vec_id"], round(r["cosine"], 9)) for r in
+            ivf_topk_indexed(spark, full_path, cents, query,
+                             k=8, nprobe=2).collect()]
+    assert got == want
+
+    probe = ivf_topk_indexed(spark, inc_path, cents, query, k=8, nprobe=2)
+    scan = [ln for ln in probe._jdf.queryExecution().executedPlan()
+            .toString().splitlines() if "PartitionFilters" in ln]
+    assert scan and any("ivf_bucket" in ln for ln in scan), scan
+
+
 def test_ann_knn_join_recall_vs_bruteforce(spark):
     """Per-row k-NN join recall on clustered data: each cluster
     member's LSH neighborhood must recover most of its true top-k."""

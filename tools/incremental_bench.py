@@ -121,9 +121,35 @@ def main() -> None:
         write_cluster_labels(labels, warm_store, n_buckets=64)
         merge_labels_store(spark, warm_store, new_edges, "warm")
         release_indexes()
+        # BULK regime: a full-size snapshot brings hundreds of new
+        # nodes whose fresh components hash across every bucket, so
+        # the partition-scoped rewrite degenerates to ~the whole store
+        # — recorded honestly (buckets_rewritten shows it); the win
+        # over recompute here is not having to keep/rescan the global
+        # edge set
         t0 = time.perf_counter()
         merge_row = merge_labels_store(spark, store, new_edges, "new")
         t_merge = time.perf_counter() - t0
+        # MAINTENANCE regime (the flat-in-history property): a trickle
+        # of cross-cluster candidate edges between EXISTING nodes —
+        # the rewrite touches only the affected components' buckets,
+        # independent of store size, while a recompute still pays for
+        # every accumulated edge
+        maint_nodes = [r["node"] for r in
+                       labels.orderBy("node").limit(20).collect()]
+        maint_edges = spark.createDataFrame(
+            list(zip(maint_nodes[0::2], maint_nodes[1::2])),
+            "id_a long, id_b long")
+        # 256 buckets: a store sized so a trickle merge touches a small
+        # FRACTION of partitions (with 64 buckets, 20 components
+        # already hit half of them — the rewrite then scales with the
+        # store and hides the flat-cost property being measured)
+        maint_store = f"/dev/shm/inc_bench_labels_maint_{mult}"
+        write_cluster_labels(labels, maint_store, n_buckets=256)
+        t0 = time.perf_counter()
+        maint_row = merge_labels_store(spark, maint_store, maint_edges,
+                                       "maint")
+        t_maint = time.perf_counter() - t0
         labels.unpersist()
         all_edges = hist_edges.unionByName(new_edges)
         t0 = time.perf_counter()
@@ -138,9 +164,11 @@ def main() -> None:
             "index_write_sec": round(t_index, 2),
             "incremental_sec": round(t_inc, 2),
             "full_rededup_sec": round(t_full, 2),
-            "label_merge_sec": round(t_merge, 2),
+            "label_merge_bulk_sec": round(t_merge, 2),
+            "bulk_buckets_rewritten": merge_row["n_buckets_rewritten"],
+            "label_merge_maint_sec": round(t_maint, 2),
+            "maint_buckets_rewritten": maint_row["n_buckets_rewritten"],
             "full_cc_recompute_sec": round(t_full_cc, 2),
-            "label_buckets_rewritten": merge_row["n_buckets_rewritten"],
         }
     print(json.dumps(out))
 
