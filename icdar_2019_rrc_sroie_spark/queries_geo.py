@@ -619,7 +619,10 @@ ORDER BY l_orderkey, anchor_id
 
 SQL_QUERIES_GEO = {
     "iou_pairs": (q_iou_pairs, SQL_IOU_PAIRS),
-    "detection_prefix": (q_detection_prefix, SQL_DETECTION_PREFIX),
+    # "detection_prefix" folded into queries_pipeline's detection_boxes
+    # (round 5) together with the formerly rows-only NMS kernel; the
+    # prefix half is still fully value-checked there via
+    # SQL_DETECTION_PREFIX's CTE chain.
     "box_encode_decode": (q_box_encode_decode, SQL_BOX_ENCODE_DECODE),
     "clip_split": (q_clip_split, SQL_CLIP_SPLIT),
     "total_lookback": (q_total_lookback, SQL_TOTAL_LOOKBACK),

@@ -43,6 +43,147 @@ def q_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "pick_order")
 
 
+def q_detection_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discriminated union (driver-window fold, round 5): the Catalyst
+    detection prefix (X17 grid -> X14 decode -> F2 clip -> F1 filter,
+    formerly the standalone `detection_prefix` row) plus the greedy-NMS
+    kernel output (J3/A9, formerly rows-only `nms`) in one oracled row
+    — both halves stay fully value-checked."""
+    from .queries_geo import q_detection_prefix
+
+    def _micro(c: F.Column) -> F.Column:
+        return F.floor(c * 1e6 + 0.5).cast("long")
+
+    prefix = q_detection_prefix(spark, sf_dir).select(
+        F.lit("prefix").alias("src"),
+        F.col("l_orderkey").cast("string").alias("doc_id"),
+        F.col("anchor_id").cast("long").alias("item_id"),
+        "xmin_micro", "ymin_micro", "xmax_micro", "ymax_micro",
+        "score_micro",
+    )
+    survivors = nms_per_doc(_proposals(spark, sf_dir), 0.3).select(
+        F.lit("nms").alias("src"), "doc_id",
+        F.col("pick_order").cast("long").alias("item_id"),
+        _micro(F.col("xmin")).alias("xmin_micro"),
+        _micro(F.col("ymin")).alias("ymin_micro"),
+        _micro(F.col("xmax")).alias("xmax_micro"),
+        _micro(F.col("ymax")).alias("ymax_micro"),
+        _micro(F.col("score")).alias("score_micro"),
+    )
+    return prefix.unionByName(survivors).orderBy("src", "doc_id", "item_id")
+
+
+# Greedy NMS is sequential per document, but the sequence is still pure
+# relational algebra over list state: seed each doc with its proposals
+# sorted by the reference's exact pick priority (stable ascending argsort
+# reversed = score DESC, original-position DESC; non_max_suppression.py:29),
+# then one recursive step per pick pops the head and list_filters the
+# survivors with the same +1-area / no-+1-intersection IoU arithmetic,
+# division-form compare included so the float semantics match NumPy's
+# bit-for-bit. Graduates J3 from rows-only to a value-checked row
+# (round 5).
+SQL_NMS_CTES = """props AS (
+  SELECT 'doc' || CAST(l_orderkey % 200 AS VARCHAR) AS doc_id,
+         l_orderkey * 10 + l_linenumber AS proposal_id,
+         (l_partkey % 30) * 16.0 AS xmin,
+         (l_suppkey % 25) * 16.0 AS ymin,
+         (l_partkey % 30) * 16.0 + 15.0 AS xmax,
+         (l_suppkey % 25) * 16.0 + 12.0
+           + CAST(l_orderkey % 7 AS DOUBLE) AS ymax,
+         (l_extendedprice % 1000) / 1000.0 AS score
+  FROM lineitem
+), seeded AS (
+  SELECT doc_id,
+         list(struct_pack(xmin := xmin, ymin := ymin, xmax := xmax,
+                          ymax := ymax, score := score)
+              ORDER BY score DESC, proposal_id DESC) AS rem
+  FROM props GROUP BY doc_id
+), nms AS (
+  SELECT doc_id, rem,
+         CAST(NULL AS DOUBLE) AS xmin, CAST(NULL AS DOUBLE) AS ymin,
+         CAST(NULL AS DOUBLE) AS xmax, CAST(NULL AS DOUBLE) AS ymax,
+         CAST(NULL AS DOUBLE) AS score, -1 AS pick_order
+  FROM seeded
+  UNION ALL
+  SELECT doc_id,
+         list_filter(rem[2:], r ->
+           (greatest(0.0, least(rem[1].xmax, r.xmax)
+                          - greatest(rem[1].xmin, r.xmin))
+            * greatest(0.0, least(rem[1].ymax, r.ymax)
+                            - greatest(rem[1].ymin, r.ymin)))
+           / ((rem[1].xmax - rem[1].xmin + 1.0)
+              * (rem[1].ymax - rem[1].ymin + 1.0)
+              + (r.xmax - r.xmin + 1.0) * (r.ymax - r.ymin + 1.0)
+              - (greatest(0.0, least(rem[1].xmax, r.xmax)
+                               - greatest(rem[1].xmin, r.xmin))
+                 * greatest(0.0, least(rem[1].ymax, r.ymax)
+                                 - greatest(rem[1].ymin, r.ymin))))
+           <= 0.3) AS rem,
+         rem[1].xmin AS xmin, rem[1].ymin AS ymin,
+         rem[1].xmax AS xmax, rem[1].ymax AS ymax,
+         rem[1].score AS score, pick_order + 1
+  FROM nms WHERE len(rem) > 0
+)"""
+
+
+# The prefix half replays queries_geo.SQL_DETECTION_PREFIX's CTE chain
+# (md5-driven synthetic predictions -> decode -> clip -> score filter);
+# the NMS half replays the recursive suppression above; the union is
+# discriminated by `src` with both halves micro-floored onto one schema.
+SQL_DETECTION_BOXES = f"""
+WITH RECURSIVE hs(hi, h) AS (VALUES (0,11.0),(1,15.0),(2,22.0)),
+grid AS (
+  SELECT (fy*16 + fx)*3 + hi AS anchor_id,
+         fx*16 + 7.5 - 8.0 AS xmin, fy*16 + 7.5 - h/2 AS ymin,
+         fx*16 + 7.5 + 8.0 AS xmax, fy*16 + 7.5 + h/2 AS ymax
+  FROM generate_series(0,7) g1(fy)
+  CROSS JOIN generate_series(0,15) g2(fx) CROSS JOIN hs
+), keys AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 100 = 0
+), preds AS (
+  SELECT l_orderkey, anchor_id, xmin, ymin, xmax, ymax,
+    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+         CAST(anchor_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+         CAST(anchor_id AS VARCHAR)), 9, 8) AS BIGINT) AS h2
+  FROM keys CROSS JOIN grid
+), decoded AS (
+  SELECT l_orderkey, anchor_id,
+    (h1 % 1000) / 1000.0 AS score,
+    xmin, xmax,
+    ((h1 % 21 - 10) / 20.0) * (ymax - ymin + 1.0)
+      + (ymin + ymax) / 2.0 AS vcy,
+    exp((h2 % 13 - 6) / 10.0) * (ymax - ymin + 1.0) AS vhx
+  FROM preds
+), clipped AS (
+  SELECT l_orderkey, anchor_id,
+    greatest(0.0, least(xmin, 255.0)) AS cxmin,
+    greatest(0.0, least(vcy - vhx/2.0, 127.0)) AS cymin,
+    greatest(0.0, least(xmax, 255.0)) AS cxmax,
+    greatest(0.0, least(vcy + vhx/2.0, 127.0)) AS cymax,
+    score
+  FROM decoded
+), {SQL_NMS_CTES}
+SELECT 'prefix' AS src, CAST(l_orderkey AS VARCHAR) AS doc_id,
+  CAST(anchor_id AS BIGINT) AS item_id,
+  CAST(floor(cxmin*1e6+0.5) AS BIGINT) AS xmin_micro,
+  CAST(floor(cymin*1e6+0.5) AS BIGINT) AS ymin_micro,
+  CAST(floor(cxmax*1e6+0.5) AS BIGINT) AS xmax_micro,
+  CAST(floor(cymax*1e6+0.5) AS BIGINT) AS ymax_micro,
+  CAST(floor(score*1e6+0.5) AS BIGINT) AS score_micro
+FROM clipped WHERE score > 0.7
+UNION ALL
+SELECT 'nms' AS src, doc_id, CAST(pick_order AS BIGINT) AS item_id,
+  CAST(floor(xmin*1e6+0.5) AS BIGINT) AS xmin_micro,
+  CAST(floor(ymin*1e6+0.5) AS BIGINT) AS ymin_micro,
+  CAST(floor(xmax*1e6+0.5) AS BIGINT) AS xmax_micro,
+  CAST(floor(ymax*1e6+0.5) AS BIGINT) AS ymax_micro,
+  CAST(floor(score*1e6+0.5) AS BIGINT) AS score_micro
+FROM nms WHERE pick_order >= 0
+ORDER BY src, doc_id, item_id
+"""
+
+
 def q_detection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
     anchors = anchor_grid(spark, feat_h=8, feat_w=16, heights=(11, 15, 22))
@@ -669,7 +810,7 @@ ROWS_ONLY_QUERIES = {
     "detection_learned": (q_detection_learned, None),
     "ivf_ann": (q_ivf_ann, None),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
-    "nms": (q_nms, None),
+    "detection_boxes": (q_detection_boxes, SQL_DETECTION_BOXES),
     "detection_pipeline": (q_detection_pipeline, None),
     "deteval_corpus": (q_deteval, None),
     "detection_sink": (q_detection_sink, None),
