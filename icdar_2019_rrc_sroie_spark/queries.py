@@ -303,6 +303,42 @@ SELECT lang, CAST(cnt AS BIGINT) AS cnt,
 FROM c, t ORDER BY lang
 """
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-window fold (round 5): A2 dataset mean/std and A3 class
+    weights as one discriminated union — both halves still fully
+    value-checked, one correctness slot instead of two (frees a slot
+    for the detection_sink oracle)."""
+    ms = q_mean_std(spark, sf_dir).select(
+        F.lit("mean_std").alias("src"),
+        F.col("l_returnflag").alias("key"), "n",
+        F.col("mean_qty_micro").alias("m1"),
+        F.col("std_qty_micro").alias("m2"),
+        F.col("mean_disc_micro").alias("m3"),
+    )
+    cw = q_class_weights(spark, sf_dir).select(
+        F.lit("class_weights").alias("src"), F.col("lang").alias("key"),
+        F.col("cnt").alias("n"), F.col("weight_micro").alias("m1"),
+        F.lit(None).cast("long").alias("m2"),
+        F.lit(None).cast("long").alias("m3"),
+    )
+    return ms.unionByName(cw).orderBy("src", "key")
+
+
+SQL_CORPUS_STATS = """
+SELECT 'mean_std' AS src, l_returnflag AS key, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(floor(avg(l_quantity) * 1e6 + 0.5) AS BIGINT) AS m1,
+  CAST(floor(stddev_pop(l_quantity) * 1e6 + 0.5) AS BIGINT) AS m2,
+  CAST(floor(avg(l_discount) * 1e6 + 0.5) AS BIGINT) AS m3
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'class_weights', lang, CAST(cnt AS BIGINT),
+  CAST(floor(greatest(1.0, ln(1.02 * total / cnt)) * 1e6 + 0.5) AS BIGINT),
+  NULL, NULL
+FROM (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+     (SELECT COUNT(*) AS total FROM documents)
+ORDER BY src, key
+"""
+
 # ---------------------------------------------------------------------------
 # S6/J7 equi-join + projection: labeled-line generator shape
 # ---------------------------------------------------------------------------
@@ -1062,8 +1098,9 @@ SQL_QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | Non
     "reading_order_bucketed": (q_reading_order_bucketed, SQL_READING_ORDER),
     "runs_islands": (q_runs_islands, SQL_RUNS_ISLANDS),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
-    "mean_std": (q_mean_std, SQL_MEAN_STD),
-    "class_weights": (q_class_weights, SQL_CLASS_WEIGHTS),
+    # "mean_std" + "class_weights" folded into corpus_stats (round 5,
+    # driver-window fold); both halves still value-checked there.
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
     "join_intersection": (q_join_intersection, SQL_JOIN_INTERSECTION),
     "doc_text_profile": (q_doc_text_profile, SQL_DOC_TEXT_PROFILE),
     "tfidf_topk": (q_tfidf_topk, SQL_TFIDF_TOPK),

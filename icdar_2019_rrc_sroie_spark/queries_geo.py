@@ -618,7 +618,7 @@ ORDER BY l_orderkey, anchor_id
 
 
 SQL_QUERIES_GEO = {
-    "iou_pairs": (q_iou_pairs, SQL_IOU_PAIRS),
+    # "iou_pairs" folded into queries_pipeline's box_matching (round 5).
     # "detection_prefix" folded into queries_pipeline's detection_boxes
     # (round 5) together with the formerly rows-only NMS kernel; the
     # prefix half is still fully value-checked there via

@@ -184,6 +184,24 @@ ORDER BY src, doc_id, item_id
 """
 
 
+# S10 graduates to a full value oracle (round 5): the submission payload
+# is NMS survivors serialized per doc — replay the same recursive
+# suppression, then string_agg the int-truncated coords in pick order
+# (Spark's cast(int) truncates toward zero; trunc() mirrors it — the
+# synthetic coords are exact integers either way).
+SQL_DETECTION_SINK = f"""
+WITH RECURSIVE {SQL_NMS_CTES}
+SELECT doc_id,
+  string_agg(
+    CAST(trunc(xmin) AS BIGINT) || ',' || CAST(trunc(ymin) AS BIGINT)
+    || ',' || CAST(trunc(xmax) AS BIGINT) || ','
+    || CAST(trunc(ymax) AS BIGINT),
+    chr(10) ORDER BY pick_order) AS submission
+FROM nms WHERE pick_order >= 0
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_detection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
     anchors = anchor_grid(spark, feat_h=8, feat_w=16, heights=(11, 15, 22))
@@ -427,6 +445,49 @@ SELECT doc_id, anchor_id,
   CAST(floor(eff_iou * 1e6 + 0.5) AS BIGINT) AS iou_micro
 FROM labeled WHERE label >= 0
 ORDER BY doc_id, anchor_id
+"""
+
+
+def q_box_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-window fold (round 5): J1 pairwise IoU (former
+    ``iou_pairs`` row) + J2/F4/F5 anchor<->gt matching (former
+    ``anchor_matching`` row) as one discriminated union — both halves
+    stay fully value-checked; frees a slot for the DetEval oracle."""
+    from .queries_geo import q_iou_pairs
+
+    am = q_anchor_matching(spark, sf_dir).select(
+        F.lit("anchor").alias("src"), "doc_id",
+        F.col("anchor_id").cast("long").alias("id_a"),
+        F.col("matched_gt_id").alias("id_b"),
+        F.col("vc_micro").alias("m1"), F.col("vh_micro").alias("m2"),
+        "label", "iou_micro",
+    )
+    ip = q_iou_pairs(spark, sf_dir).select(
+        F.lit("pairs").alias("src"), F.col("doc").cast("string").alias("doc_id"),
+        F.col("la").cast("long").alias("id_a"),
+        F.col("lb").cast("long").alias("id_b"),
+        F.lit(None).cast("long").alias("m1"),
+        F.lit(None).cast("long").alias("m2"),
+        F.lit(None).cast("int").alias("label"),
+        "iou_micro",
+    )
+    return am.unionByName(ip).orderBy("src", "doc_id", "id_a", "id_b")
+
+
+def _sql_box_matching() -> str:
+    from .queries_geo import SQL_IOU_PAIRS
+
+    return f"""
+SELECT 'anchor' AS src, doc_id, CAST(anchor_id AS BIGINT) AS id_a,
+       matched_gt_id AS id_b, vc_micro AS m1, vh_micro AS m2,
+       label, iou_micro
+FROM ({SQL_ANCHOR_MATCHING})
+UNION ALL
+SELECT 'pairs', CAST(doc AS VARCHAR), CAST(la AS BIGINT),
+       CAST(lb AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS INT), iou_micro
+FROM ({SQL_IOU_PAIRS})
+ORDER BY src, doc_id, id_a, id_b
 """
 
 
@@ -804,7 +865,10 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROWS_ONLY_QUERIES = {
     "curation_pipeline": (q_curation_pipeline, None),
     "ann_knn_join": (q_ann_knn_join, None),
-    "anchor_matching": (q_anchor_matching, SQL_ANCHOR_MATCHING),
+    # "anchor_matching" + queries_geo's "iou_pairs" folded into
+    # box_matching (round 5 driver-window fold); both halves still
+    # value-checked there.
+    "box_matching": (q_box_matching, _sql_box_matching()),
     "raster_crop": (q_raster_crop, None),
     "learned_classifier": (q_learned_classifier, None),
     "detection_learned": (q_detection_learned, None),
@@ -813,7 +877,7 @@ ROWS_ONLY_QUERIES = {
     "detection_boxes": (q_detection_boxes, SQL_DETECTION_BOXES),
     "detection_pipeline": (q_detection_pipeline, None),
     "deteval_corpus": (q_deteval, None),
-    "detection_sink": (q_detection_sink, None),
+    "detection_sink": (q_detection_sink, SQL_DETECTION_SINK),
     "entity_sink": (q_entity_sink, None),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }
