@@ -210,9 +210,11 @@ def deteval_per_doc(gt: DataFrame, det: DataFrame) -> DataFrame:
         .applyInPandas(kernel, DOC_METRICS_SCHEMA)
 
 
-def deteval_corpus(per_doc: DataFrame) -> DataFrame:
-    """Corpus roll-up (script.py:337-361)."""
-    agg = per_doc.agg(
+def deteval_corpus(per_doc: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
+    """Corpus roll-up (script.py:337-361). ``by`` optionally rolls up
+    per group (e.g. per corpus slice) with the same accumulator
+    semantics; the default stays the reference's single corpus row."""
+    agg = (per_doc.groupBy(*by) if by else per_doc).agg(
         F.sum("recall_accum").alias("r_sum"),
         F.sum("precision_accum").alias("p_sum"),
         F.sum("num_gt_care").alias("n_gt"),
@@ -223,10 +225,11 @@ def deteval_corpus(per_doc: DataFrame) -> DataFrame:
     precision = F.when(F.col("n_det") == 0, F.lit(0.0)).otherwise(
         F.col("p_sum") / F.col("n_det"))
     return agg.select(
+        *by,
         recall.alias("recall"),
         precision.alias("precision"),
     ).select(
-        "recall", "precision",
+        *by, "recall", "precision",
         F.when(F.col("recall") + F.col("precision") == 0, F.lit(0.0))
         .otherwise(2 * F.col("recall") * F.col("precision")
                    / (F.col("recall") + F.col("precision")))

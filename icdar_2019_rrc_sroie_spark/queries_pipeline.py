@@ -223,27 +223,302 @@ def q_detection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_deteval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    gt = li.filter(F.col("l_linenumber") <= 3).select(
-        F.concat(F.lit("doc"), (F.col("l_orderkey") % 300)).alias("doc_id"),
-        F.col("l_linenumber").alias("gt_id"),
-        ((F.col("l_partkey") % 20) * 20.0).alias("xmin"),
-        ((F.col("l_linenumber") % 6) * 25.0).alias("ymin"),
-        ((F.col("l_partkey") % 20) * 20.0 + 90.0).alias("xmax"),
-        ((F.col("l_linenumber") % 6) * 25.0 + 18.0).alias("ymax"),
-        (F.col("l_partkey") % 17 == 0).alias("dontcare"),
-    ).dropDuplicates(["doc_id", "gt_id"])
-    det = gt.filter(~F.col("dontcare") | (F.col("gt_id") % 2 == 0)).select(
-        "doc_id", F.col("gt_id").alias("det_id"),
-        (F.col("xmin") + 2.0).alias("xmin"), (F.col("ymin") + 1.0).alias("ymin"),
-        (F.col("xmax") + 2.0).alias("xmax"), (F.col("ymax") + 1.0).alias("ymax"),
+    """J8/J9/A6 graduated to a full value oracle (round 5).
+
+    The fixture is a pure function of (doc, gt_id) via md5 slices (no
+    dropDuplicates nondeterminism), with one planted match regime per
+    doc class (``mode = doc % 4``): 0 = one-to-one shifts for every
+    gt; 1 = gt#1 split into two half-width dets (one-to-many, 0.8
+    accumulator semantics); 2 = one det spanning gt#2+gt#3
+    (many-to-one); 3 = gt#3 has no det (miss). Dontcare gts arise
+    hash-randomly in every mode, exercising the det-dontcare
+    propagation. Output: per-mode accumulator sums + rollup metrics —
+    the DuckDB oracle replays the sequential matcher phase-for-phase
+    (recursive CTE over the exact phase-2/phase-3 iteration order), so
+    every per-doc divergence shifts a hashed sum."""
+    def _gt(spark: SparkSession) -> DataFrame:
+        # built twice (once for the gt side, once as the det seed) so
+        # the cogroup's two sides carry independent expression ids —
+        # Spark rejects a cogroup whose det side descends from the gt
+        # side as an ambiguous self-join
+        li = _t(spark, sf_dir, "lineitem")
+        d = li.select((F.col("l_orderkey") % 300).alias("d")).distinct()
+        g = spark.range(1, 4).select(F.col("id").cast("int").alias("g"))
+        base = d.crossJoin(g)
+        key = F.concat(F.col("d").cast("string"), F.lit("_"),
+                       F.col("g").cast("string"))
+        h1 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(
+            F.md5(F.concat(F.col("d").cast("string"), F.lit("_2"))),
+            1, 8), 16, 10).cast("long")
+        mode = (F.col("d") % 4).cast("int")
+        # mode 2 pins gt#3's x to gt#2's so the spanning det stays tight
+        xbase = F.when((mode == 2) & (F.col("g") == 3),
+                       (h2 % 8).cast("double") * 30.0) \
+            .otherwise((h1 % 8).cast("double") * 30.0)
+        return base.select(
+            F.concat(F.lit("doc"), F.col("d")).alias("doc_id"),
+            mode.alias("mode"), F.col("g").alias("gt_id"),
+            xbase.alias("xmin"),
+            ((F.col("g") - 1).cast("double") * 40.0).alias("ymin"),
+            (xbase + 89.0).alias("xmax"),
+            ((F.col("g") - 1).cast("double") * 40.0 + 19.0).alias("ymax"),
+            (h1 % 13 == 0).alias("dontcare"),
+        )
+
+    gt, gt2 = _gt(spark), _gt(spark)
+    m, gid = F.col("mode"), F.col("gt_id")
+    shifted = gt2.filter(
+        (m == 0) | ((m == 1) & (gid >= 2)) | ((m == 2) & (gid == 1))
+        | ((m == 3) & (gid <= 2))
+    ).select(
+        "doc_id", gid.alias("det_id"),
+        (F.col("xmin") + 3.0).alias("xmin"), (F.col("ymin") + 2.0).alias("ymin"),
+        (F.col("xmax") + 3.0).alias("xmax"), (F.col("ymax") + 2.0).alias("ymax"))
+    split_a = gt2.filter((m == 1) & (gid == 1)).select(
+        "doc_id", F.lit(11).alias("det_id"), "xmin", "ymin",
+        (F.col("xmin") + 44.0).alias("xmax"), "ymax")
+    split_b = gt2.filter((m == 1) & (gid == 1)).select(
+        "doc_id", F.lit(12).alias("det_id"),
+        (F.col("xmin") + 45.0).alias("xmin"), "ymin", "xmax", "ymax")
+    span = gt2.filter((m == 2) & (gid == 2)).select(
+        "doc_id", F.lit(23).alias("det_id"), "xmin", "ymin", "xmax",
+        (F.col("ymax") + 40.0).alias("ymax"))
+    det = shifted.unionByName(split_a).unionByName(split_b) \
+        .unionByName(span)
+    per_doc = deteval_per_doc(
+        gt.select("doc_id", "gt_id", "xmin", "ymin", "xmax", "ymax",
+                  "dontcare"),
+        det).withColumn(
+            "mode", F.substring("doc_id", 4, 10).cast("int") % 4)
+    sums = per_doc.groupBy(F.col("mode").alias("mode_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("num_gt_care").cast("long").alias("n_gt_care"),
+        F.sum("num_det_care").cast("long").alias("n_det_care"),
     )
-    per_doc = deteval_per_doc(gt, det)
-    return deteval_corpus(per_doc).select(
+    roll = deteval_corpus(per_doc, by=("mode",))
+    return roll.join(sums, roll["mode"] == sums["mode_s"]).select(
+        "mode", "n_docs", "n_gt_care", "n_det_care",
         F.floor(F.col("recall") * 1e6 + 0.5).cast("long").alias("recall_micro"),
-        F.floor(F.col("precision") * 1e6 + 0.5).cast("long").alias("precision_micro"),
+        F.floor(F.col("precision") * 1e6 + 0.5).cast("long")
+        .alias("precision_micro"),
         F.floor(F.col("hmean") * 1e6 + 0.5).cast("long").alias("hmean_micro"),
-    )
+    ).orderBy("mode")
+
+
+# DetEval replayed in SQL: phase 1 (one-to-one) is order-free pure
+# relational algebra (qualifying pairs are mutually unique, so the
+# in-phase mark guards never fire); phases 2/3 ARE order-dependent, so
+# the recursive CTE iterates the exact kernel order — gts ascending
+# then dets ascending — carrying (gt_mat, det_mat, accumulators) as
+# per-doc list state, with the ratio matrices packed into a struct
+# list per doc. Same +1-area intersection, center-distance gate,
+# round(.,4) threshold compares, and 1.0/0.8 accumulator weights as
+# eval/deteval.py (scripts/evaluation/task1/script.py semantics).
+SQL_DETEVAL = """
+WITH RECURSIVE d0 AS (SELECT DISTINCT l_orderkey % 300 AS d FROM lineitem),
+gs(g) AS (VALUES (1),(2),(3)),
+hashed AS (
+  SELECT d, g, CAST(d % 4 AS INT) AS mode,
+    CAST('0x' || substr(md5(CAST(d AS VARCHAR) || '_' ||
+         CAST(g AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+    CAST('0x' || substr(md5(CAST(d AS VARCHAR) || '_2'), 1, 8)
+         AS BIGINT) AS h2
+  FROM d0 CROSS JOIN gs),
+gt AS (
+  SELECT d, mode, g AS gt_id,
+    CASE WHEN mode = 2 AND g = 3 THEN CAST(h2 % 8 AS DOUBLE) * 30.0
+         ELSE CAST(h1 % 8 AS DOUBLE) * 30.0 END AS xmin,
+    CAST(g - 1 AS DOUBLE) * 40.0 AS ymin,
+    CASE WHEN mode = 2 AND g = 3 THEN CAST(h2 % 8 AS DOUBLE) * 30.0
+         ELSE CAST(h1 % 8 AS DOUBLE) * 30.0 END + 89.0 AS xmax,
+    CAST(g - 1 AS DOUBLE) * 40.0 + 19.0 AS ymax,
+    h1 % 13 = 0 AS gdc
+  FROM hashed),
+det AS (
+  SELECT d, gt_id AS det_id, xmin + 3.0 AS xmin, ymin + 2.0 AS ymin,
+         xmax + 3.0 AS xmax, ymax + 2.0 AS ymax
+  FROM gt WHERE mode = 0 OR (mode = 1 AND gt_id >= 2)
+             OR (mode = 2 AND gt_id = 1) OR (mode = 3 AND gt_id <= 2)
+  UNION ALL SELECT d, 11, xmin, ymin, xmin + 44.0, ymax
+    FROM gt WHERE mode = 1 AND gt_id = 1
+  UNION ALL SELECT d, 12, xmin + 45.0, ymin, xmax, ymax
+    FROM gt WHERE mode = 1 AND gt_id = 1
+  UNION ALL SELECT d, 23, xmin, ymin, xmax, ymax + 40.0
+    FROM gt WHERE mode = 2 AND gt_id = 2),
+ratios AS (
+  SELECT g.d, g.gt_id, t.det_id, g.gdc,
+    CASE WHEN least(g.xmax, t.xmax) - greatest(g.xmin, t.xmin) + 1.0 >= 0
+          AND least(g.ymax, t.ymax) - greatest(g.ymin, t.ymin) + 1.0 >= 0
+         THEN (least(g.xmax, t.xmax) - greatest(g.xmin, t.xmin) + 1.0)
+            * (least(g.ymax, t.ymax) - greatest(g.ymin, t.ymin) + 1.0)
+         ELSE 0.0 END
+      / ((g.xmax - g.xmin + 1.0) * (g.ymax - g.ymin + 1.0)) AS rmat,
+    CASE WHEN least(g.xmax, t.xmax) - greatest(g.xmin, t.xmin) + 1.0 >= 0
+          AND least(g.ymax, t.ymax) - greatest(g.ymin, t.ymin) + 1.0 >= 0
+         THEN (least(g.xmax, t.xmax) - greatest(g.xmin, t.xmin) + 1.0)
+            * (least(g.ymax, t.ymax) - greatest(g.ymin, t.ymin) + 1.0)
+         ELSE 0.0 END
+      / ((t.xmax - t.xmin + 1.0) * (t.ymax - t.ymin + 1.0)) AS pmat,
+    2.0 * sqrt(
+        ((g.xmin + (g.xmax - g.xmin + 1.0)/2.0)
+         - (t.xmin + (t.xmax - t.xmin + 1.0)/2.0))
+      * ((g.xmin + (g.xmax - g.xmin + 1.0)/2.0)
+         - (t.xmin + (t.xmax - t.xmin + 1.0)/2.0))
+      + ((g.ymin + (g.ymax - g.ymin + 1.0)/2.0)
+         - (t.ymin + (t.ymax - t.ymin + 1.0)/2.0))
+      * ((g.ymin + (g.ymax - g.ymin + 1.0)/2.0)
+         - (t.ymin + (t.ymax - t.ymin + 1.0)/2.0)))
+    / (sqrt((g.xmax - g.xmin + 1.0)*(g.xmax - g.xmin + 1.0)
+            + (g.ymax - g.ymin + 1.0)*(g.ymax - g.ymin + 1.0))
+     + sqrt((t.xmax - t.xmin + 1.0)*(t.xmax - t.xmin + 1.0)
+            + (t.ymax - t.ymin + 1.0)*(t.ymax - t.ymin + 1.0))) AS cnorm
+  FROM gt g JOIN det t USING (d)),
+ddc AS (SELECT DISTINCT d, det_id FROM ratios WHERE gdc AND pmat > 0.4),
+m2 AS (
+  SELECT r.*, dd.det_id IS NOT NULL AS ddc
+  FROM ratios r LEFT JOIN ddc dd
+    ON r.d = dd.d AND r.det_id = dd.det_id),
+ogt AS (
+  SELECT d, gt_id,
+         COUNT(*) FILTER (WHERE rmat > 0 AND NOT ddc) AS og
+  FROM m2 GROUP BY d, gt_id),
+odet AS (
+  SELECT d, det_id,
+         COUNT(*) FILTER (WHERE rmat > 0 AND NOT gdc) AS od
+  FROM m2 GROUP BY d, det_id),
+qual AS (SELECT d, gt_id, det_id FROM m2
+         WHERE rmat >= 0.8 AND pmat >= 0.4),
+qg AS (SELECT d, gt_id FROM qual GROUP BY d, gt_id HAVING COUNT(*) = 1),
+qd AS (SELECT d, det_id FROM qual GROUP BY d, det_id HAVING COUNT(*) = 1),
+o2o AS (
+  SELECT x.d, x.gt_id, x.det_id
+  FROM m2 x
+  JOIN qg ON qg.d = x.d AND qg.gt_id = x.gt_id
+  JOIN qd ON qd.d = x.d AND qd.det_id = x.det_id
+  JOIN ogt o ON o.d = x.d AND o.gt_id = x.gt_id
+  JOIN odet e ON e.d = x.d AND e.det_id = x.det_id
+  WHERE x.rmat >= 0.8 AND x.pmat >= 0.4 AND NOT x.gdc AND NOT x.ddc
+    AND o.og = 1 AND e.od = 1 AND x.cnorm < 1.0),
+glist AS (
+  SELECT g.d, list(struct_pack(gid := g.gt_id, gdc := g.gdc,
+                               og := coalesce(o.og, 0))
+                   ORDER BY g.gt_id) AS gts
+  FROM gt g LEFT JOIN ogt o ON o.d = g.d AND o.gt_id = g.gt_id
+  GROUP BY g.d),
+dlist AS (
+  SELECT t.d, list(struct_pack(did := t.det_id,
+                               ddc := dd.det_id IS NOT NULL,
+                               od := coalesce(e.od, 0))
+                   ORDER BY t.det_id) AS dets
+  FROM det t
+  LEFT JOIN ddc dd ON dd.d = t.d AND dd.det_id = t.det_id
+  LEFT JOIN odet e ON e.d = t.d AND e.det_id = t.det_id
+  GROUP BY t.d),
+mlist AS (
+  SELECT d, list(struct_pack(gid := gt_id, did := det_id, rmat := rmat,
+                             pmat := pmat, gdc := gdc, ddc := ddc)) AS mats
+  FROM m2 GROUP BY d),
+o2og AS (
+  SELECT d, list(gt_id) AS g11, list(det_id) AS d11,
+         COUNT(*) AS n11
+  FROM o2o GROUP BY d),
+replay AS (
+  SELECT gl.d, 0 AS step,
+         coalesce(oo.g11, []) AS gmat, coalesce(oo.d11, []) AS dmat,
+         CAST(coalesce(oo.n11, 0) AS DOUBLE) AS racc,
+         CAST(coalesce(oo.n11, 0) AS DOUBLE) AS pacc,
+         gl.gts AS gts, coalesce(dl.dets, []) AS dets,
+         coalesce(ml.mats, []) AS mats
+  FROM glist gl
+  LEFT JOIN dlist dl ON dl.d = gl.d
+  LEFT JOIN mlist ml ON ml.d = gl.d
+  LEFT JOIN o2og oo ON oo.d = gl.d
+  UNION ALL
+  SELECT d, step + 1,
+    CASE WHEN isg AND condg THEN list_append(gmat, cg.gid)
+         WHEN NOT isg AND condd
+           THEN list_concat(gmat, list_transform(delig, q -> q.gid))
+         ELSE gmat END AS gmat,
+    CASE WHEN isg AND condg
+           THEN list_concat(dmat, list_transform(gelig, q -> q.did))
+         WHEN NOT isg AND condd THEN list_append(dmat, cd.did)
+         ELSE dmat END AS dmat,
+    racc + CASE
+      WHEN isg AND condg
+        THEN CASE WHEN len(gelig) = 1 THEN 1.0 ELSE 0.8 END
+      WHEN NOT isg AND condd
+        THEN CASE WHEN len(delig) = 1 THEN 1.0
+                  ELSE 1.0 * len(delig) END
+      ELSE 0.0 END AS racc,
+    pacc + CASE
+      WHEN isg AND condg
+        THEN CASE WHEN len(gelig) = 1 THEN 1.0 ELSE 0.8 * len(gelig) END
+      WHEN NOT isg AND condd THEN 1.0
+      ELSE 0.0 END AS pacc,
+    gts, dets, mats
+  FROM (
+    SELECT s1.*,
+      isg AND cg.gdc = false AND NOT list_contains(gmat, cg.gid)
+        AND round(coalesce(list_sum(
+              list_transform(gelig, q -> q.rmat)), 0.0), 4) >= 0.8
+        AND cg.og >= 2 AS condg,
+      NOT isg AND cd.ddc = false AND NOT list_contains(dmat, cd.did)
+        AND round(coalesce(list_sum(
+              list_transform(delig, q -> q.pmat)), 0.0), 4) >= 0.4
+        AND cd.od >= 2 AS condd
+    FROM (
+      SELECT s0.*,
+        CASE WHEN isg THEN list_filter(mats, q ->
+               q.gid = cg.gid AND q.pmat >= 0.4 AND NOT q.ddc
+               AND NOT list_contains(dmat, q.did))
+             ELSE [] END AS gelig,
+        CASE WHEN NOT isg THEN list_filter(mats, q ->
+               q.did = cd.did AND q.rmat >= 0.8 AND NOT q.gdc
+               AND NOT list_contains(gmat, q.gid))
+             ELSE [] END AS delig
+      FROM (
+        SELECT r.*, r.step < len(r.gts) AS isg,
+          CASE WHEN r.step < len(r.gts) THEN r.gts[r.step + 1]
+               ELSE NULL END AS cg,
+          CASE WHEN r.step >= len(r.gts)
+               THEN r.dets[r.step - len(r.gts) + 1] ELSE NULL END AS cd
+        FROM replay r
+        WHERE r.step < len(r.gts) + len(r.dets)
+      ) s0
+    ) s1
+  ) s2),
+fin AS (
+  SELECT d, racc, pacc,
+         len(list_filter(gts, q -> NOT q.gdc)) AS gt_care,
+         len(list_filter(dets, q -> NOT q.ddc)) AS det_care
+  FROM replay WHERE step = len(gts) + len(dets))
+SELECT CAST(d % 4 AS INT) AS mode,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(gt_care) AS BIGINT) AS n_gt_care,
+  CAST(SUM(det_care) AS BIGINT) AS n_det_care,
+  CAST(floor(CASE WHEN SUM(gt_care) = 0 THEN 0.0
+        ELSE SUM(racc) / SUM(gt_care) END * 1e6 + 0.5) AS BIGINT)
+    AS recall_micro,
+  CAST(floor(CASE WHEN SUM(det_care) = 0 THEN 0.0
+        ELSE SUM(pacc) / SUM(det_care) END * 1e6 + 0.5) AS BIGINT)
+    AS precision_micro,
+  CAST(floor(CASE
+        WHEN (CASE WHEN SUM(gt_care) = 0 THEN 0.0
+              ELSE SUM(racc) / SUM(gt_care) END)
+           + (CASE WHEN SUM(det_care) = 0 THEN 0.0
+              ELSE SUM(pacc) / SUM(det_care) END) = 0 THEN 0.0
+        ELSE 2.0 * (CASE WHEN SUM(gt_care) = 0 THEN 0.0
+                    ELSE SUM(racc) / SUM(gt_care) END)
+                 * (CASE WHEN SUM(det_care) = 0 THEN 0.0
+                    ELSE SUM(pacc) / SUM(det_care) END)
+             / ((CASE WHEN SUM(gt_care) = 0 THEN 0.0
+                 ELSE SUM(racc) / SUM(gt_care) END)
+              + (CASE WHEN SUM(det_care) = 0 THEN 0.0
+                 ELSE SUM(pacc) / SUM(det_care) END)) END
+      * 1e6 + 0.5) AS BIGINT) AS hmean_micro
+FROM fin GROUP BY d % 4 ORDER BY mode
+"""
 
 
 def q_detection_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,7 +1151,7 @@ ROWS_ONLY_QUERIES = {
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "detection_boxes": (q_detection_boxes, SQL_DETECTION_BOXES),
     "detection_pipeline": (q_detection_pipeline, None),
-    "deteval_corpus": (q_deteval, None),
+    "deteval_corpus": (q_deteval, SQL_DETEVAL),
     "detection_sink": (q_detection_sink, SQL_DETECTION_SINK),
     "entity_sink": (q_entity_sink, None),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
