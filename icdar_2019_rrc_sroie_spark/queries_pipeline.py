@@ -70,7 +70,17 @@ def q_detection_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _micro(F.col("ymax")).alias("ymax_micro"),
         _micro(F.col("score")).alias("score_micro"),
     )
-    return prefix.unionByName(survivors).orderBy("src", "doc_id", "item_id")
+    lines = q_detection_pipeline(spark, sf_dir).select(
+        F.lit("lines").alias("src"), "doc_id",
+        F.col("line_id").cast("long").alias("item_id"),
+        F.col("xmin_m4").alias("xmin_micro"),
+        F.col("ymin_m4").alias("ymin_micro"),
+        F.col("xmax_m4").alias("xmax_micro"),
+        F.col("ymax_m4").alias("ymax_micro"),
+        F.col("score_m4").alias("score_micro"),
+    )
+    return prefix.unionByName(survivors).unionByName(lines) \
+        .orderBy("src", "doc_id", "item_id")
 
 
 # Greedy NMS is sequential per document, but the sequence is still pure
@@ -82,28 +92,24 @@ def q_detection_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division-form compare included so the float semantics match NumPy's
 # bit-for-bit. Graduates J3 from rows-only to a value-checked row
 # (round 5).
-SQL_NMS_CTES = """props AS (
-  SELECT 'doc' || CAST(l_orderkey % 200 AS VARCHAR) AS doc_id,
-         l_orderkey * 10 + l_linenumber AS proposal_id,
-         (l_partkey % 30) * 16.0 AS xmin,
-         (l_suppkey % 25) * 16.0 AS ymin,
-         (l_partkey % 30) * 16.0 + 15.0 AS xmax,
-         (l_suppkey % 25) * 16.0 + 12.0
-           + CAST(l_orderkey % 7 AS DOUBLE) AS ymax,
-         (l_extendedprice % 1000) / 1000.0 AS score
-  FROM lineitem
-), seeded AS (
+def _sql_nms_recursion(props: str = "props", nms: str = "nms",
+                       thresh: str = "0.3") -> str:
+    """The recursive-suppression CTE pair over an existing proposals
+    CTE named ``props`` with columns (doc_id, proposal_id, xmin, ymin,
+    xmax, ymax, score). Parameterized by CTE names so one statement
+    can replay NMS over two distinct proposal sets."""
+    return f"""{nms}_seed AS (
   SELECT doc_id,
          list(struct_pack(xmin := xmin, ymin := ymin, xmax := xmax,
                           ymax := ymax, score := score)
               ORDER BY score DESC, proposal_id DESC) AS rem
-  FROM props GROUP BY doc_id
-), nms AS (
+  FROM {props} GROUP BY doc_id
+), {nms} AS (
   SELECT doc_id, rem,
          CAST(NULL AS DOUBLE) AS xmin, CAST(NULL AS DOUBLE) AS ymin,
          CAST(NULL AS DOUBLE) AS xmax, CAST(NULL AS DOUBLE) AS ymax,
          CAST(NULL AS DOUBLE) AS score, -1 AS pick_order
-  FROM seeded
+  FROM {nms}_seed
   UNION ALL
   SELECT doc_id,
          list_filter(rem[2:], r ->
@@ -118,18 +124,150 @@ SQL_NMS_CTES = """props AS (
                                - greatest(rem[1].xmin, r.xmin))
                  * greatest(0.0, least(rem[1].ymax, r.ymax)
                                  - greatest(rem[1].ymin, r.ymin))))
-           <= 0.3) AS rem,
+           <= {thresh}) AS rem,
          rem[1].xmin AS xmin, rem[1].ymin AS ymin,
          rem[1].xmax AS xmax, rem[1].ymax AS ymax,
          rem[1].score AS score, pick_order + 1
-  FROM nms WHERE len(rem) > 0
+  FROM {nms} WHERE len(rem) > 0
+)"""
+
+
+SQL_NMS_CTES = """props AS (
+  SELECT 'doc' || CAST(l_orderkey % 200 AS VARCHAR) AS doc_id,
+         l_orderkey * 10 + l_linenumber AS proposal_id,
+         (l_partkey % 30) * 16.0 AS xmin,
+         (l_suppkey % 25) * 16.0 AS ymin,
+         (l_partkey % 30) * 16.0 + 15.0 AS xmax,
+         (l_suppkey % 25) * 16.0 + 12.0
+           + CAST(l_orderkey % 7 AS DOUBLE) AS ymax,
+         (l_extendedprice % 1000) / 1000.0 AS score
+  FROM lineitem
+), """ + _sql_nms_recursion()
+
+
+# Detection tail replayed in SQL past NMS (round 5): the successor
+# graph is pure relational algebra (first-qualifying-x scan = min/max
+# over the v_ok pair set; best-successor = windowed argmax with the
+# kernel's exact tie order; the edge gate compares against the max
+# precursor score at the precursor scan's first x), chains walk the
+# one-out-edge DAG with a recursive CTE, and the per-line assembly is
+# the least-squares closed form (regr_slope/regr_intercept) evaluated
+# at the kernel's head-offset endpoints — outputs quantized at 1e-4,
+# far above the lstsq-vs-closed-form float divergence.
+SQL_DETECTION_LINES_CTES = f"""pdocs AS (
+  SELECT DISTINCT (l_orderkey // 100) % 40 AS doc FROM lineitem
+  WHERE l_orderkey % 100 = 0
+), ppreds AS (
+  SELECT doc, anchor_id, xmin AS a_xmin, ymin AS a_ymin,
+         xmax AS a_xmax, ymax AS a_ymax,
+    CAST('0x' || substr(md5(CAST(doc AS VARCHAR) || '_' ||
+         CAST(anchor_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
+    CAST('0x' || substr(md5(CAST(doc AS VARCHAR) || '_' ||
+         CAST(anchor_id AS VARCHAR)), 9, 8) AS BIGINT) AS h2
+  FROM pdocs CROSS JOIN grid
+), pprops AS (
+  SELECT 'doc' || CAST(doc AS VARCHAR) AS doc_id,
+         anchor_id AS proposal_id,
+         greatest(0.0, least(a_xmin, 255.0)) AS xmin,
+         greatest(0.0, least(vcy - vhx/2.0, 127.0)) AS ymin,
+         greatest(0.0, least(a_xmax, 255.0)) AS xmax,
+         greatest(0.0, least(vcy + vhx/2.0, 127.0)) AS ymax,
+         score
+  FROM (SELECT *, (h1 % 1000) / 1000.0 AS score,
+          ((h1 % 21 - 10) / 20.0) * (a_ymax - a_ymin + 1.0)
+            + (a_ymin + a_ymax) / 2.0 AS vcy,
+          exp((h2 % 13 - 6) / 10.0) * (a_ymax - a_ymin + 1.0) AS vhx
+        FROM ppreds)
+  WHERE score > 0.9
+), {_sql_nms_recursion(props="pprops", nms="pnms")},
+surv AS (
+  SELECT doc_id, pick_order AS i, xmin, ymin, xmax, ymax, score,
+         CAST(trunc(xmin) AS INT) AS tx0, ymax - ymin + 1.0 AS hgt
+  FROM pnms WHERE pick_order >= 0
+), vok AS (
+  SELECT a.doc_id, a.i AS ia, b.i AS ib, a.tx0 AS xa, b.tx0 AS xb,
+         a.score AS sa, b.score AS sb
+  FROM surv a JOIN surv b
+    ON a.doc_id = b.doc_id
+   AND b.tx0 >= a.tx0 + 1 AND b.tx0 <= least(a.tx0 + 20, 255)
+   AND greatest(0.0, least(a.ymax, b.ymax)
+                     - greatest(a.ymin, b.ymin) + 1.0)
+       / least(a.hgt, b.hgt) >= 0.7
+   AND least(a.hgt, b.hgt) / greatest(a.hgt, b.hgt) >= 0.7
+), succ_first AS (
+  SELECT doc_id, ia, min(xb) AS fx FROM vok GROUP BY doc_id, ia
+), best AS (
+  SELECT doc_id, ia, ib AS ibest FROM (
+    SELECT v.doc_id, v.ia, v.ib,
+           row_number() OVER (PARTITION BY v.doc_id, v.ia
+                              ORDER BY v.sb DESC, v.ib ASC) AS rn
+    FROM vok v JOIN succ_first f
+      ON f.doc_id = v.doc_id AND f.ia = v.ia AND v.xb = f.fx)
+  WHERE rn = 1
+), prec_last AS (
+  SELECT doc_id, ib, max(xa) AS lx FROM vok GROUP BY doc_id, ib
+), prec_max AS (
+  SELECT v.doc_id, v.ib, max(v.sa) AS pmax
+  FROM vok v JOIN prec_last pl
+    ON pl.doc_id = v.doc_id AND pl.ib = v.ib AND v.xa = pl.lx
+  GROUP BY v.doc_id, v.ib
+), edges AS (
+  SELECT b.doc_id, b.ia AS i, b.ibest AS j
+  FROM best b
+  JOIN surv s ON s.doc_id = b.doc_id AND s.i = b.ia
+  JOIN prec_max pm ON pm.doc_id = b.doc_id AND pm.ib = b.ibest
+  WHERE s.score >= pm.pmax
+), heads AS (
+  SELECT doc_id, i AS head FROM edges e
+  WHERE NOT EXISTS (SELECT 1 FROM edges x
+                    WHERE x.doc_id = e.doc_id AND x.j = e.i)
+), chainwalk AS (
+  SELECT doc_id, head, head AS node, 0 AS pos FROM heads
+  UNION ALL
+  SELECT c.doc_id, c.head, e.j AS node, c.pos + 1
+  FROM chainwalk c
+  JOIN edges e ON e.doc_id = c.doc_id AND e.i = c.node
+), chain_members AS (
+  SELECT c.doc_id, c.head, c.pos,
+         s.xmin, s.ymin, s.xmax, s.ymax, s.score
+  FROM chainwalk c
+  JOIN surv s ON s.doc_id = c.doc_id AND s.i = c.node
+), fitted AS (
+  SELECT doc_id, head,
+    min(xmin) AS gx0, max(xmax) AS gx1,
+    max(CASE WHEN pos = 0 THEN (xmax - xmin) / 2.0 END) AS off,
+    count(*) AS n, sum(score) AS ssum,
+    regr_slope(ymin, xmin) AS s_top, regr_intercept(ymin, xmin) AS i_top,
+    regr_slope(ymax, xmin) AS s_bot, regr_intercept(ymax, xmin) AS i_bot,
+    max(CASE WHEN pos = 0 THEN ymin END) AS hy0,
+    max(CASE WHEN pos = 0 THEN ymax END) AS hy1,
+    count(DISTINCT xmin) AS nx
+  FROM chain_members GROUP BY doc_id, head
+), plines AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY head) - 1
+         AS BIGINT) AS line_id,
+    greatest(0.0, least(gx0, 255.0)) AS xmin,
+    greatest(0.0, least(least(top_a, top_b), 127.0)) AS ymin,
+    greatest(0.0, least(gx1, 255.0)) AS xmax,
+    greatest(0.0, least(greatest(bot_a, bot_b), 127.0)) AS ymax,
+    ssum / n AS score
+  FROM (
+    SELECT *,
+      CASE WHEN nx = 1 THEN hy0 ELSE s_top * (gx0 + off) + i_top END AS top_a,
+      CASE WHEN nx = 1 THEN hy0 ELSE s_top * (gx1 - off) + i_top END AS top_b,
+      CASE WHEN nx = 1 THEN hy1 ELSE s_bot * (gx0 + off) + i_bot END AS bot_a,
+      CASE WHEN nx = 1 THEN hy1 ELSE s_bot * (gx1 - off) + i_bot END AS bot_b
+    FROM fitted)
 )"""
 
 
 # The prefix half replays queries_geo.SQL_DETECTION_PREFIX's CTE chain
 # (md5-driven synthetic predictions -> decode -> clip -> score filter);
-# the NMS half replays the recursive suppression above; the union is
-# discriminated by `src` with both halves micro-floored onto one schema.
+# the NMS half replays the recursive suppression above; the lines half
+# replays the full detection tail (SQL_DETECTION_LINES_CTES); the union
+# is discriminated by `src` with all halves floored onto one schema
+# (prefix/nms at 1e-6, lines at 1e-4 matching the Spark side).
 SQL_DETECTION_BOXES = f"""
 WITH RECURSIVE hs(hi, h) AS (VALUES (0,11.0),(1,15.0),(2,22.0)),
 grid AS (
@@ -163,7 +301,8 @@ grid AS (
     greatest(0.0, least(vcy + vhx/2.0, 127.0)) AS cymax,
     score
   FROM decoded
-), {SQL_NMS_CTES}
+), {SQL_NMS_CTES},
+{SQL_DETECTION_LINES_CTES}
 SELECT 'prefix' AS src, CAST(l_orderkey AS VARCHAR) AS doc_id,
   CAST(anchor_id AS BIGINT) AS item_id,
   CAST(floor(cxmin*1e6+0.5) AS BIGINT) AS xmin_micro,
@@ -180,6 +319,14 @@ SELECT 'nms' AS src, doc_id, CAST(pick_order AS BIGINT) AS item_id,
   CAST(floor(ymax*1e6+0.5) AS BIGINT) AS ymax_micro,
   CAST(floor(score*1e6+0.5) AS BIGINT) AS score_micro
 FROM nms WHERE pick_order >= 0
+UNION ALL
+SELECT 'lines' AS src, doc_id, line_id AS item_id,
+  CAST(floor(xmin*1e4+0.5) AS BIGINT) AS xmin_micro,
+  CAST(floor(ymin*1e4+0.5) AS BIGINT) AS ymin_micro,
+  CAST(floor(xmax*1e4+0.5) AS BIGINT) AS xmax_micro,
+  CAST(floor(ymax*1e4+0.5) AS BIGINT) AS ymax_micro,
+  CAST(floor(score*1e4+0.5) AS BIGINT) AS score_micro
+FROM plines
 ORDER BY src, doc_id, item_id
 """
 
@@ -203,23 +350,38 @@ GROUP BY doc_id ORDER BY doc_id
 
 
 def q_detection_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full detection tail end-to-end: decode -> clip -> score filter
+    -> greedy NMS -> successor graph -> chain following -> per-line
+    least-squares assembly (J4/J5/A1). Graduated to a full value
+    oracle in round 5: predictions are md5-driven (engine-portable,
+    was xxhash64) and the output is quantized at 1e-4 — the oracle's
+    regr_slope/intercept closed form and numpy's polyfit lstsq agree
+    well past that precision."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    docs = li.select(
+        ((F.col("l_orderkey") / 100).cast("long") % 40).alias("doc")
+    ).distinct()
     anchors = anchor_grid(spark, feat_h=8, feat_w=16, heights=(11, 15, 22))
-    preds = li.crossJoin(F.broadcast(anchors.select("anchor_id"))).select(
-        F.concat(F.lit("doc"), (F.col("l_orderkey") % 40)).alias("doc_id"),
+    key = F.concat(F.col("doc").cast("string"), F.lit("_"),
+                   F.col("anchor_id").cast("string"))
+    h1 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long")
+    preds = docs.crossJoin(F.broadcast(anchors.select("anchor_id"))).select(
+        F.concat(F.lit("doc"), F.col("doc")).alias("doc_id"),
         "anchor_id",
-        F.lit(0.0).alias("vc"),
-        F.lit(0.0).alias("vh"),
-        F.when(
-            F.pmod(F.xxhash64("l_orderkey", "anchor_id"), 100) < 4,
-            F.lit(0.95),
-        ).otherwise(F.lit(0.1)).alias("score"),
-    ).groupBy("doc_id", "anchor_id").agg(
-        F.max("vc").alias("vc"), F.max("vh").alias("vh"),
-        F.max("score").alias("score"),
+        ((h1 % 21 - 10) / 20.0).alias("vc"),
+        ((h2 % 13 - 6) / 10.0).alias("vh"),
+        ((h1 % 1000) / 1000.0).alias("score"),
     )
-    return detect_text_lines(preds, anchors, img_w=256.0, img_h=128.0) \
-        .orderBy("doc_id", "line_id")
+    lines = detect_text_lines(preds, anchors, img_w=256.0, img_h=128.0)
+
+    def _m4(c: str) -> F.Column:
+        return F.floor(F.col(c) * 1e4 + 0.5).cast("long").alias(c + "_m4")
+
+    return lines.select(
+        "doc_id", "line_id", _m4("xmin"), _m4("ymin"), _m4("xmax"),
+        _m4("ymax"), _m4("score"),
+    ).orderBy("doc_id", "line_id")
 
 
 def q_deteval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,7 +1312,9 @@ ROWS_ONLY_QUERIES = {
     "ivf_ann": (q_ivf_ann, None),
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "detection_boxes": (q_detection_boxes, SQL_DETECTION_BOXES),
-    "detection_pipeline": (q_detection_pipeline, None),
+    # "detection_pipeline" folded into detection_boxes' `lines` branch
+    # (round 5) — the full decode->NMS->graph->assembly tail is now
+    # value-checked there instead of rows-only.
     "deteval_corpus": (q_deteval, SQL_DETEVAL),
     "detection_sink": (q_detection_sink, SQL_DETECTION_SINK),
     "entity_sink": (q_entity_sink, None),
