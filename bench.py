@@ -265,6 +265,13 @@ def run_battery(spark, sf_dir: str, sf: float) -> dict:
     from icdar_2019_rrc_sroie_spark.operators.indexes import release_indexes
 
     registry = q.queries()
+    # round-5 driver-window folds (corpus_stats, box_matching) removed
+    # the standalone registry names; the bench keeps timing the
+    # original single-operator queries for round-over-round
+    # comparability
+    from icdar_2019_rrc_sroie_spark.queries import q_mean_std
+    from icdar_2019_rrc_sroie_spark.queries_geo import q_iou_pairs
+    registry = {**registry, "mean_std": q_mean_std, "iou_pairs": q_iou_pairs}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         materialize(registry[name](spark, sf_dir))
