@@ -58,6 +58,12 @@ BENCH_QUERIES = (
     # recorded per-round delta
     "embedding_near_dups",
     "ann_knn_join",
+    # added round 5: training-data assembly (sharded-prefix-sum packing,
+    # DSIR importance resampling, SemDeDup k-means + within-cluster
+    # pruning)
+    "pack_sequences",
+    "dsir_sample",
+    "semdedup",
 )
 
 
@@ -271,7 +277,12 @@ def run_battery(spark, sf_dir: str, sf: float) -> dict:
     # comparability
     from icdar_2019_rrc_sroie_spark.queries import q_mean_std
     from icdar_2019_rrc_sroie_spark.queries_geo import q_iou_pairs
-    registry = {**registry, "mean_std": q_mean_std, "iou_pairs": q_iou_pairs}
+    from icdar_2019_rrc_sroie_spark.queries_dedup import (
+        q_ann_bucketed,
+        q_cosine_topk,
+    )
+    registry = {**registry, "mean_std": q_mean_std, "iou_pairs": q_iou_pairs,
+                "cosine_topk": q_cosine_topk, "ann_bucketed": q_ann_bucketed}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         materialize(registry[name](spark, sf_dir))

@@ -359,6 +359,12 @@ def merge_into_clusters(stored_labels: DataFrame, new_edges: DataFrame,
     every edge to a self-loop — empty relabel, labels unchanged. For a
     store that rewrites only affected partitions instead of mapping
     the whole table, see :func:`merge_labels_store`.
+
+    The rename map is broadcast (bounded by 2x the new-edge count —
+    snapshot-sized by contract); for snapshots whose candidate-edge
+    volume approaches executor broadcast budgets use
+    :func:`merge_labels_store`, which gates the hint on the measured
+    rename count.
     """
     relabel, new_rows, _ = _cluster_merge_mapping(
         stored_labels, new_edges, max_iterations)
@@ -493,9 +499,14 @@ def merge_labels_store(spark: SparkSession, labels_path: str,
             # (renames only decrease); cost bounded by the slice
             .groupBy("node").agg(F.min("component").alias("component"))
         )
+        # the rename table is bounded by 2x the new-edge count, but a
+        # huge snapshot can push it past executor broadcast budgets —
+        # n_renames is already counted, so gate the hint instead of
+        # forcing it (round-5 self-review); past the gate AQE still
+        # broadcasts at runtime if the shuffled side turns out small
+        _rl = F.broadcast(relabel) if n_renames <= 5_000_000 else relabel
         updated = (
-            aff.join(F.broadcast(relabel),
-                     F.col("component") == F.col("_old"), "left")
+            aff.join(_rl, F.col("component") == F.col("_old"), "left")
             .select("node", F.coalesce("_new", F.col("component"))
                     .alias("component"))
             .unionByName(new_rows)

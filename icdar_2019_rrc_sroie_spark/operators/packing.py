@@ -1,0 +1,213 @@
+"""Sequence packing — assembling documents into fixed-token-length
+training sequences, the step between curation and the training loop.
+
+Two standard packing disciplines, both deterministic and RNG-free:
+
+* :func:`pack_chunks` — GPT-style concat-and-chunk: documents are laid
+  out in a deterministic shuffled order as one virtual token stream and
+  sliced every ``seq_len`` tokens; documents span pack boundaries. Zero
+  padding waste by construction; a document's tail and the next
+  document's head share a sequence (the usual pretraining trade-off).
+* :func:`greedy_packs` — next-fit whole-document packing: documents are
+  never split (SFT / instruction-tuning discipline); a document that
+  would overflow the open pack starts a new one. Padding waste is the
+  price; :func:`pack_stats` reports it.
+
+Scale design: the only global state either needs is a prefix sum over
+token counts, and a naive ``Window.orderBy`` cumsum without a partition
+key is a single-task bottleneck (every row through one reducer). Both
+operators therefore run the textbook two-phase distributed prefix sum:
+rows are hash-sharded (``n_shards`` deterministic md5 shards), cumsums
+run per shard in parallel, and only the ``n_shards`` shard TOTALS pass
+through a tiny global window to produce shard offsets. The per-doc
+order inside the virtual stream is the md5 order — i.e. packing also
+SHUFFLES the corpus, which training wants anyway, and which DuckDB can
+replay exactly (no RNG state).
+
+No counterpart in the reference (it batches fixed-size image crops,
+functional/utils/dataset.py); this is the text-pipeline analog the
+brief's training-data mandate adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+PACKING_N_SHARDS_DEFAULT = 1024
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, n_tokens) over the canonical whitespace tokenization (the
+    dedup family's normalized form — blank/whitespace-only docs count
+    0). Token counting is the packing currency; callers with a trained
+    tokenizer substitute bpe.bpe_token_count here."""
+    norm = normalized_text(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, r"\s+")))
+        .cast("long").alias("n_tokens"),
+    )
+
+
+def _shard_and_key(id_col: str, n_shards: int) -> tuple[Column, Column]:
+    """Deterministic shuffle key (md5 hex prefix, engine-portable) and
+    its shard. The key doubles as the virtual-stream order: packing in
+    hash order IS the corpus shuffle."""
+    key = F.md5(F.concat(F.lit("pack"), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+             % n_shards).cast("int")
+    return key, shard
+
+
+def _global_positions(counts: DataFrame, id_col: str,
+                      n_shards: int) -> DataFrame:
+    """(id, n_tokens, gstart) — each doc's start offset in the virtual
+    concatenated token stream, via the two-phase prefix sum.
+
+    Phase 1 cumsums WITHIN each md5 shard (parallel windows); phase 2
+    turns the ``n_shards`` shard totals into shard base offsets with
+    one window over that tiny aggregate (rows = n_shards, never the
+    corpus) and broadcast-joins them back. Stream order = (shard, key,
+    id) — equivalent to any fixed interleave of shards; what matters
+    for packing is that it is total, deterministic, and replayable in
+    the oracle.
+    """
+    key, shard = _shard_and_key(id_col, n_shards)
+    rows = counts.filter(F.col("n_tokens") > 0).select(
+        F.col(id_col), F.col("n_tokens"), key.alias("_key"),
+        shard.alias("_shard"))
+    w_local = (Window.partitionBy("_shard")
+               .orderBy("_key", id_col)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = rows.withColumn(
+        "_lend", F.sum("n_tokens").over(w_local))
+    totals = rows.groupBy("_shard").agg(
+        F.sum("n_tokens").alias("_stot"))
+    w_shard = (Window.orderBy("_shard")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offsets = totals.withColumn(
+        "_soff", F.sum("_stot").over(w_shard) - F.col("_stot"))
+    return (
+        local.join(F.broadcast(offsets.select("_shard", "_soff")), "_shard")
+        .select(id_col, "n_tokens", "_shard", "_key",
+                (F.col("_soff") + F.col("_lend") - F.col("n_tokens"))
+                .alias("gstart"))
+    )
+
+
+def pack_chunks(counts: DataFrame, seq_len: int,
+                n_shards: int = PACKING_N_SHARDS_DEFAULT,
+                id_col: str = "doc_id") -> DataFrame:
+    """Concat-and-chunk packing over (id, n_tokens) rows: the virtual
+    stream is sliced every ``seq_len`` tokens and each document emits
+    one row per pack it overlaps.
+
+    Output: (pack_id, id, tok_start, tok_len, pack_off) — take
+    ``tok_len`` tokens of the document starting at its ``tok_start``-th
+    token and write them at offset ``pack_off`` of pack ``pack_id``.
+    Every pack except the last is exactly full:
+    ``sum(tok_len) over pack = seq_len`` (pinned by tests — the
+    zero-waste invariant). Fan-out per doc is ``n_tokens/seq_len + 1``
+    rows, so the explode is linear in corpus tokens.
+    """
+    pos = _global_positions(counts, id_col, n_shards)
+    gend = F.col("gstart") + F.col("n_tokens")
+    first = F.floor(F.col("gstart") / seq_len)
+    last = F.floor((gend - 1) / seq_len)
+    packed = pos.select(
+        F.col(id_col), F.col("n_tokens"), F.col("gstart"),
+        F.explode(F.sequence(first, last)).alias("pack_id"))
+    pstart = F.col("pack_id") * seq_len
+    tok_start = F.greatest(F.lit(0), pstart - F.col("gstart"))
+    tok_end = F.least(F.col("n_tokens"),
+                      pstart + seq_len - F.col("gstart"))
+    return packed.select(
+        "pack_id", id_col,
+        tok_start.cast("long").alias("tok_start"),
+        (tok_end - tok_start).cast("long").alias("tok_len"),
+        F.greatest(F.lit(0), F.col("gstart") - pstart)
+        .cast("long").alias("pack_off"),
+    )
+
+
+def greedy_packs(counts: DataFrame, seq_len: int,
+                 n_shards: int = PACKING_N_SHARDS_DEFAULT,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Next-fit whole-document packing: walk each shard's docs in the
+    deterministic md5 order, close the open pack whenever the next doc
+    would overflow ``seq_len``. Documents longer than ``seq_len`` get a
+    pack of their own, flagged ``overflow`` (callers truncate or drop;
+    silently mangling them here would hide data loss).
+
+    Pack ids are namespaced per shard (``shard * 2^40 + local``) so the
+    kernel needs no cross-shard coordination — each shard packs
+    independently inside one ``applyInPandas`` group (the per-shard
+    fill state is inherently sequential; everything around it is
+    parallel). Waste vs ``pack_chunks``: padding at every pack tail —
+    measure with :func:`pack_stats`.
+
+    Output: (pack_id, id, pack_off, n_tokens, overflow).
+    """
+    import pandas as pd
+
+    pos_cols = ["_shard", "_key", id_col, "n_tokens"]
+    key, shard = _shard_and_key(id_col, n_shards)
+    rows = counts.filter(F.col("n_tokens") > 0).select(
+        shard.alias("_shard"), key.alias("_key"),
+        F.col(id_col), F.col("n_tokens"))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_key", id_col])
+        shard_base = int(pdf["_shard"].iloc[0]) << 40
+        pack_local, fill = 0, 0
+        out_pack, out_off, out_ovf = [], [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > seq_len:
+                pack_local += 1
+                fill = 0
+            out_pack.append(shard_base + pack_local)
+            out_off.append(fill)
+            out_ovf.append(n > seq_len)
+            fill += n
+            if fill >= seq_len:
+                pack_local += 1
+                fill = 0
+        return pd.DataFrame({
+            "pack_id": out_pack, id_col: pdf[id_col].to_numpy(),
+            "pack_off": out_off,
+            "n_tokens": pdf["n_tokens"].to_numpy(),
+            "overflow": out_ovf,
+        })
+
+    out_schema = (f"pack_id long, {id_col} long, pack_off long, "
+                  "n_tokens long, overflow boolean")
+    # explicit repartition: the groupBy key count (n_shards) exceeds
+    # AQE's coalesced width on small inputs, and the kernel is
+    # CPU-per-row — same discipline as ensure_parallelism
+    return (rows.repartition(
+        min(n_shards, rows.sparkSession.sparkContext.defaultParallelism),
+        "_shard")
+        .select(*pos_cols)
+        .groupBy("_shard").applyInPandas(_pack, out_schema))
+
+
+def pack_stats(packs: DataFrame, seq_len: int) -> DataFrame:
+    """One-row packing audit: pack count, packed token count, padding
+    waste fraction (greedy) — ``1 - tokens/(n_packs*seq_len)``. For
+    ``pack_chunks`` output pass ``tok_len`` as the token column via
+    ``packs.withColumnRenamed``; waste is 0 there by construction."""
+    tok = "n_tokens" if "n_tokens" in packs.columns else "tok_len"
+    return packs.agg(
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.sum(tok).alias("n_tokens"),
+    ).select(
+        "n_packs", "n_tokens",
+        (F.lit(1.0) - F.col("n_tokens")
+         / (F.col("n_packs") * F.lit(float(seq_len)))).alias("waste_frac"),
+    )

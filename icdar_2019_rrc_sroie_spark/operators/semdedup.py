@@ -1,0 +1,120 @@
+"""SemDeDup — semantic deduplication over embeddings (Abbas et al.
+2023, arXiv:2303.09540) re-expressed Spark-first.
+
+The published recipe: k-means-cluster the embedding space, compute
+pairwise cosine similarities WITHIN each cluster only (the clustering
+is what makes the quadratic step tractable), and inside every group of
+eps-similar examples keep exactly one — the member LEAST similar to
+its cluster centroid (the most "peripheral", least redundant example).
+
+Spark shape: Lloyd iterations are one hash-aggregate each over the
+corpus (:func:`kmeans_lloyd` — only the k×dim centroid table ever
+reaches the driver, standard distributed k-means); the within-cluster
+pair generation is a capped self-equi-join on the cluster id (at real
+scale k grows with the corpus — k ≈ n / target_cluster_size — so
+cluster sizes, and with them the quadratic term, stay ~constant; the
+cap is the hard guard, logged like every other cap in the dedup
+family). The keep-one rule needs no iteration: rank cluster members
+by (centroid-similarity asc, id), and drop a member iff some
+LOWER-ranked member is eps-close — exactly the upper-triangular max
+of the reference implementation.
+
+No counterpart in the reference repo; training-data mandate operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _centroid_array,
+    cosine_expr,
+    nearest_centroid_expr,
+    train_centroids,
+)
+
+
+def kmeans_lloyd(df: DataFrame, init: list[list[float]], iters: int = 5,
+                 vec_col: str = "embedding") -> list[list[float]]:
+    """Distributed Lloyd refinement: each iteration assigns every row to
+    its nearest centroid with a pure-Catalyst argmin (broadcast literal
+    centroids — no shuffle on the assign) and recomputes means with ONE
+    hash aggregate keyed (cluster, dim) via posexplode. Only the k×dim
+    centroid table is collected per iteration; the corpus never moves.
+    An emptied cluster keeps its previous centroid (deterministic, no
+    re-seeding RNG). Combine with :func:`train_centroids` (bounded
+    driver-sample init) for the standard large-scale recipe: sample
+    init, full-corpus refine."""
+    k = len(init)
+    dim = len(init[0])
+    centroids = [list(map(float, c)) for c in init]
+    for _ in range(iters):
+        assigned = df.select(
+            nearest_centroid_expr(F.col(vec_col), centroids).alias("_c"),
+            F.posexplode(F.col(vec_col)).alias("_d", "_x"))
+        rows = (assigned.groupBy("_c", "_d")
+                .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+                .collect())
+        nxt = [list(c) for c in centroids]
+        for r in rows:
+            nxt[int(r["_c"])][int(r["_d"])] = float(r["_m"])
+        centroids = nxt
+    return centroids
+
+
+def semdedup(df: DataFrame, k: int = 8, eps: float = 0.95,
+             lloyd_iters: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None,
+             max_cluster_size: int | None = 1000) -> DataFrame:
+    """(id, cluster, cent_sim, keep): SemDeDup verdict for every row.
+    ``keep=false`` rows are the semantic duplicates to drop — members
+    with an eps-cosine-similar neighbor ranked before them in the
+    cluster's (centroid-similarity asc, id) order, so each duplicate
+    neighborhood keeps its least-central member (the paper's rule).
+
+    ``centroids=None`` trains them here (sample init + Lloyd refine).
+    Rows in clusters over ``max_cluster_size`` are dropped from
+    judgment (kept, logged by cap_buckets) — the quadratic guard.
+    """
+    from .dedup import cap_buckets
+    from .indexes import track_persist
+
+    if centroids is None:
+        centroids = kmeans_lloyd(
+            df, train_centroids(df, k=k, vec_col=vec_col, id_col=id_col),
+            iters=lloyd_iters, vec_col=vec_col)
+    cents = _centroid_array(centroids)
+    assigned = track_persist(df.select(
+        F.col(id_col), F.col(vec_col),
+        nearest_centroid_expr(F.col(vec_col), centroids).alias("cluster"),
+    ).withColumn(
+        "cent_sim",
+        cosine_expr(F.col(vec_col),
+                    F.element_at(cents, F.col("cluster") + 1))))
+    judged = cap_buckets(assigned, ["cluster"], max_cluster_size,
+                         label="semdedup")
+    a = judged.select(F.col("cluster"),
+                      F.col(id_col).alias("_ida"),
+                      F.col(vec_col).alias("_va"),
+                      F.col("cent_sim").alias("_sa"))
+    b = judged.select(F.col("cluster"),
+                      F.col(id_col).alias("_idb"),
+                      F.col(vec_col).alias("_vb"),
+                      F.col("cent_sim").alias("_sb"))
+    # rank(a) < rank(b) in (cent_sim asc, id asc) order — a is the
+    # earlier (less central) member whose eps-closeness kills b
+    earlier = (F.col("_sa") < F.col("_sb")) | (
+        (F.col("_sa") == F.col("_sb")) & (F.col("_ida") < F.col("_idb")))
+    dropped = (
+        a.join(b, "cluster")
+        .filter(earlier)
+        .filter(cosine_expr(F.col("_va"), F.col("_vb")) >= eps)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (assigned.join(dropped, id_col, "left")
+            .select(id_col, "cluster", "cent_sim",
+                    F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")))

@@ -1120,8 +1120,10 @@ def _all_batches() -> dict:
     from .queries_pipeline import ROWS_ONLY_QUERIES
     from .queries_labeling import ROWS_ONLY_LABELING, SQL_QUERIES_LABELING
     from .queries_rules import SQL_QUERIES_RULES
+    from .queries_training import SQL_QUERIES_TRAINING
 
     merged = dict(SQL_QUERIES)
+    merged.update(SQL_QUERIES_TRAINING)
     merged.update(SQL_QUERIES_GEO)
     merged.update(SQL_QUERIES_DEDUP)
     merged.update(SQL_QUERIES_PARSE)

@@ -292,6 +292,21 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", _micro(F.col("cosine")).alias("cosine_micro"))
 
 
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k AND the sign-LSH bucketed top-k as one
+    discriminated union ('brute' rows carry a NULL bucket) — the former
+    cosine_topk + ann_bucketed queries merged in round 5 to free a
+    driver-window slot for pack_sequences/dsir_sample; both halves stay
+    fully value-checked."""
+    brute = q_cosine_topk(spark, sf_dir).select(
+        F.lit("brute").alias("kind"), "vec_id",
+        F.lit(None).cast("int").alias("bucket"), "cosine_micro")
+    lsh = q_ann_bucketed(spark, sf_dir).select(
+        F.lit("lsh").alias("kind"), "vec_id",
+        F.col("bucket").cast("int").alias("bucket"), "cosine_micro")
+    return brute.unionByName(lsh).orderBy("kind", "vec_id")
+
+
 SQL_COSINE_TOPK = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
@@ -372,6 +387,15 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 25
 
 
 SQL_ANN_BUCKETED = _sql_ann_bucketed()
+
+SQL_SIMILARITY_TOPK = f"""
+SELECT 'brute' AS kind, vec_id, CAST(NULL AS INT) AS bucket, cosine_micro
+FROM ({SQL_COSINE_TOPK})
+UNION ALL
+SELECT 'lsh' AS kind, vec_id, bucket, cosine_micro
+FROM ({SQL_ANN_BUCKETED})
+ORDER BY kind, vec_id
+"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,9 +612,10 @@ SQL_QUERIES_DEDUP = {
     "dedup_spans": (q_dedup_spans, SQL_DEDUP_SPANS),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "ann_bucketed": (q_ann_bucketed, SQL_ANN_BUCKETED),
-    "simhash": (q_simhash, SQL_SIMHASH),
+    # "cosine_topk" + "ann_bucketed" folded into similarity_topk and
+    # "simhash" into simhash_near_dups (round 5 driver-window folds);
+    # every half is still value-checked
+    "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
 }
 
 

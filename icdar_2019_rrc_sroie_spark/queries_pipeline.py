@@ -976,15 +976,24 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     word — candidate count stays ~linear in corpus size), bucket guard
     against degenerate buckets. SQL-checked: DuckDB recomputes the
     signatures, unsigned word extraction, the bucket-size guard, and
-    bit_count(xor) verification."""
-    from .operators.dedup import simhash_near_dups
+    bit_count(xor) verification. Round 5 folds the former standalone
+    ``simhash`` signature query in as 'sig' rows (id_a=doc_id, val=the
+    signed 64-bit signature) alongside the 'pair' rows (val=hamming) —
+    both halves value-checked in one driver slot."""
+    from .operators.dedup import simhash_dedup, simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.select("doc_id", "text").unionByName(
         docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
-    return simhash_near_dups(
+    pairs = simhash_near_dups(
         corpus, max_hamming=3, num_bits=64, n_words=4, max_bucket_size=200
-    ).orderBy("id_a", "id_b")
+    ).select(F.lit("pair").alias("kind"), "id_a", "id_b",
+             F.col("hamming").cast("long").alias("val"))
+    sigs = simhash_dedup(docs).select(
+        F.lit("sig").alias("kind"), F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("simhash").alias("val"))
+    return sigs.unionByName(pairs).orderBy("kind", "id_a", "id_b")
 
 
 SQL_SIMHASH_NEAR_DUPS = r"""
@@ -1032,12 +1041,16 @@ WITH corpus AS (
     SELECT *, COUNT(*) OVER (PARTITION BY word_idx, word) AS bsz
     FROM words) WHERE bsz <= 200
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-  bit_count(xor(a.simhash, b.simhash)) AS hamming
+SELECT 'sig' AS kind, doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+  simhash AS val
+FROM sigs WHERE doc_id < 1000000
+UNION ALL
+SELECT DISTINCT 'pair' AS kind, a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS val
 FROM guarded a JOIN guarded b
   ON a.word_idx = b.word_idx AND a.word = b.word AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-ORDER BY id_a, id_b
+ORDER BY kind, id_a, id_b
 """
 
 
@@ -1299,9 +1312,32 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: sample-init + distributed-
+    Lloyd k-means, within-cluster eps-cosine pruning keeping each
+    neighborhood's least-central member. Rows-only by design (k-means
+    is iterative with data-dependent float centroids — not
+    SQL-expressible); NumPy parity is pinned in tests/test_training.py.
+    cent_sim is micro-quantized so the rows-only checker's
+    canonicalizer sees stable values."""
+    from .operators.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dup = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                     "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    out = semdedup(corpus, k=8, eps=0.999, lloyd_iters=2)
+    return out.select(
+        "vec_id", "cluster",
+        F.floor(F.col("cent_sim") * 1e6 + F.lit(0.5)).cast("long")
+        .alias("cent_sim_micro"),
+        "keep").orderBy("vec_id")
+
+
 ROWS_ONLY_QUERIES = {
     "curation_pipeline": (q_curation_pipeline, None),
     "ann_knn_join": (q_ann_knn_join, None),
+    "semdedup": (q_semdedup, None),
     # "anchor_matching" + queries_geo's "iou_pairs" folded into
     # box_matching (round 5 driver-window fold); both halves still
     # value-checked there.

@@ -1,0 +1,211 @@
+"""Query battery, batch 8: training-data assembly — sequence packing
+and DSIR importance resampling (round 5).
+
+Both are published-recipe training-pipeline steps with no reference
+counterpart (the reference hand-curates a fixed dataset); the DuckDB
+oracles replay the identical md5-keyed determinism, including the
+greedy next-fit packer as a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.dsir import (
+    dsir_log_weights,
+    dsir_resample,
+    dsir_scores,
+    hashed_ngram_counts,
+)
+from .operators.packing import greedy_packs, pack_chunks, token_counts
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_SEQ_LEN = 256
+_N_SHARDS = 8  # oracle-small; production default is 1024
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both packing disciplines over the documents table as a
+    discriminated union: 'chunk' rows are the concat-and-chunk layout
+    (a=tok_start, b=tok_len, c=pack_off — zero waste, docs span
+    packs), 'greedy' rows the next-fit whole-document layout
+    (a=pack_off, b=n_tokens, c=overflow). The oracle recomputes the
+    chunk layout from one global cumsum in md5-shard order and replays
+    the greedy fill state machine as a recursive CTE per shard."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = token_counts(docs)
+    chunk = pack_chunks(counts, _SEQ_LEN, _N_SHARDS).select(
+        F.lit("chunk").alias("kind"), "pack_id", "doc_id",
+        F.col("tok_start").alias("a"), F.col("tok_len").alias("b"),
+        F.col("pack_off").alias("c"))
+    greedy = greedy_packs(counts, _SEQ_LEN, _N_SHARDS).select(
+        F.lit("greedy").alias("kind"), "pack_id", "doc_id",
+        F.col("pack_off").alias("a"), F.col("n_tokens").alias("b"),
+        F.col("overflow").cast("long").alias("c"))
+    return chunk.unionByName(greedy).orderBy(
+        "kind", "pack_id", "doc_id", "a")
+
+
+def _sql_pack_sequences() -> str:
+    L, S = _SEQ_LEN, _N_SHARDS
+    base = rf"""counts AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) = 0 THEN 0
+         ELSE len(regexp_split_to_array(norm, '\s+')) END AS n_tokens
+  FROM (SELECT doc_id,
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents)
+), keyed AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    md5('pack' || CAST(doc_id AS VARCHAR)) AS key,
+    CAST('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8)
+         AS BIGINT) % {S} AS shard
+  FROM counts WHERE n_tokens > 0
+), pos AS (
+  SELECT doc_id, n_tokens, shard,
+    SUM(n_tokens) OVER (ORDER BY shard, key, doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS gstart
+  FROM keyed
+), ranked AS (
+  SELECT shard, doc_id, n_tokens,
+    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) AS rn
+  FROM keyed
+)"""
+    # greedy next-fit state machine: after each row the open pack and
+    # its fill carry forward; placement/close conditions repeated
+    # verbatim (a recursive arm cannot reference its own aliases)
+    place = (f"CASE WHEN p.fill_after > 0 AND p.fill_after + r.n_tokens > {L} "
+             f"THEN p.open_after + 1 ELSE p.open_after END")
+    off = (f"CASE WHEN p.fill_after > 0 AND p.fill_after + r.n_tokens > {L} "
+           f"THEN 0 ELSE p.fill_after END")
+    fill2 = f"({off}) + r.n_tokens"
+    return rf"""
+WITH RECURSIVE {base}, rec AS (
+  SELECT shard, rn, doc_id, n_tokens,
+    CAST(0 AS BIGINT) AS placed, CAST(0 AS BIGINT) AS pack_off,
+    CAST(CASE WHEN n_tokens >= {L} THEN 1 ELSE 0 END AS BIGINT)
+      AS open_after,
+    CAST(CASE WHEN n_tokens >= {L} THEN 0 ELSE n_tokens END AS BIGINT)
+      AS fill_after
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+    CAST({place} AS BIGINT) AS placed,
+    CAST({off} AS BIGINT) AS pack_off,
+    CAST(CASE WHEN {fill2} >= {L} THEN ({place}) + 1
+              ELSE ({place}) END AS BIGINT) AS open_after,
+    CAST(CASE WHEN {fill2} >= {L} THEN 0
+              ELSE {fill2} END AS BIGINT) AS fill_after
+  FROM ranked r JOIN rec p ON r.shard = p.shard AND r.rn = p.rn + 1
+)
+SELECT 'chunk' AS kind, CAST(p AS BIGINT) AS pack_id, doc_id,
+  CAST(greatest(0, p * {L} - gstart) AS BIGINT) AS a,
+  CAST(least(n_tokens, p * {L} + {L} - gstart)
+       - greatest(0, p * {L} - gstart) AS BIGINT) AS b,
+  CAST(greatest(0, gstart - p * {L}) AS BIGINT) AS c
+FROM (SELECT doc_id, n_tokens, gstart,
+        unnest(generate_series(CAST(gstart // {L} AS BIGINT),
+                               CAST((gstart + n_tokens - 1) // {L}
+                                    AS BIGINT))) AS p
+      FROM pos)
+UNION ALL
+SELECT 'greedy' AS kind,
+  shard * 1099511627776 + placed AS pack_id, doc_id,
+  pack_off AS a, n_tokens AS b,
+  CAST(CASE WHEN n_tokens > {L} THEN 1 ELSE 0 END AS BIGINT) AS c
+FROM rec
+ORDER BY kind, pack_id, doc_id, a
+"""
+
+
+SQL_PACK_SEQUENCES = _sql_pack_sequences()
+
+
+_DSIR_BUCKETS = 8192
+_DSIR_KEEP = 150
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection of the 150 raw documents most target-like, with
+    target = the corpus's English slice (a real signal in the table):
+    hashed-bigram log-ratio weights (integer micros), exact integer
+    doc scores, deterministic Gumbel top-k. The oracle recomputes the
+    full recipe — md5 buckets, add-1 smoothing, micro quantization,
+    Gumbel from the same md5 — so selection matches row-for-row."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.indexes import track_persist
+
+    raw_counts = track_persist(hashed_ngram_counts(docs, _DSIR_BUCKETS))
+    tgt_counts = hashed_ngram_counts(
+        docs.filter(F.col("lang") == "en"), _DSIR_BUCKETS)
+    weights = dsir_log_weights(tgt_counts, raw_counts, _DSIR_BUCKETS)
+    scores = dsir_scores(raw_counts, weights)
+    return dsir_resample(scores, _DSIR_KEEP).select(
+        "doc_id", "n_grams", "score_micro", "gumbel_micro", "sel_micro")
+
+
+SQL_DSIR_SAMPLE = rf"""
+WITH grams AS (
+  SELECT doc_id, unnest(
+    [t[i] || ' ' || t[i + 1]
+     for i in generate_series(1, greatest(len(t) - 1, 0))]) AS g
+  FROM (SELECT doc_id,
+          regexp_split_to_array(
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+            '\s+') AS t
+        FROM documents)
+), bucketed AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % {_DSIR_BUCKETS}
+      AS bucket
+  FROM grams
+), raw_counts AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bucketed GROUP BY doc_id, bucket
+), tgt AS (
+  SELECT bucket, SUM(cnt) AS tc FROM raw_counts
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  GROUP BY bucket
+), rawd AS (
+  SELECT bucket, SUM(cnt) AS rc FROM raw_counts GROUP BY bucket
+), tot AS (
+  SELECT (SELECT CAST(SUM(tc) AS DOUBLE) FROM tgt) AS tt,
+         (SELECT CAST(SUM(rc) AS DOUBLE) FROM rawd) AS rt
+), joined AS (
+  SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+    COALESCE(tc, 0) AS tc, COALESCE(rc, 0) AS rc
+  FROM tgt t FULL JOIN rawd r ON t.bucket = r.bucket
+), weights AS (
+  SELECT bucket,
+    CAST(floor((ln((tc + 1.0) / (tt + {_DSIR_BUCKETS}.0))
+              - ln((rc + 1.0) / (rt + {_DSIR_BUCKETS}.0)))
+               * 1e6 + 0.5) AS BIGINT) AS w_micro
+  FROM joined, tot
+), scores AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+    CAST(SUM(cnt * w_micro) AS BIGINT) AS score_micro
+  FROM raw_counts JOIN weights USING (bucket) GROUP BY doc_id
+), noised AS (
+  SELECT doc_id, n_grams, score_micro,
+    CAST(floor(-ln(-ln(
+      (CAST('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) + 0.5) / 4294967296.0)) * 1e6 + 0.5) AS BIGINT)
+      AS gumbel_micro
+  FROM scores
+)
+SELECT doc_id, n_grams, score_micro, gumbel_micro,
+  CAST(floor(score_micro / 1.0 + gumbel_micro) AS BIGINT) AS sel_micro
+FROM noised
+ORDER BY sel_micro DESC, doc_id ASC LIMIT {_DSIR_KEEP}
+"""
+
+
+SQL_QUERIES_TRAINING = {
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
+}

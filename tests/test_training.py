@@ -1,0 +1,277 @@
+"""Round-5 training-data assembly operators: sequence packing, DSIR
+importance resampling, SemDeDup semantic dedup."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from icdar_2019_rrc_sroie_spark.operators.dsir import (
+    dsir_select,
+    hashed_ngram_counts,
+)
+from icdar_2019_rrc_sroie_spark.operators.packing import (
+    greedy_packs,
+    pack_chunks,
+    pack_stats,
+    token_counts,
+)
+from icdar_2019_rrc_sroie_spark.operators.semdedup import (
+    kmeans_lloyd,
+    semdedup,
+)
+
+SEQ = 64
+
+
+def _counts_df(spark, tokens: dict[int, int]):
+    return spark.createDataFrame(
+        [(i, n) for i, n in tokens.items()], "doc_id long, n_tokens long")
+
+
+def _md5_key(doc_id: int) -> str:
+    import hashlib
+
+    return hashlib.md5(f"pack{doc_id}".encode()).hexdigest()
+
+
+def _stream_order(tokens: dict[int, int], n_shards: int):
+    """The deterministic virtual-stream order both packers share."""
+    rows = [(int(_md5_key(i)[:8], 16) % n_shards, _md5_key(i), i, n)
+            for i, n in tokens.items() if n > 0]
+    rows.sort()
+    return rows
+
+
+class TestPackChunks:
+    def test_layout_matches_python_replay(self, spark):
+        tokens = {i: (i * 37) % 150 + 1 for i in range(80)}
+        got = pack_chunks(_counts_df(spark, tokens), SEQ, n_shards=4) \
+            .collect()
+        # replay: global cumsum in (shard, key, id) order
+        expect = []
+        g = 0
+        for _, _, i, n in _stream_order(tokens, 4):
+            for p in range(g // SEQ, (g + n - 1) // SEQ + 1):
+                ts = max(0, p * SEQ - g)
+                te = min(n, p * SEQ + SEQ - g)
+                expect.append((p, i, ts, te - ts, max(0, g - p * SEQ)))
+            g += n
+        got_t = sorted((r.pack_id, r.doc_id, r.tok_start, r.tok_len,
+                        r.pack_off) for r in got)
+        assert got_t == sorted(expect)
+
+    def test_all_packs_full_except_last(self, spark):
+        tokens = {i: (i * 13) % 90 + 5 for i in range(60)}
+        rows = pack_chunks(_counts_df(spark, tokens), SEQ, n_shards=4)
+        sums = rows.groupBy("pack_id").agg(F.sum("tok_len").alias("s")) \
+            .collect()
+        last = max(r.pack_id for r in sums)
+        assert all(r.s == SEQ for r in sums if r.pack_id != last)
+        total = sum(n for n in tokens.values())
+        assert sum(r.s for r in sums) == total  # every token placed once
+
+    def test_doc_slices_are_contiguous_and_complete(self, spark):
+        tokens = {1: 200, 2: 3, 3: SEQ * 2}  # spans, tiny, exact multiple
+        rows = pack_chunks(_counts_df(spark, tokens), SEQ, n_shards=2) \
+            .orderBy("doc_id", "tok_start").collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for d, parts in by_doc.items():
+            assert parts[0].tok_start == 0
+            for a, b in zip(parts, parts[1:]):
+                assert b.tok_start == a.tok_start + a.tok_len
+            assert sum(p.tok_len for p in parts) == tokens[d]
+
+    def test_zero_token_docs_dropped(self, spark):
+        rows = pack_chunks(_counts_df(spark, {1: 0, 2: 5}), SEQ,
+                           n_shards=2).collect()
+        assert {r.doc_id for r in rows} == {2}
+
+    def test_no_global_single_partition_window(self, spark):
+        """The corpus-sized cumsum window must be partitioned by shard;
+        only the n_shards-row offsets aggregate may use a global
+        window. A plan whose corpus window has an empty partition spec
+        is the 1-task bottleneck this operator exists to avoid."""
+        df = pack_chunks(_counts_df(spark, {i: 7 for i in range(50)}),
+                         SEQ, n_shards=4)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        windows = [ln for ln in plan.splitlines() if "Window" in ln
+                   and "windowspecdefinition" in ln]
+        assert any("_shard" in w for w in windows)
+
+
+class TestGreedyPacks:
+    def test_matches_next_fit_replay(self, spark):
+        tokens = {i: (i * 29) % 100 + 1 for i in range(70)}
+        got = {(r.doc_id): (r.pack_id, r.pack_off, r.overflow)
+               for r in greedy_packs(_counts_df(spark, tokens), SEQ,
+                                     n_shards=4).collect()}
+        expect = {}
+        state: dict[int, tuple[int, int]] = {}
+        for shard, _, i, n in _stream_order(tokens, 4):
+            pack, fill = state.get(shard, (0, 0))
+            if fill > 0 and fill + n > SEQ:
+                pack, fill = pack + 1, 0
+            expect[i] = ((shard << 40) + pack, fill, n > SEQ)
+            fill += n
+            if fill >= SEQ:
+                pack, fill = pack + 1, 0
+            state[shard] = (pack, fill)
+        assert got == expect
+
+    def test_no_pack_overflows_and_overflow_flagged(self, spark):
+        tokens = {1: SEQ + 10, 2: 30, 3: 40, 4: 20, 5: SEQ}
+        rows = greedy_packs(_counts_df(spark, tokens), SEQ, n_shards=1) \
+            .collect()
+        for r in rows:
+            if not r.overflow:
+                assert r.pack_off + r.n_tokens <= SEQ
+        assert {r.doc_id for r in rows if r.overflow} == {1}
+        # overflow doc sits alone in its pack
+        ovf_pack = next(r.pack_id for r in rows if r.overflow)
+        assert sum(1 for r in rows if r.pack_id == ovf_pack) == 1
+
+    def test_pack_stats_waste(self, spark):
+        tokens = {1: 40, 2: 40}  # one pack of 40+... 40+40 > 64 -> 2 packs
+        packs = greedy_packs(_counts_df(spark, tokens), SEQ, n_shards=1)
+        row = pack_stats(packs, SEQ).collect()[0]
+        assert row.n_packs == 2 and row.n_tokens == 80
+        assert abs(row.waste_frac - (1 - 80 / 128)) < 1e-12
+
+    def test_token_counts_canonicalization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "  Hello   WORLD  "), (2, ""), (3, "   "), (4, "one")],
+            "doc_id long, text string")
+        got = {r.doc_id: r.n_tokens for r in token_counts(df).collect()}
+        assert got == {1: 2, 2: 0, 3: 0, 4: 1}
+
+
+class TestDsir:
+    def test_selects_target_like_docs(self, spark):
+        # target vocabulary AAA..; raw pool: 30 target-like + 70 noise
+        tgt = [(1000 + i, " ".join(f"tok{j}" for j in range(i, i + 12)))
+               for i in range(10)]
+        like = [(i, " ".join(f"tok{j}" for j in range(i % 8, i % 8 + 12)))
+                for i in range(30)]
+        noise = [(100 + i,
+                  " ".join(f"zz{i}_{j} qq{i}_{j}" for j in range(6)))
+                 for i in range(70)]
+        raw = spark.createDataFrame(like + noise, "doc_id long, text string")
+        target = spark.createDataFrame(tgt, "doc_id long, text string")
+        sel = dsir_select(raw, target, n_keep=30).collect()
+        picked = {r.doc_id for r in sel}
+        # overwhelming majority of the selected set is the planted slice
+        assert len(picked & set(range(30))) >= 25
+
+    def test_score_is_exact_integer_recompute(self, spark):
+        import hashlib
+
+        B = 64
+        raw = spark.createDataFrame(
+            [(1, "a b c a b"), (2, "x y z")], "doc_id long, text string")
+        target = spark.createDataFrame([(9, "a b c")],
+                                       "doc_id long, text string")
+        sel = dsir_select(raw, target, n_keep=2, n_buckets=B).collect()
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+        def bigrams(t):
+            ts = t.split()
+            return [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+        tc: dict[int, int] = {}
+        for g in bigrams("a b c"):
+            tc[bucket(g)] = tc.get(bucket(g), 0) + 1
+        rc: dict[int, int] = {}
+        for t in ("a b c a b", "x y z"):
+            for g in bigrams(t):
+                rc[bucket(g)] = rc.get(bucket(g), 0) + 1
+        tt, rt = sum(tc.values()), sum(rc.values())
+        for r in sel:
+            doc = "a b c a b" if r.doc_id == 1 else "x y z"
+            s = 0
+            for g in bigrams(doc):
+                b = bucket(g)
+                w = (math.log((tc.get(b, 0) + 1.0) / (tt + B))
+                     - math.log((rc.get(b, 0) + 1.0) / (rt + B)))
+                s += math.floor(w * 1e6 + 0.5)
+            assert r.score_micro == s
+
+
+class TestSemDedup:
+    def _vecs(self):
+        rng = np.random.RandomState(3)
+        base = rng.standard_normal((4, 16))
+        rows = []
+        vid = 0
+        for c in range(4):
+            for j in range(6):
+                v = base[c] + rng.standard_normal(16) * (0.01 if j < 3
+                                                         else 2.0)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        return rows
+
+    def test_parity_with_numpy_reference(self, spark):
+        rows = self._vecs()
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        from icdar_2019_rrc_sroie_spark.operators.similarity import (
+            train_centroids,
+        )
+
+        cents = kmeans_lloyd(df, train_centroids(df, k=4), iters=3)
+        got = {r.vec_id: r.keep
+               for r in semdedup(df, eps=0.9, centroids=cents).collect()}
+
+        # NumPy replay of the SemDeDup rule
+        V = np.array([np.array(v, dtype=np.float32).astype(np.float64)
+                      for _, v in rows])
+        C = np.array(cents)
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        keep = {}
+        for c in range(4):
+            ids = [i for i in range(len(rows)) if assign[i] == c]
+            ids.sort(key=lambda i: (cos(V[i], C[c]), i))
+            for pos, i in enumerate(ids):
+                keep[i] = not any(
+                    cos(V[i], V[j]) >= 0.9 for j in ids[:pos])
+        assert got == keep
+
+    def test_lloyd_reduces_distortion(self, spark):
+        rows = self._vecs()
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        V = np.array([np.array(v, dtype=np.float32).astype(np.float64)
+                      for _, v in rows])
+
+        def distortion(cents):
+            C = np.array(cents)
+            return float(((V[:, None, :] - C[None, :, :]) ** 2)
+                         .sum(axis=2).min(axis=1).sum())
+
+        init = [[float(x) for x in V[i]] for i in (0, 1, 2, 3)]
+        refined = kmeans_lloyd(df, init, iters=4)
+        assert distortion(refined) <= distortion(init) + 1e-9
+
+    def test_capped_clusters_default_keep(self, spark):
+        rows = self._vecs()
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        from icdar_2019_rrc_sroie_spark.operators.similarity import (
+            train_centroids,
+        )
+
+        cents = kmeans_lloyd(df, train_centroids(df, k=4), iters=2)
+        out = semdedup(df, eps=0.9, centroids=cents,
+                       max_cluster_size=1).collect()
+        assert len(out) == len(rows)
+        assert all(r.keep for r in out)  # nothing judged -> nothing dropped
