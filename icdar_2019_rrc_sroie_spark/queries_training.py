@@ -128,6 +128,11 @@ SQL_PACK_SEQUENCES = _sql_pack_sequences()
 
 _DSIR_BUCKETS = 8192
 _DSIR_KEEP = 150
+# add-alpha smoothing must stay small next to the corpus's ~27k grams:
+# alpha=1 adds alpha*B = 8192 phantom grams to both distributions and
+# flattens the log-ratios into the Gumbel noise floor (measured: 'en'
+# target selects 55% en at alpha=1 vs 84% at 0.05, base rate 44%)
+_DSIR_ALPHA = 0.05
 
 
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,7 +148,8 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_counts = track_persist(hashed_ngram_counts(docs, _DSIR_BUCKETS))
     tgt_counts = hashed_ngram_counts(
         docs.filter(F.col("lang") == "en"), _DSIR_BUCKETS)
-    weights = dsir_log_weights(tgt_counts, raw_counts, _DSIR_BUCKETS)
+    weights = dsir_log_weights(tgt_counts, raw_counts, _DSIR_BUCKETS,
+                               alpha=_DSIR_ALPHA)
     scores = dsir_scores(raw_counts, weights)
     return dsir_resample(scores, _DSIR_KEEP).select(
         "doc_id", "n_grams", "score_micro", "gumbel_micro", "sel_micro")
@@ -182,8 +188,10 @@ WITH grams AS (
   FROM tgt t FULL JOIN rawd r ON t.bucket = r.bucket
 ), weights AS (
   SELECT bucket,
-    CAST(floor((ln((tc + 1.0) / (tt + {_DSIR_BUCKETS}.0))
-              - ln((rc + 1.0) / (rt + {_DSIR_BUCKETS}.0)))
+    CAST(floor((ln((tc + {float(_DSIR_ALPHA)!r})
+                   / (tt + {float(_DSIR_ALPHA) * _DSIR_BUCKETS!r}))
+              - ln((rc + {float(_DSIR_ALPHA)!r})
+                   / (rt + {float(_DSIR_ALPHA) * _DSIR_BUCKETS!r})))
                * 1e6 + 0.5) AS BIGINT) AS w_micro
   FROM joined, tot
 ), scores AS (

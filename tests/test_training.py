@@ -153,17 +153,20 @@ class TestGreedyPacks:
 
 class TestDsir:
     def test_selects_target_like_docs(self, spark):
-        # target vocabulary AAA..; raw pool: 30 target-like + 70 noise
-        tgt = [(1000 + i, " ".join(f"tok{j}" for j in range(i, i + 12)))
+        # target vocabulary tok0..; raw pool: 30 target-like + 70 noise.
+        # alpha must stay small vs the gram mass (see queries_training's
+        # _DSIR_ALPHA note) or the smoothing flattens the log-ratios
+        # into the Gumbel noise floor.
+        tgt = [(1000 + i, " ".join(f"tok{j}" for j in range(i, i + 40)))
                for i in range(10)]
-        like = [(i, " ".join(f"tok{j}" for j in range(i % 8, i % 8 + 12)))
+        like = [(i, " ".join(f"tok{j}" for j in range(i % 8, i % 8 + 40)))
                 for i in range(30)]
         noise = [(100 + i,
-                  " ".join(f"zz{i}_{j} qq{i}_{j}" for j in range(6)))
+                  " ".join(f"zz{i}_{j} qq{i}_{j}" for j in range(20)))
                  for i in range(70)]
         raw = spark.createDataFrame(like + noise, "doc_id long, text string")
         target = spark.createDataFrame(tgt, "doc_id long, text string")
-        sel = dsir_select(raw, target, n_keep=30).collect()
+        sel = dsir_select(raw, target, n_keep=30, alpha=0.05).collect()
         picked = {r.doc_id for r in sel}
         # overwhelming majority of the selected set is the planted slice
         assert len(picked & set(range(30))) >= 25
