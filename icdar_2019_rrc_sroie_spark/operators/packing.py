@@ -197,6 +197,105 @@ def greedy_packs(counts: DataFrame, seq_len: int,
         .groupBy("_shard").applyInPandas(_pack, out_schema))
 
 
+def doc_token_arrays(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(id, toks) — each document's canonical whitespace token array,
+    blank docs dropped (token_counts gives them 0 and the layouts
+    exclude them). ``size(toks)`` here == ``token_counts.n_tokens`` by
+    construction — the layouts' offsets index into exactly this array."""
+    norm = normalized_text(F.col(text_col))
+    return (df.select(F.col(id_col), norm.alias("_n"))
+            .filter(F.length("_n") > 0)
+            .select(id_col, F.split(F.col("_n"), " ").alias("toks")))
+
+
+def hashed_vocab_ids(tokens: Column, vocab_size: int) -> Column:
+    """Token strings → deterministic hashed-vocabulary ids (md5 hex
+    prefix mod ``vocab_size``) — the feature-hashing trick applied as a
+    vocabulary, engine-portable and training-ready without a fitted
+    vocab table. Collisions are the usual hashing-trick trade-off;
+    callers wanting a fitted vocab substitute a broadcast lookup."""
+    return F.transform(
+        tokens,
+        lambda t: (F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                   .cast("long") % vocab_size))
+
+
+def materialize_packs(docs: DataFrame, layout: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      vocab_size: int | None = None) -> DataFrame:
+    """The actual training sequences for a :func:`pack_chunks` layout:
+    (pack_id, n_tokens, tokens) where ``tokens`` is the pack's token
+    stream — every pack except the stream tail exactly ``seq_len``
+    long, zero padding. ``vocab_size`` adds a ``token_ids`` column
+    (:func:`hashed_vocab_ids`).
+
+    One join (layout × tokenized docs on id — layout fan-out is linear
+    in corpus tokens) and one hash aggregate keyed pack_id; the
+    within-pack order is reassembled from ``pack_off`` (array_sort over
+    (pack_off, chunk) structs — offsets are unique within a pack by
+    construction), so no window and no per-pack skew beyond seq_len
+    itself. Token slicing stays JVM-side (``slice``).
+    """
+    toks = doc_token_arrays(docs, id_col, text_col)
+    chunks = (
+        layout.join(toks, id_col)
+        .select(
+            "pack_id", "pack_off",
+            F.slice(F.col("toks"), F.col("tok_start") + 1,
+                    F.col("tok_len")).alias("_chunk"))
+    )
+    out = (
+        chunks.groupBy("pack_id")
+        .agg(F.flatten(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("pack_off"), F.col("_chunk")))),
+            lambda s: s["_chunk"])).alias("tokens"))
+        .select("pack_id", F.size("tokens").cast("long").alias("n_tokens"),
+                "tokens")
+    )
+    if vocab_size is not None:
+        out = out.withColumn(
+            "token_ids", hashed_vocab_ids(F.col("tokens"), vocab_size))
+    return out
+
+
+def materialize_greedy_packs(docs: DataFrame, layout: DataFrame,
+                             seq_len: int, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             pad_token: str | None = None) -> DataFrame:
+    """Training sequences for a :func:`greedy_packs` layout:
+    (pack_id, n_tokens, n_pad, overflow, tokens). Documents are whole
+    (never sliced); ``pad_token`` right-pads every non-overflow pack to
+    ``seq_len`` (None leaves them ragged — attention-mask trainers pad
+    downstream). ``n_pad`` is the padding the pack would need either
+    way; ``overflow`` marks single-doc packs longer than ``seq_len``
+    (the layout's flag, carried through)."""
+    toks = doc_token_arrays(docs, id_col, text_col)
+    docs_in_pack = layout.join(toks, id_col).select(
+        "pack_id", "pack_off", "overflow", F.col("toks").alias("_chunk"))
+    grouped = (
+        docs_in_pack.groupBy("pack_id")
+        .agg(
+            F.flatten(F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("pack_off"), F.col("_chunk")))),
+                lambda s: s["_chunk"])).alias("tokens"),
+            F.max("overflow").alias("overflow"))
+        .select(
+            "pack_id", F.size("tokens").cast("long").alias("n_tokens"),
+            F.greatest(F.lit(0), F.lit(seq_len) - F.size("tokens"))
+            .cast("long").alias("n_pad"),
+            "overflow", "tokens")
+    )
+    if pad_token is not None:
+        grouped = grouped.withColumn(
+            "tokens",
+            F.concat(F.col("tokens"), F.array_repeat(
+                F.lit(pad_token), F.col("n_pad").cast("int"))))
+    return grouped
+
+
 def pack_stats(packs: DataFrame, seq_len: int) -> DataFrame:
     """One-row packing audit: pack count, packed token count, padding
     waste fraction (greedy) — ``1 - tokens/(n_packs*seq_len)``. For

@@ -9,7 +9,7 @@ greedy next-fit packer as a recursive CTE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.dsir import (
@@ -18,7 +18,13 @@ from .operators.dsir import (
     dsir_scores,
     hashed_ngram_counts,
 )
-from .operators.packing import greedy_packs, pack_chunks, token_counts
+from .operators.packing import (
+    greedy_packs,
+    materialize_greedy_packs,
+    materialize_packs,
+    pack_chunks,
+    token_counts,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -29,26 +35,57 @@ _SEQ_LEN = 256
 _N_SHARDS = 8  # oracle-small; production default is 1024
 
 
+def _stream_hash(tokens: Column) -> Column:
+    """md5-hex-prefix (as BIGINT) of the space-joined token stream —
+    value-exact signature of a materialized sequence, small enough for
+    the driver's long columns."""
+    return F.conv(
+        F.substring(F.md5(F.array_join(tokens, " ")), 1, 8),
+        16, 10).cast("long")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both packing disciplines over the documents table as a
     discriminated union: 'chunk' rows are the concat-and-chunk layout
     (a=tok_start, b=tok_len, c=pack_off — zero waste, docs span
     packs), 'greedy' rows the next-fit whole-document layout
-    (a=pack_off, b=n_tokens, c=overflow). The oracle recomputes the
-    chunk layout from one global cumsum in md5-shard order and replays
-    the greedy fill state machine as a recursive CTE per shard."""
+    (a=pack_off, b=n_tokens, c=overflow). 'mat'/'matg' rows
+    value-check the MATERIALIZED sequences each layout produces — one
+    row per pack with a=token count and b=md5-prefix of the actual
+    token stream (doc_id=-1; matg's c=padding need) — so the oracle
+    pins not just where tokens should go but the assembled sequences
+    themselves. The oracle recomputes the chunk layout from one global
+    cumsum in md5-shard order, replays the greedy fill state machine
+    as a recursive CTE per shard, and reassembles both streams with
+    ordered string_aggs."""
     docs = _t(spark, sf_dir, "documents")
     counts = token_counts(docs)
-    chunk = pack_chunks(counts, _SEQ_LEN, _N_SHARDS).select(
+    chunk_layout = pack_chunks(counts, _SEQ_LEN, _N_SHARDS)
+    greedy_layout = greedy_packs(counts, _SEQ_LEN, _N_SHARDS)
+    chunk = chunk_layout.select(
         F.lit("chunk").alias("kind"), "pack_id", "doc_id",
         F.col("tok_start").alias("a"), F.col("tok_len").alias("b"),
         F.col("pack_off").alias("c"))
-    greedy = greedy_packs(counts, _SEQ_LEN, _N_SHARDS).select(
+    greedy = greedy_layout.select(
         F.lit("greedy").alias("kind"), "pack_id", "doc_id",
         F.col("pack_off").alias("a"), F.col("n_tokens").alias("b"),
         F.col("overflow").cast("long").alias("c"))
-    return chunk.unionByName(greedy).orderBy(
-        "kind", "pack_id", "doc_id", "a")
+    mat = materialize_packs(docs, chunk_layout).select(
+        F.lit("mat").alias("kind"), "pack_id",
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.col("n_tokens").alias("a"),
+        _stream_hash(F.col("tokens")).alias("b"),
+        F.lit(0).cast("long").alias("c"))
+    matg = materialize_greedy_packs(
+        docs, greedy_layout, _SEQ_LEN).select(
+        F.lit("matg").alias("kind"), "pack_id",
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.col("n_tokens").alias("a"),
+        _stream_hash(F.col("tokens")).alias("b"),
+        F.col("n_pad").alias("c"))
+    return (chunk.unionByName(greedy).unionByName(mat)
+            .unionByName(matg)
+            .orderBy("kind", "pack_id", "doc_id", "a"))
 
 
 def _sql_pack_sequences() -> str:
@@ -102,23 +139,58 @@ WITH RECURSIVE {base}, rec AS (
     CAST(CASE WHEN {fill2} >= {L} THEN 0
               ELSE {fill2} END AS BIGINT) AS fill_after
   FROM ranked r JOIN rec p ON r.shard = p.shard AND r.rn = p.rn + 1
+), tokd AS (
+  SELECT doc_id, string_split(norm, ' ') AS t
+  FROM (SELECT doc_id,
+          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents)
+  WHERE length(norm) > 0
+), chunk_rows AS (
+  SELECT CAST(p AS BIGINT) AS pack_id, doc_id,
+    CAST(greatest(0, p * {L} - gstart) AS BIGINT) AS a,
+    CAST(least(n_tokens, p * {L} + {L} - gstart)
+         - greatest(0, p * {L} - gstart) AS BIGINT) AS b,
+    CAST(greatest(0, gstart - p * {L}) AS BIGINT) AS c
+  FROM (SELECT doc_id, n_tokens, gstart,
+          unnest(generate_series(CAST(gstart // {L} AS BIGINT),
+                                 CAST((gstart + n_tokens - 1) // {L}
+                                      AS BIGINT))) AS p
+        FROM pos)
+), mat_rows AS (
+  -- reassembled concat-and-chunk sequences: per-pack token stream in
+  -- pack_off order (chunks are non-empty, so joining chunk strings
+  -- with ' ' equals joining the flattened token list with ' ')
+  SELECT c.pack_id, CAST(SUM(c.b) AS BIGINT) AS n_tokens,
+    CAST('0x' || substr(md5(string_agg(
+      array_to_string(list_slice(t.t, c.a + 1, c.a + c.b), ' '),
+      ' ' ORDER BY c.c)), 1, 8) AS BIGINT) AS h
+  FROM chunk_rows c JOIN tokd t USING (doc_id)
+  GROUP BY c.pack_id
+), matg_rows AS (
+  SELECT r.shard * 1099511627776 + r.placed AS pack_id,
+    CAST(SUM(r.n_tokens) AS BIGINT) AS n_tokens,
+    CAST('0x' || substr(md5(string_agg(
+      array_to_string(t.t, ' '), ' ' ORDER BY r.pack_off)), 1, 8)
+      AS BIGINT) AS h
+  FROM rec r JOIN tokd t USING (doc_id)
+  GROUP BY r.shard * 1099511627776 + r.placed
 )
-SELECT 'chunk' AS kind, CAST(p AS BIGINT) AS pack_id, doc_id,
-  CAST(greatest(0, p * {L} - gstart) AS BIGINT) AS a,
-  CAST(least(n_tokens, p * {L} + {L} - gstart)
-       - greatest(0, p * {L} - gstart) AS BIGINT) AS b,
-  CAST(greatest(0, gstart - p * {L}) AS BIGINT) AS c
-FROM (SELECT doc_id, n_tokens, gstart,
-        unnest(generate_series(CAST(gstart // {L} AS BIGINT),
-                               CAST((gstart + n_tokens - 1) // {L}
-                                    AS BIGINT))) AS p
-      FROM pos)
+SELECT 'chunk' AS kind, pack_id, doc_id, a, b, c FROM chunk_rows
 UNION ALL
 SELECT 'greedy' AS kind,
   shard * 1099511627776 + placed AS pack_id, doc_id,
   pack_off AS a, n_tokens AS b,
   CAST(CASE WHEN n_tokens > {L} THEN 1 ELSE 0 END AS BIGINT) AS c
 FROM rec
+UNION ALL
+SELECT 'mat' AS kind, pack_id, CAST(-1 AS BIGINT) AS doc_id,
+  n_tokens AS a, h AS b, CAST(0 AS BIGINT) AS c
+FROM mat_rows
+UNION ALL
+SELECT 'matg' AS kind, pack_id, CAST(-1 AS BIGINT) AS doc_id,
+  n_tokens AS a, h AS b,
+  CAST(greatest(0, {L} - n_tokens) AS BIGINT) AS c
+FROM matg_rows
 ORDER BY kind, pack_id, doc_id, a
 """
 

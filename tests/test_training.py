@@ -15,6 +15,9 @@ from icdar_2019_rrc_sroie_spark.operators.dsir import (
 )
 from icdar_2019_rrc_sroie_spark.operators.packing import (
     greedy_packs,
+    hashed_vocab_ids,
+    materialize_greedy_packs,
+    materialize_packs,
     pack_chunks,
     pack_stats,
     token_counts,
@@ -149,6 +152,73 @@ class TestGreedyPacks:
             "doc_id long, text string")
         got = {r.doc_id: r.n_tokens for r in token_counts(df).collect()}
         assert got == {1: 2, 2: 0, 3: 0, 4: 1}
+
+
+def _docs_df(spark, tokens: dict[int, int]):
+    """Docs whose canonical tokenization is w<i>_0 .. w<i>_{n-1} —
+    token_counts(df) reproduces ``tokens`` exactly."""
+    return spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(n)))
+         for i, n in tokens.items()],
+        "doc_id long, text string")
+
+
+class TestMaterializePacks:
+    def test_stream_reassembles_exactly(self, spark):
+        """Concatenating materialized packs in pack_id order IS the
+        virtual stream: docs' tokens in md5-shard order, nothing
+        duplicated, dropped, or reordered — the per-token guarantee
+        the layout rows only imply."""
+        tokens = {i: (i * 31) % 140 + 1 for i in range(40)}
+        docs = _docs_df(spark, tokens)
+        layout = pack_chunks(token_counts(docs), SEQ, n_shards=4)
+        packs = materialize_packs(docs, layout) \
+            .orderBy("pack_id").collect()
+        got_stream = [t for r in packs for t in r.tokens]
+        expect_stream = [
+            f"w{i}_{j}" for _, _, i, n in _stream_order(tokens, 4)
+            for j in range(n)]
+        assert got_stream == expect_stream
+        assert [r.pack_id for r in packs] == list(range(len(packs)))
+        for r in packs[:-1]:
+            assert r.n_tokens == SEQ and len(r.tokens) == SEQ
+        tail = len(expect_stream) % SEQ or SEQ
+        assert packs[-1].n_tokens == tail
+
+    def test_hashed_vocab_ids_deterministic(self, spark):
+        import hashlib
+
+        docs = _docs_df(spark, {1: 5, 2: 3})
+        layout = pack_chunks(token_counts(docs), SEQ, n_shards=2)
+        row = materialize_packs(docs, layout, vocab_size=97) \
+            .orderBy("pack_id").collect()[0]
+        expect = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 97
+                  for t in row.tokens]
+        assert list(row.token_ids) == expect
+
+    def test_greedy_materialization_pads_and_respects_bins(self, spark):
+        tokens = {1: SEQ + 10, 2: 30, 3: 25, 4: 20, 5: 12}
+        docs = _docs_df(spark, tokens)
+        layout = greedy_packs(token_counts(docs), SEQ, n_shards=1)
+        packs = materialize_greedy_packs(
+            docs, layout, SEQ, pad_token="<pad>").collect()
+        by_id = {r.pack_id: r for r in packs}
+        lay = layout.collect()
+        for r in packs:
+            if r.overflow:
+                assert r.n_pad == 0 and r.n_tokens == SEQ + 10
+            else:
+                assert len(r.tokens) == SEQ
+                assert r.tokens[r.n_tokens:] == ["<pad>"] * r.n_pad
+                assert "<pad>" not in r.tokens[:r.n_tokens]
+        # within-pack doc order is the layout's pack_off order
+        for lr in lay:
+            pk = by_id[lr.pack_id]
+            seg = pk.tokens[lr.pack_off:lr.pack_off + lr.n_tokens]
+            assert seg == [f"w{lr.doc_id}_{j}" for j in range(lr.n_tokens)]
+        # every token of every doc placed exactly once
+        total = sum(r.n_tokens for r in packs)
+        assert total == sum(tokens.values())
 
 
 class TestDsir:
