@@ -64,6 +64,10 @@ BENCH_QUERIES = (
     "pack_sequences",
     "dsir_sample",
     "semdedup",
+    # added round 5 (late): the composed end-to-end assembly — dedup ->
+    # quality gate -> DSIR selection -> packing -> materialized
+    # sequences, the number a training-data pipeline ships on
+    "training_set",
 )
 
 

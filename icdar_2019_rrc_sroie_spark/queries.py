@@ -1120,7 +1120,7 @@ def _all_batches() -> dict:
     from .queries_pipeline import ROWS_ONLY_QUERIES
     from .queries_labeling import ROWS_ONLY_LABELING, SQL_QUERIES_LABELING
     from .queries_rules import SQL_QUERIES_RULES
-    from .queries_training import SQL_QUERIES_TRAINING
+    from .queries_training import ROWS_ONLY_TRAINING, SQL_QUERIES_TRAINING
 
     merged = dict(SQL_QUERIES)
     merged.update(SQL_QUERIES_TRAINING)
@@ -1132,6 +1132,7 @@ def _all_batches() -> dict:
     merged.update(SQL_QUERIES_RULES)
     merged.update(ROWS_ONLY_QUERIES)
     merged.update(ROWS_ONLY_LABELING)
+    merged.update(ROWS_ONLY_TRAINING)
     from .queries_rules import q_extraction_f1, q_raster_stats
     merged["extraction_f1"] = (q_extraction_f1, None)
     merged["raster_stats"] = (q_raster_stats, None)

@@ -285,7 +285,72 @@ ORDER BY sel_micro DESC, doc_id ASC LIMIT {_DSIR_KEEP}
 """
 
 
+_TS_VOCAB = 32768
+_TS_KEEP = 300
+
+
+def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set ASSEMBLY as one lazy job — the step a
+    pretraining pipeline actually ships: exact-dedup → Gopher-lite
+    quality gate → DSIR selection toward the corpus's English slice →
+    concat-and-chunk packing → materialized fixed-length sequences
+    with hashed-vocab token ids. Every constituent is value-oracled on
+    its own (`dedup_exact`, `text_quality_lang`, `dsir_sample`,
+    `pack_sequences` incl. its 'mat' arm); this rows-only entry
+    attests the COMPOSITION: one DAG, stage boundaries persisted only
+    where lineage is re-read (the DSIR featurization, via
+    dsir_select's track_persist), no driver-side collection except the
+    bounded top-k selection.
+
+    Output: one row per emitted training sequence — (pack_id,
+    n_tokens, stream_h, ids_h) with md5-prefix signatures of the token
+    stream and the hashed-vocab id stream. Fully deterministic (md5
+    ordering, RNG-free Gumbel), so the driver's rows+hash check is
+    stable. Composition invariants (planted dup excluded, only
+    selected docs packed, id/token streams consistent) are pinned by
+    tests/test_training.py."""
+    from .operators.dedup import exact_dedup, normalized_text
+    from .operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # planted exact dups so stage 1 has work
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"), "lang", "text"))
+    keep = exact_dedup(corpus).select(
+        F.col("keep_doc_id").alias("doc_id"))
+    s1 = corpus.join(keep, "doc_id", "left_semi")
+
+    # Gopher-lite gate on canonical text: enough tokens, sane mean
+    # word length (the full rule-set is oracled in text_quality_lang)
+    norm = normalized_text(F.col("text"))
+    toks = F.split(norm, " ")
+    n_tokens = F.size(toks)
+    mean_len = (F.length(norm) - n_tokens + 1) / n_tokens
+    s2 = s1.filter((F.length(norm) > 0) & (n_tokens >= 10)
+                   & (mean_len >= 2.0) & (mean_len <= 12.0))
+
+    sel = dsir_select(s2, s2.filter(F.col("lang") == "en"),
+                      n_keep=_TS_KEEP, alpha=_DSIR_ALPHA)
+    picked = s2.join(sel.select("doc_id"), "doc_id", "left_semi")
+
+    layout = pack_chunks(token_counts(picked), _SEQ_LEN, _N_SHARDS)
+    seqs = materialize_packs(picked, layout, vocab_size=_TS_VOCAB)
+    return seqs.select(
+        "pack_id", "n_tokens",
+        _stream_hash(F.col("tokens")).alias("stream_h"),
+        F.conv(F.substring(F.md5(F.array_join(
+            F.transform(F.col("token_ids"),
+                        lambda i: i.cast("string")), ",")), 1, 8),
+            16, 10).cast("long").alias("ids_h"),
+    ).orderBy("pack_id")
+
+
 SQL_QUERIES_TRAINING = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
+}
+
+ROWS_ONLY_TRAINING = {
+    "training_set": (q_training_set, None),
 }

@@ -221,6 +221,49 @@ class TestMaterializePacks:
         assert total == sum(tokens.values())
 
 
+class TestTrainingSet:
+    """Composition invariants of the end-to-end assembly query
+    (each stage's values are SQL-oracled via its own entry)."""
+
+    @pytest.fixture(scope="class")
+    def result(self, spark):
+        from icdar_2019_rrc_sroie_spark.operators.indexes import (
+            release_indexes,
+        )
+        from icdar_2019_rrc_sroie_spark.queries_training import (
+            _SEQ_LEN,
+            q_training_set,
+        )
+
+        rows = q_training_set(spark, "/root/testdata/sf0.001").collect()
+        release_indexes()
+        return rows, _SEQ_LEN
+
+    def test_emits_full_sequences(self, result):
+        rows, seq_len = result
+        assert rows, "assembly should emit sequences"
+        # zero-waste: every pack but the stream tail is exactly full
+        last = max(r.pack_id for r in rows)
+        assert all(r.n_tokens == seq_len for r in rows
+                   if r.pack_id != last)
+        assert rows[-1].n_tokens <= seq_len
+        assert [r.pack_id for r in sorted(rows, key=lambda r: r.pack_id)] \
+            == list(range(len(rows)))
+
+    def test_deterministic_across_runs(self, spark, result):
+        from icdar_2019_rrc_sroie_spark.operators.indexes import (
+            release_indexes,
+        )
+        from icdar_2019_rrc_sroie_spark.queries_training import (
+            q_training_set,
+        )
+
+        rows, _ = result
+        again = q_training_set(spark, "/root/testdata/sf0.001").collect()
+        release_indexes()
+        assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
 class TestDsir:
     def test_selects_target_like_docs(self, spark):
         # target vocabulary tok0..; raw pool: 30 target-like + 70 noise.
