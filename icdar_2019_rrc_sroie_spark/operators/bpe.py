@@ -92,7 +92,11 @@ def bpe_profile(df: DataFrame,
 
     @F.pandas_udf("n_bpe_true_tokens long, bpe_stream_md5 string")
     def _prof(texts: pd.Series) -> pd.DataFrame:
-        pat = re.compile(BPE_TOKEN_PATTERN)
+        # re.ASCII pins \s to the ASCII class both OTHER engines use
+        # (Java regex in bpe_token_count, RE2 in the DuckDB oracle);
+        # Python's default Unicode \s would pretokenize NBSP etc.
+        # differently and diverge the value compare
+        pat = re.compile(BPE_TOKEN_PATTERN, re.ASCII)
         cache: dict[str, list[str]] = {}
         ns: list[int] = []
         hs: list[str] = []
@@ -157,7 +161,9 @@ def bpe_sql_ctes(merges: list[tuple[str, str]] | None = None,
         FROM {src})
 ), bpe_words AS (SELECT DISTINCT w FROM bpe_pret),
 bpe_steps AS (
-  SELECT w, regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'g') AS s
+  -- 's' flag: RE2's '.' excludes newline by default, which would
+  -- leave \n pretokens unwrapped and desync count + stream hash
+  SELECT w, regexp_replace(w, '(.)', chr(31) || '\1' || chr(31), 'gs') AS s
   FROM bpe_words
   UNION ALL
   SELECT st.w,

@@ -338,9 +338,14 @@ def _cluster_merge_mapping(stored_labels: DataFrame, new_edges: DataFrame,
         cc.select(F.col("node").alias("_old"), F.col("component").alias("_new"))
         .filter(F.col("_old") != F.col("_new"))
     )
+    # no forced broadcast: both sides are bounded by the new-edge
+    # volume, but a huge snapshot can push the rename table past the
+    # executor broadcast budget (merge_labels_store gates its own join
+    # on the measured count for exactly that reason) — let AQE promote
+    # the small side at runtime instead of pinning the decision here
     new_rows = (
         cur.filter(F.col("n_lbls") == 0)
-        .join(F.broadcast(relabel), F.col("lbl") == F.col("_old"), "left")
+        .join(relabel, F.col("lbl") == F.col("_old"), "left")
         .select("node", F.coalesce("_new", F.col("lbl")).alias("component"))
     )
     return relabel, new_rows, cur
@@ -590,17 +595,23 @@ def ingest_snapshot(docs: DataFrame, index_path: str, labels_path: str,
     tests). Every piece is proportional to the SNAPSHOT, not the
     accumulated corpus — the property a continuous ingest needs.
     """
+    from .indexes import index_scope
+
     spark = docs.sparkSession
     init_labels_store(spark, labels_path)
-    n_bands = write_band_index(docs, index_path, snapshot_id, id_col,
-                               text_col, num_hashes, rows_per_band, k)
-    pairs = incremental_candidates(
-        docs, index_path, snapshot_id, id_col, text_col, num_hashes,
-        rows_per_band, k, max_bucket_size).persist()
-    n_pairs = pairs.count()
-    row = merge_labels_store(spark, labels_path,
-                             pairs.select("id_a", "id_b"), snapshot_id)
-    pairs.unpersist()
+    # every action completes inside this function, so the band tables
+    # cap_buckets persists are scope-released here — without the scope a
+    # foreachBatch sink leaks one persisted table per micro-batch
+    with index_scope():
+        n_bands = write_band_index(docs, index_path, snapshot_id, id_col,
+                                   text_col, num_hashes, rows_per_band, k)
+        pairs = incremental_candidates(
+            docs, index_path, snapshot_id, id_col, text_col, num_hashes,
+            rows_per_band, k, max_bucket_size).persist()
+        n_pairs = pairs.count()
+        row = merge_labels_store(spark, labels_path,
+                                 pairs.select("id_a", "id_b"), snapshot_id)
+        pairs.unpersist()
     return {"snapshot_id": snapshot_id, "n_bands": int(n_bands),
             "n_pairs": int(n_pairs), "n_renames": row["n_renames"],
             "n_new_nodes": row["n_new_nodes"]}

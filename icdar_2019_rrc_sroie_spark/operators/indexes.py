@@ -13,6 +13,7 @@ it — executor storage dies with the session.
 
 from __future__ import annotations
 
+import contextlib
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,12 +46,30 @@ def _delete_path(spark: SparkSession, path: str) -> None:
         .delete(hpath, True)
 
 
-def release_indexes() -> int:
+@contextlib.contextmanager
+def index_scope():
+    """Scope-local release: indexes/scratch dirs tracked INSIDE the
+    ``with`` block are released on exit; entries tracked before it are
+    left alone (a global :func:`release_indexes` would also drop
+    indexes the caller is still consuming). For composed steps whose
+    actions all complete inside them — e.g. ``ingest_snapshot``, which
+    otherwise leaks one persisted band table per micro-batch when run
+    from a ``foreachBatch`` sink (round-5 review)."""
+    marks = (len(_TRACKED), len(_TRACKED_PATHS))
+    try:
+        yield
+    finally:
+        release_indexes(_marks=marks)
+
+
+def release_indexes(_marks: tuple[int, int] = (0, 0)) -> int:
     """Unpersist every still-alive tracked index table and delete every
     tracked scratch dir; returns the number of items released. Safe to
-    call repeatedly."""
+    call repeatedly. ``_marks`` (internal, see :func:`index_scope`)
+    stops the sweep at a snapshot of the two registries, releasing only
+    entries tracked after it."""
     released = 0
-    while _TRACKED:
+    while len(_TRACKED) > _marks[0]:
         ref = _TRACKED.pop()
         df = ref()
         if df is not None:
@@ -59,7 +78,7 @@ def release_indexes() -> int:
                 released += 1
             except Exception:  # session already stopped
                 pass
-    while _TRACKED_PATHS:
+    while len(_TRACKED_PATHS) > _marks[1]:
         spark, path = _TRACKED_PATHS.pop()
         try:
             _delete_path(spark, path)

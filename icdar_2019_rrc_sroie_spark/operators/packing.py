@@ -185,7 +185,11 @@ def greedy_packs(counts: DataFrame, seq_len: int,
             "overflow": out_ovf,
         })
 
-    out_schema = (f"pack_id long, {id_col} long, pack_off long, "
+    # id type follows the input (token_counts et al. are id-type
+    # agnostic; hardcoding long here broke string-id corpora)
+    id_type = {f.name: f.dataType.simpleString()
+               for f in counts.schema.fields}[id_col]
+    out_schema = (f"pack_id long, {id_col} {id_type}, pack_off long, "
                   "n_tokens long, overflow boolean")
     # explicit repartition: the groupBy key count (n_shards) exceeds
     # AQE's coalesced width on small inputs, and the kernel is

@@ -46,8 +46,6 @@ def kmeans_lloyd(df: DataFrame, init: list[list[float]], iters: int = 5,
     re-seeding RNG). Combine with :func:`train_centroids` (bounded
     driver-sample init) for the standard large-scale recipe: sample
     init, full-corpus refine."""
-    k = len(init)
-    dim = len(init[0])
     centroids = [list(map(float, c)) for c in init]
     for _ in range(iters):
         assigned = df.select(

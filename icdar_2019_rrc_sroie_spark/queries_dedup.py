@@ -98,9 +98,14 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
     # scratch index on local disk (pid-suffixed: concurrent checkers
     # must not race); NOT a TemporaryDirectory — the returned plan is
-    # lazy and the driver collects after this function returns
+    # lazy and the driver collects after this function returns — but
+    # registered for deletion at the next release_indexes() so
+    # repeated runs don't accumulate dirs in the temp root
+    from .operators.indexes import track_scratch_dir
+
     idx = os.path.join(tempfile.gettempdir(),
                        f"sroie_inc_oracle_idx_{os.getpid()}")
+    track_scratch_dir(spark, idx)
     write_band_index(snap_a, idx, "snapA", num_hashes=4)
     inc_rows = incremental_candidates(
         snap_b, idx, "snapB", num_hashes=4

@@ -572,57 +572,67 @@ def q_detection_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "anchor_id")
 
 
-SQL_DETECTION_PREFIX = """
-WITH hs(hi, h) AS (VALUES (0,11.0),(1,15.0),(2,22.0)),
+# The 16x8x3 anchor grid as a CTE pair — shared by every oracle that
+# replays the synthetic detection fixture (queries_pipeline composes it
+# into detection_boxes / detection_sink).
+SQL_GRID_CTES = """hs(hi, h) AS (VALUES (0,11.0),(1,15.0),(2,22.0)),
 grid AS (
   SELECT (fy*16 + fx)*3 + hi AS anchor_id,
          fx*16 + 7.5 - 8.0 AS xmin, fy*16 + 7.5 - h/2 AS ymin,
          fx*16 + 7.5 + 8.0 AS xmax, fy*16 + 7.5 + h/2 AS ymax
   FROM generate_series(0,7) g1(fy)
   CROSS JOIN generate_series(0,15) g2(fx) CROSS JOIN hs
-), keys AS (
-  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 100 = 0
-), preds AS (
-  SELECT l_orderkey, anchor_id, xmin, ymin, xmax, ymax,
-    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+)"""
+
+
+def sql_md5_boxes_ctes(keys_sql: str, key_col: str, prefix: str = "",
+                       thr: float = 0.7) -> str:
+    """CTE chain replaying the md5-driven synthetic prediction fixture
+    (q_detection_prefix's Spark side): key set x anchor ``grid`` (from
+    :data:`SQL_GRID_CTES`, which must precede this fragment) → h1/h2
+    digests → vertical-coordinate decode → clip to the 256x128 page →
+    score filter. Emits ``{prefix}keys/{prefix}preds/{prefix}decoded/
+    {prefix}clipped``; the terminal ``{prefix}clipped`` has columns
+    (``key_col``, anchor_id, cxmin, cymin, cxmax, cymax, score).
+    Parameterized so the detection_boxes oracle replays the chain TWICE
+    (prefix half keyed l_orderkey at thr 0.7, lines half keyed doc at
+    thr 0.9) without duplicating the decode algebra (round-5 review:
+    three hand-kept copies had already drifted into dead code)."""
+    p = prefix
+    return f"""{p}keys AS (
+  {keys_sql}
+), {p}preds AS (
+  SELECT {key_col}, anchor_id, xmin, ymin, xmax, ymax,
+    CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR) || '_' ||
          CAST(anchor_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
-    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+    CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR) || '_' ||
          CAST(anchor_id AS VARCHAR)), 9, 8) AS BIGINT) AS h2
-  FROM keys CROSS JOIN grid
-), decoded AS (
-  SELECT l_orderkey, anchor_id,
+  FROM {p}keys CROSS JOIN grid
+), {p}decoded AS (
+  SELECT {key_col}, anchor_id,
     (h1 % 1000) / 1000.0 AS score,
     xmin, xmax,
     ((h1 % 21 - 10) / 20.0) * (ymax - ymin + 1.0)
       + (ymin + ymax) / 2.0 AS vcy,
     exp((h2 % 13 - 6) / 10.0) * (ymax - ymin + 1.0) AS vhx
-  FROM preds
-), clipped AS (
-  SELECT l_orderkey, anchor_id,
+  FROM {p}preds
+), {p}clipped AS (
+  SELECT {key_col}, anchor_id,
     greatest(0.0, least(xmin, 255.0)) AS cxmin,
     greatest(0.0, least(vcy - vhx/2.0, 127.0)) AS cymin,
     greatest(0.0, least(xmax, 255.0)) AS cxmax,
     greatest(0.0, least(vcy + vhx/2.0, 127.0)) AS cymax,
     score
-  FROM decoded
-)
-SELECT l_orderkey, anchor_id,
-  CAST(floor(cxmin*1e6+0.5) AS BIGINT) AS xmin_micro,
-  CAST(floor(cymin*1e6+0.5) AS BIGINT) AS ymin_micro,
-  CAST(floor(cxmax*1e6+0.5) AS BIGINT) AS xmax_micro,
-  CAST(floor(cymax*1e6+0.5) AS BIGINT) AS ymax_micro,
-  CAST(floor(score*1e6+0.5) AS BIGINT) AS score_micro
-FROM clipped WHERE score > 0.7
-ORDER BY l_orderkey, anchor_id
-"""
+  FROM {p}decoded WHERE score > {thr}
+)"""
 
 
 SQL_QUERIES_GEO = {
     # "iou_pairs" folded into queries_pipeline's box_matching (round 5).
     # "detection_prefix" folded into queries_pipeline's detection_boxes
     # (round 5) together with the formerly rows-only NMS kernel; the
-    # prefix half is still fully value-checked there via
-    # SQL_DETECTION_PREFIX's CTE chain.
+    # prefix half is still fully value-checked there via the composed
+    # sql_md5_boxes_ctes chain (single source, no copies).
     "box_encode_decode": (q_box_encode_decode, SQL_BOX_ENCODE_DECODE),
     "clip_split": (q_clip_split, SQL_CLIP_SPLIT),
     "total_lookback": (q_total_lookback, SQL_TOTAL_LOOKBACK),

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from .operators.detection_kernels import nms_per_doc
 from .operators.geometry import anchor_grid
+from .queries_geo import SQL_GRID_CTES, sql_md5_boxes_ctes
 from .operators.sinks import detection_submission, entity_submission
 from .eval.deteval import deteval_corpus, deteval_per_doc
 from .plans.detection import detect_text_lines
@@ -154,31 +155,15 @@ SQL_NMS_CTES = """props AS (
 # the least-squares closed form (regr_slope/regr_intercept) evaluated
 # at the kernel's head-offset endpoints — outputs quantized at 1e-4,
 # far above the lstsq-vs-closed-form float divergence.
-SQL_DETECTION_LINES_CTES = f"""pdocs AS (
-  SELECT DISTINCT (l_orderkey // 100) % 40 AS doc FROM lineitem
-  WHERE l_orderkey % 100 = 0
-), ppreds AS (
-  SELECT doc, anchor_id, xmin AS a_xmin, ymin AS a_ymin,
-         xmax AS a_xmax, ymax AS a_ymax,
-    CAST('0x' || substr(md5(CAST(doc AS VARCHAR) || '_' ||
-         CAST(anchor_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
-    CAST('0x' || substr(md5(CAST(doc AS VARCHAR) || '_' ||
-         CAST(anchor_id AS VARCHAR)), 9, 8) AS BIGINT) AS h2
-  FROM pdocs CROSS JOIN grid
-), pprops AS (
+SQL_DETECTION_LINES_CTES = f"""{sql_md5_boxes_ctes(
+    "SELECT DISTINCT (l_orderkey // 100) % 40 AS doc FROM lineitem"
+    " WHERE l_orderkey % 100 = 0", "doc", prefix="p", thr=0.9)},
+pprops AS (
   SELECT 'doc' || CAST(doc AS VARCHAR) AS doc_id,
          anchor_id AS proposal_id,
-         greatest(0.0, least(a_xmin, 255.0)) AS xmin,
-         greatest(0.0, least(vcy - vhx/2.0, 127.0)) AS ymin,
-         greatest(0.0, least(a_xmax, 255.0)) AS xmax,
-         greatest(0.0, least(vcy + vhx/2.0, 127.0)) AS ymax,
+         cxmin AS xmin, cymin AS ymin, cxmax AS xmax, cymax AS ymax,
          score
-  FROM (SELECT *, (h1 % 1000) / 1000.0 AS score,
-          ((h1 % 21 - 10) / 20.0) * (a_ymax - a_ymin + 1.0)
-            + (a_ymin + a_ymax) / 2.0 AS vcy,
-          exp((h2 % 13 - 6) / 10.0) * (a_ymax - a_ymin + 1.0) AS vhx
-        FROM ppreds)
-  WHERE score > 0.9
+  FROM pclipped
 ), {_sql_nms_recursion(props="pprops", nms="pnms")},
 surv AS (
   SELECT doc_id, pick_order AS i, xmin, ymin, xmax, ymax, score,
@@ -262,46 +247,19 @@ surv AS (
 )"""
 
 
-# The prefix half replays queries_geo.SQL_DETECTION_PREFIX's CTE chain
-# (md5-driven synthetic predictions -> decode -> clip -> score filter);
-# the NMS half replays the recursive suppression above; the lines half
-# replays the full detection tail (SQL_DETECTION_LINES_CTES); the union
-# is discriminated by `src` with all halves floored onto one schema
-# (prefix/nms at 1e-6, lines at 1e-4 matching the Spark side).
+# The prefix half composes queries_geo.sql_md5_boxes_ctes (md5-driven
+# synthetic predictions -> decode -> clip -> score filter — ONE source,
+# shared with the lines half's pclipped chain); the NMS half replays
+# the recursive suppression above; the lines half replays the full
+# detection tail (SQL_DETECTION_LINES_CTES); the union is discriminated
+# by `src` with all halves floored onto one schema (prefix/nms at 1e-6,
+# lines at 1e-4 matching the Spark side).
 SQL_DETECTION_BOXES = f"""
-WITH RECURSIVE hs(hi, h) AS (VALUES (0,11.0),(1,15.0),(2,22.0)),
-grid AS (
-  SELECT (fy*16 + fx)*3 + hi AS anchor_id,
-         fx*16 + 7.5 - 8.0 AS xmin, fy*16 + 7.5 - h/2 AS ymin,
-         fx*16 + 7.5 + 8.0 AS xmax, fy*16 + 7.5 + h/2 AS ymax
-  FROM generate_series(0,7) g1(fy)
-  CROSS JOIN generate_series(0,15) g2(fx) CROSS JOIN hs
-), keys AS (
-  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 100 = 0
-), preds AS (
-  SELECT l_orderkey, anchor_id, xmin, ymin, xmax, ymax,
-    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
-         CAST(anchor_id AS VARCHAR)), 1, 8) AS BIGINT) AS h1,
-    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
-         CAST(anchor_id AS VARCHAR)), 9, 8) AS BIGINT) AS h2
-  FROM keys CROSS JOIN grid
-), decoded AS (
-  SELECT l_orderkey, anchor_id,
-    (h1 % 1000) / 1000.0 AS score,
-    xmin, xmax,
-    ((h1 % 21 - 10) / 20.0) * (ymax - ymin + 1.0)
-      + (ymin + ymax) / 2.0 AS vcy,
-    exp((h2 % 13 - 6) / 10.0) * (ymax - ymin + 1.0) AS vhx
-  FROM preds
-), clipped AS (
-  SELECT l_orderkey, anchor_id,
-    greatest(0.0, least(xmin, 255.0)) AS cxmin,
-    greatest(0.0, least(vcy - vhx/2.0, 127.0)) AS cymin,
-    greatest(0.0, least(xmax, 255.0)) AS cxmax,
-    greatest(0.0, least(vcy + vhx/2.0, 127.0)) AS cymax,
-    score
-  FROM decoded
-), {SQL_NMS_CTES},
+WITH RECURSIVE {SQL_GRID_CTES},
+{sql_md5_boxes_ctes(
+    "SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey % 100 = 0",
+    "l_orderkey", thr=0.7)},
+{SQL_NMS_CTES},
 {SQL_DETECTION_LINES_CTES}
 SELECT 'prefix' AS src, CAST(l_orderkey AS VARCHAR) AS doc_id,
   CAST(anchor_id AS BIGINT) AS item_id,
@@ -958,9 +916,13 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # scratch index on local disk (pid-suffixed — concurrent checkers
     # must not race); lazy-read by the returned plan, so not a
-    # TemporaryDirectory
+    # TemporaryDirectory — but registered for deletion at the next
+    # release_indexes() so repeated runs don't accumulate dirs
+    from .operators.indexes import track_scratch_dir
+
     idx = os.path.join(tempfile.gettempdir(),
                        f"sroie_ivf_oracle_idx_{os.getpid()}")
+    track_scratch_dir(spark, idx)
     write_ivf_index(emb, idx, cents)
     queries = emb.filter(F.col("vec_id") % 97 == 3) \
         .limit(16).selectExpr("vec_id as query_id", "embedding")

@@ -212,8 +212,9 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = the corpus's English slice (a real signal in the table):
     hashed-bigram log-ratio weights (integer micros), exact integer
     doc scores, deterministic Gumbel top-k. The oracle recomputes the
-    full recipe — md5 buckets, add-1 smoothing, micro quantization,
-    Gumbel from the same md5 — so selection matches row-for-row."""
+    full recipe — md5 buckets, add-alpha (0.05) smoothing, micro
+    quantization, Gumbel from the same md5 — so selection matches
+    row-for-row."""
     docs = _t(spark, sf_dir, "documents")
     from .operators.indexes import track_persist
 

@@ -132,3 +132,31 @@ def test_encode_word_edge_cases(word):
     got = encode_word(word, ranks)
     assert "".join(got) == word
     assert got == _encode_replace_oracle(word, merges)
+
+
+def test_bpe_oracle_matches_kernel_on_whitespace_variants(spark):
+    """Round-5 review repro, pinned: newline pretokens (RE2 '.' excludes
+    \\n unless the 's' flag is set) and NBSP (Python Unicode \\s vs the
+    ASCII \\s of Java/RE2) diverged the DuckDB oracle from the pandas
+    kernel — both engines must produce identical counts AND stream
+    hashes on texts containing them."""
+    import duckdb
+
+    from icdar_2019_rrc_sroie_spark.operators.bpe import bpe_sql_ctes
+
+    texts = ["hello\nworld", "a\xa0b", "tab\tseparated",
+             "multi\n\nnewline \n mix", "customer order total"]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {r[0]: (r[1], r[2]) for r in con.sql(
+        "WITH RECURSIVE " + bpe_sql_ctes()
+        + " SELECT doc_id, n_bpe_true_tokens, bpe_stream_md5 FROM bpe_doc"
+    ).fetchall()}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bpe_true_tokens"], r["bpe_stream_md5"])
+           for r in bpe_profile(df).collect()}
+    assert got == want
+    # the newline doc must actually count its \n pretoken
+    assert got[0][0] >= 3

@@ -475,3 +475,46 @@ def test_streaming_ingest_longitudinal_loop(spark, tmp_path):
         minhash_candidates(all_docs, num_hashes=4)).collect()}
     release_indexes()
     assert got == want
+
+
+def test_index_scope_releases_only_inner_entries(spark):
+    """index_scope (round 5) must release persists tracked inside the
+    block and leave earlier entries for the global release — the
+    mechanism that stops ingest_snapshot leaking one persisted band
+    table per foreachBatch micro-batch."""
+    from icdar_2019_rrc_sroie_spark.operators.indexes import (
+        index_scope,
+        release_indexes,
+        track_persist,
+    )
+
+    release_indexes()
+    outer = track_persist(spark.range(10))
+    with index_scope():
+        inner = track_persist(spark.range(5))
+        inner.count()
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory
+    assert outer.storageLevel.useMemory
+    assert release_indexes() == 1
+    assert not outer.storageLevel.useMemory
+
+
+def test_ingest_snapshot_leaves_no_tracked_persists(spark, tmp_path):
+    """The composed ingest step scope-releases every index it persists
+    (round-5 review: a long-running streaming_ingest otherwise pins one
+    band table per batch forever)."""
+    from icdar_2019_rrc_sroie_spark.operators import indexes
+    from icdar_2019_rrc_sroie_spark.operators.incremental import (
+        ingest_snapshot,
+    )
+
+    indexes.release_indexes()
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i}")
+         for i in range(30)], "doc_id long, text string")
+    ingest_snapshot(docs, str(tmp_path / "idx"), str(tmp_path / "lab"),
+                    "s1", max_bucket_size=64)
+    alive = [r for r in indexes._TRACKED if r() is not None]
+    assert not alive
+    assert not indexes._TRACKED_PATHS

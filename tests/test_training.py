@@ -391,3 +391,15 @@ class TestSemDedup:
                        max_cluster_size=1).collect()
         assert len(out) == len(rows)
         assert all(r.keep for r in out)  # nothing judged -> nothing dropped
+
+
+def test_greedy_packs_preserves_id_type(spark):
+    """The applyInPandas output schema derives the id column's type from
+    the input (round-5 review: a hardcoded `long` broke string-id
+    corpora that every other packing entry point accepts)."""
+    counts = spark.createDataFrame(
+        [("a", 10), ("b", 200), ("c", 70)], "doc_id string, n_tokens long")
+    out = greedy_packs(counts, SEQ, n_shards=4)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {"a", "b", "c"}

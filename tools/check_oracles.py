@@ -11,6 +11,9 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
+from icdar_2019_rrc_sroie_spark.operators.indexes import (  # noqa: E402
+    release_indexes,
+)
 from icdar_2019_rrc_sroie_spark.session import get_spark  # noqa: E402
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
@@ -58,8 +61,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
         # LSH buckets) with no unpersist hook; release at the TOP of
         # each iteration so rows-only and failed queries (which
         # `continue` before the end of the loop body) don't leak
-        # cache across the 60+ query battery
+        # cache across the 60+ query battery; release_indexes also
+        # sweeps tracked scratch dirs (oracle band/IVF indexes in the
+        # temp root) once the prior query has been collected
         spark.catalog.clearCache()
+        release_indexes()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -98,6 +104,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
                 print("  duck :", b.loc[i].to_dict())
         else:
             print(f"PASS {name} ({len(a)} rows)")
+    release_indexes()  # final sweep: last query's scratch dirs
     print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
     return 1 if failures else 0
 

@@ -41,7 +41,9 @@ N_MERGES = 64
 
 
 def word_counts(texts: list[str]) -> Counter:
-    pat = re.compile(BPE_TOKEN_PATTERN)
+    # re.ASCII: same \s semantics as the Java/RE2 consumers (see
+    # operators/bpe.py) so training pretokenizes like apply does
+    pat = re.compile(BPE_TOKEN_PATTERN, re.ASCII)
     counts: Counter = Counter()
     for t in texts:
         counts.update(pat.findall(t))
