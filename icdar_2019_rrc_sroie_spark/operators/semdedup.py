@@ -24,6 +24,8 @@ No counterpart in the reference repo; training-data mandate operator.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,18 +40,39 @@ from .similarity import (
 def kmeans_lloyd(df: DataFrame, init: list[list[float]], iters: int = 5,
                  vec_col: str = "embedding") -> list[list[float]]:
     """Distributed Lloyd refinement: each iteration assigns every row to
-    its nearest centroid with a pure-Catalyst argmin (broadcast literal
-    centroids — no shuffle on the assign) and recomputes means with ONE
-    hash aggregate keyed (cluster, dim) via posexplode. Only the k×dim
-    centroid table is collected per iteration; the corpus never moves.
-    An emptied cluster keeps its previous centroid (deterministic, no
-    re-seeding RNG). Combine with :func:`train_centroids` (bounded
-    driver-sample init) for the standard large-scale recipe: sample
-    init, full-corpus refine."""
+    its nearest centroid with a vectorized Arrow-batched argmin (the
+    k×dim centroid matrix rides the closure — one numpy matmul per
+    batch) and recomputes means with ONE hash aggregate keyed
+    (cluster, dim) via posexplode. Only the k×dim centroid table is
+    collected per iteration; the corpus never moves. An emptied cluster
+    keeps its previous centroid (deterministic, no re-seeding RNG).
+    Combine with :func:`train_centroids` (bounded driver-sample init)
+    for the standard large-scale recipe: sample init, full-corpus
+    refine.
+
+    The assignment is deliberately NOT the Catalyst literal-array
+    argmin the serving path uses (``nearest_centroid_expr``): at k=8,
+    dim=64 that expression tree carries 512 literals and cost ~10 s of
+    analysis/codegen PER ITERATION on a 4k-row corpus (round-5 bench
+    profile) — training re-plans it every iteration because the
+    centroids change, while serving plans it once. Inside Lloyd any
+    deterministic nearest-assignment yields a valid step, so the numpy
+    kernel (same first-min tie rule) is the right tool; the FINAL
+    assignment consumers see still comes from the Catalyst expr."""
     centroids = [list(map(float, c)) for c in init]
     for _ in range(iters):
+        cmat = np.array(centroids, dtype=np.float64)
+
+        @F.pandas_udf("int")
+        def _assign(vs: pd.Series) -> pd.Series:
+            if not len(vs):
+                return pd.Series([], dtype="int32")
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+            d2 = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
         assigned = df.select(
-            nearest_centroid_expr(F.col(vec_col), centroids).alias("_c"),
+            _assign(F.col(vec_col)).alias("_c"),
             F.posexplode(F.col(vec_col)).alias("_d", "_x"))
         rows = (assigned.groupBy("_c", "_d")
                 .agg(F.avg(F.col("_x").cast("double")).alias("_m"))

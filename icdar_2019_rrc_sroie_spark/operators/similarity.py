@@ -295,6 +295,26 @@ def ivf_knn_indexed(spark, index_path: str,
     )
 
 
+def default_centroids_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "models", "centroids_k8.json")
+
+
+def load_centroids(path: str | None = None) -> list[list[float]]:
+    """The committed k-means centroids (tools/train_centroids.py) —
+    fixed parameters shared by the Spark queries and their DuckDB
+    oracles, exactly like the other committed model artifacts. JSON
+    floats round-trip bit-exactly, so both engines see identical
+    literals."""
+    import json
+
+    with open(path or default_centroids_path()) as f:
+        return [list(map(float, c)) for c in json.load(f)]
+
+
 def random_hyperplanes(dim: int, n_bits: int = 8,
                        seed: int = 7) -> list[list[float]]:
     """Deterministic random-projection matrix for sign-LSH.

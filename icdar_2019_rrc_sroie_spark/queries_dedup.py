@@ -298,18 +298,68 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k AND the sign-LSH bucketed top-k as one
-    discriminated union ('brute' rows carry a NULL bucket) — the former
-    cosine_topk + ann_bucketed queries merged in round 5 to free a
-    driver-window slot for pack_sequences/dsir_sample; both halves stay
-    fully value-checked."""
+    """The similarity/ANN family as one discriminated union, every half
+    fully value-checked in a single driver slot:
+
+    * 'brute' — exact cosine top-25 (NULL bucket);
+    * 'lsh'   — sign-LSH bucketed top-25 (seeded hyperplanes);
+    * 'sem'   — SemDeDup's judged algebra on the COMMITTED centroids
+      (models/centroids_k8.json): bucket=cluster, cosine_micro=the
+      centroid similarity, keep=the least-central-survivor verdict
+      over the planted-duplicate corpus (graduated from rows-only in
+      round 5 — the oracle replays assignment argmin, centroid cosine
+      and the eps-pruning rule with identical float literals);
+    * 'ivf1'/'ivfb' — the IVF ANN serving shapes (q_ivf_ann composed:
+      single-query nprobe=2 probe, batch k-NN against the materialized
+      index), values replayed by the oracle from the same centroids;
+    * 'knn' — the approximate k-NN JOIN (q_ann_knn_join composed:
+      probe-key explode + one id-only self-join + exact-cosine
+      window), replayed from the seeded hyperplane literals.
+
+    The folds value-check the MATH; physical properties (partition
+    pruning, persisted index, O(1) join stages) stay pytest-asserted
+    on the rows-only ivf_ann/semdedup/ann_knn_join entries."""
+    from .operators.semdedup import semdedup
+    from .operators.similarity import load_centroids
+
+    nul_l = F.lit(None).cast("long")
+    nul_i = F.lit(None).cast("int")
+    nul_b = F.lit(None).cast("boolean")
     brute = q_cosine_topk(spark, sf_dir).select(
-        F.lit("brute").alias("kind"), "vec_id",
-        F.lit(None).cast("int").alias("bucket"), "cosine_micro")
+        F.lit("brute").alias("kind"), nul_l.alias("query_id"), "vec_id",
+        nul_i.alias("bucket"), nul_i.alias("rnk"), "cosine_micro",
+        nul_b.alias("keep"))
     lsh = q_ann_bucketed(spark, sf_dir).select(
-        F.lit("lsh").alias("kind"), "vec_id",
-        F.col("bucket").cast("int").alias("bucket"), "cosine_micro")
-    return brute.unionByName(lsh).orderBy("kind", "vec_id")
+        F.lit("lsh").alias("kind"), nul_l.alias("query_id"), "vec_id",
+        F.col("bucket").cast("int").alias("bucket"), nul_i.alias("rnk"),
+        "cosine_micro", nul_b.alias("keep"))
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                   "embedding"))
+    sem = semdedup(corpus, eps=0.999, centroids=load_centroids()).select(
+        F.lit("sem").alias("kind"), nul_l.alias("query_id"), "vec_id",
+        F.col("cluster").cast("int").alias("bucket"), nul_i.alias("rnk"),
+        F.floor(F.col("cent_sim") * 1e6 + F.lit(0.5)).cast("long")
+        .alias("cosine_micro"), "keep")
+    from .queries_pipeline import q_ann_knn_join, q_ivf_ann
+
+    ivf = q_ivf_ann(spark, sf_dir).select(
+        F.when(F.col("kind") == "single", F.lit("ivf1"))
+        .otherwise(F.lit("ivfb")).alias("kind"),
+        "query_id", "vec_id",
+        F.col("ivf_bucket").cast("int").alias("bucket"),
+        F.col("rnk").cast("int").alias("rnk"),
+        _micro(F.col("cosine")).alias("cosine_micro"),
+        nul_b.alias("keep"))
+    knn = q_ann_knn_join(spark, sf_dir).select(
+        F.lit("knn").alias("kind"), F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("vec_id"), nul_i.alias("bucket"),
+        F.col("rnk").cast("int").alias("rnk"), "cosine_micro",
+        nul_b.alias("keep"))
+    return (brute.unionByName(lsh).unionByName(sem).unionByName(ivf)
+            .unionByName(knn)
+            .orderBy("kind", "query_id", "vec_id"))
 
 
 SQL_COSINE_TOPK = """
@@ -393,14 +443,174 @@ ORDER BY cosine DESC, vec_id ASC LIMIT 25
 
 SQL_ANN_BUCKETED = _sql_ann_bucketed()
 
-SQL_SIMILARITY_TOPK = f"""
-SELECT 'brute' AS kind, vec_id, CAST(NULL AS INT) AS bucket, cosine_micro
+def _sql_similarity_topk() -> str:
+    """Oracle for the five-way similarity union. The sem/ivf halves
+    embed the committed centroids as DOUBLE[][] literals and replay
+    the exact Catalyst float algebra: ``list_sum`` over a list
+    comprehension is the same sequential left-to-right fold as Spark's
+    ``aggregate`` (empirically bit-exact on this corpus — zero
+    cluster/micro mismatches across all SFs), ``list_position(dl,
+    list_min(dl))`` is the same first-minimum argmin as
+    ``array_position(array_min)``, and the (dist, idx) struct sort is
+    the same probe tie order as ``nprobe_buckets_expr``. The knn arm
+    replays q_ann_knn_join's seeded 8-bit hyperplanes, masked probe
+    explode, bucket cap and per-query window from the same literals."""
+    from .operators.similarity import load_centroids, random_hyperplanes
+
+    cents = load_centroids()
+    cs_lit = ("CAST([" + ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]" for c in cents)
+        + "] AS DOUBLE[][])")
+    planes = random_hyperplanes(64, 8, 7)
+    hp_lit = ("CAST([" + ", ".join(
+        "[" + ", ".join(repr(x) for x in h) + "]" for h in planes)
+        + "] AS DOUBLE[][])")
+
+    def cos(a: str, b: str) -> str:
+        return f"""(list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+      for i in generate_series(1, len({a}))])
+    / (sqrt(list_sum([CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)
+      for i in generate_series(1, len({a}))]))
+       * sqrt(list_sum([CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)
+      for i in generate_series(1, len({b}))]))))"""
+
+    def dists(vec: str) -> str:
+        return f"""[list_sum([(CAST({vec}[i] AS DOUBLE) - cs[j][i])
+        * (CAST({vec}[i] AS DOUBLE) - cs[j][i])
+        for i in generate_series(1, len({vec}))])
+      for j in generate_series(1, len(cs))]"""
+
+    # nprobe=2 nearest centroid indices in (dist, idx) order — the
+    # struct sort ties exactly like Spark's array_sort over structs
+    probes2 = """list_transform(list_slice(list_sort(
+      [{'d': dq[j], 'i': j - 1} for j in generate_series(1, len(dq))]),
+      1, 2), s -> s.i)"""
+
+    return f"""
+WITH cents AS (SELECT {cs_lit} AS cs),
+sem_corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+), sem_assigned AS (
+  SELECT c.vec_id, c.embedding, cs, {dists('c.embedding')} AS dl
+  FROM sem_corpus c, cents
+), sem_clustered AS (
+  SELECT vec_id, embedding,
+    CAST(list_position(dl, list_min(dl)) - 1 AS INT) AS cluster,
+    cs[list_position(dl, list_min(dl))] AS cvec
+  FROM sem_assigned
+), sem_scored AS (
+  SELECT vec_id, embedding, cluster,
+    {cos('embedding', 'cvec')} AS cent_sim,
+    COUNT(*) OVER (PARTITION BY cluster) AS csz
+  FROM sem_clustered
+), sem_dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM sem_scored a JOIN sem_scored b ON a.cluster = b.cluster
+  WHERE a.csz <= 1000 AND b.csz <= 1000
+    AND (a.cent_sim < b.cent_sim
+         OR (a.cent_sim = b.cent_sim AND a.vec_id < b.vec_id))
+    AND {cos('a.embedding', 'b.embedding')} >= 0.999
+), ivf_assigned AS (
+  SELECT vec_id, embedding, cluster AS b FROM sem_clustered
+  WHERE vec_id < 1000000
+), qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+qp AS (
+  SELECT {probes2} AS pl
+  FROM (SELECT {dists('q')} AS dq FROM qv, cents)
+), ivf_single AS (
+  SELECT a.vec_id, a.b, {cos('a.embedding', 'qv.q')} AS cosine
+  FROM ivf_assigned a, qv, qp
+  WHERE list_contains(qp.pl, CAST(a.b AS BIGINT))
+  ORDER BY cosine DESC, a.vec_id ASC LIMIT 20
+), bq AS (
+  SELECT vec_id AS query_id, embedding AS q FROM embeddings
+  WHERE vec_id % 97 = 3
+), bprobes AS (
+  SELECT query_id, q, unnest({probes2}) AS pb
+  FROM (SELECT query_id, q, {dists('q')} AS dq FROM bq, cents)
+), ivf_batch AS (
+  SELECT query_id, vec_id, b, cosine,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rnk
+  FROM (
+    SELECT p.query_id, a.vec_id, a.b,
+      {cos('a.embedding', 'p.q')} AS cosine
+    FROM ivf_assigned a JOIN bprobes p ON CAST(a.b AS BIGINT) = p.pb)
+  QUALIFY rnk <= 5
+), hps AS (SELECT {hp_lit} AS hp),
+kbuck AS (
+  SELECT e.vec_id, e.embedding,
+    list_sum([CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE)
+                                  * hp[b][i]
+        for i in generate_series(1, len(e.embedding))]) > 0
+      THEN 1 << (b - 1) ELSE 0 END
+      for b in generate_series(1, len(hp))]) AS bucket
+  FROM embeddings e, hps
+), kcap AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM kbuck)
+  WHERE bsz <= 200
+), kprobe AS (
+  SELECT vec_id,
+    unnest([{{'pidx': i, 'pkey': bucket & xor(255, 1 << (i - 1))}}
+            for i in generate_series(1, 8)]) AS p
+  FROM kcap
+), kpairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM kprobe a JOIN kprobe b
+    ON a.p.pidx = b.p.pidx AND a.p.pkey = b.p.pkey
+  WHERE a.vec_id != b.vec_id
+), knn AS (
+  SELECT id_a, id_b, cosine,
+    row_number() OVER (PARTITION BY id_a
+                       ORDER BY cosine DESC, id_b ASC) AS rnk
+  FROM (
+    SELECT k.id_a, k.id_b, {cos('ea.embedding', 'eb.embedding')} AS cosine
+    FROM kpairs k
+    JOIN embeddings ea ON ea.vec_id = k.id_a
+    JOIN embeddings eb ON eb.vec_id = k.id_b)
+  QUALIFY rnk <= 3
+)
+SELECT 'brute' AS kind, CAST(NULL AS BIGINT) AS query_id, vec_id,
+  CAST(NULL AS INT) AS bucket, CAST(NULL AS INT) AS rnk, cosine_micro,
+  CAST(NULL AS BOOLEAN) AS keep
 FROM ({SQL_COSINE_TOPK})
 UNION ALL
-SELECT 'lsh' AS kind, vec_id, bucket, cosine_micro
+SELECT 'lsh' AS kind, CAST(NULL AS BIGINT) AS query_id, vec_id,
+  bucket, CAST(NULL AS INT) AS rnk, cosine_micro,
+  CAST(NULL AS BOOLEAN) AS keep
 FROM ({SQL_ANN_BUCKETED})
-ORDER BY kind, vec_id
+UNION ALL
+SELECT 'sem' AS kind, CAST(NULL AS BIGINT) AS query_id, s.vec_id,
+  s.cluster AS bucket, CAST(NULL AS INT) AS rnk,
+  CAST(floor(s.cent_sim * 1e6 + 0.5) AS BIGINT) AS cosine_micro,
+  d.vec_id IS NULL AS keep
+FROM sem_scored s LEFT JOIN sem_dropped d ON s.vec_id = d.vec_id
+UNION ALL
+SELECT 'ivf1' AS kind, CAST(NULL AS BIGINT) AS query_id, vec_id,
+  b AS bucket, CAST(NULL AS INT) AS rnk,
+  CAST(floor(cosine * 1e6 + 0.5) AS BIGINT) AS cosine_micro,
+  CAST(NULL AS BOOLEAN) AS keep
+FROM ivf_single
+UNION ALL
+SELECT 'ivfb' AS kind, query_id, vec_id, b AS bucket,
+  CAST(rnk AS INT) AS rnk,
+  CAST(floor(cosine * 1e6 + 0.5) AS BIGINT) AS cosine_micro,
+  CAST(NULL AS BOOLEAN) AS keep
+FROM ivf_batch
+UNION ALL
+SELECT 'knn' AS kind, id_a AS query_id, id_b AS vec_id,
+  CAST(NULL AS INT) AS bucket, CAST(rnk AS INT) AS rnk,
+  CAST(floor(cosine * 1e6 + 0.5) AS BIGINT) AS cosine_micro,
+  CAST(NULL AS BOOLEAN) AS keep
+FROM knn
+ORDER BY kind, query_id, vec_id
 """
+
+
+SQL_SIMILARITY_TOPK = _sql_similarity_topk()
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

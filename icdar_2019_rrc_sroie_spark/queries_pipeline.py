@@ -891,21 +891,25 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     discriminated union: ``single`` rows = the unindexed nprobe=2
     probe for one query vector (exactness vs brute force
     pytest-verified); ``batch`` rows = ``ivf_knn_indexed`` over a
-    16-query table against a materialized partition-pruned index
+    query table against a materialized partition-pruned index
     (round 5 — per-query parity with ``ivf_topk_indexed`` and
-    PartitionFilters pruning pytest-asserted)."""
+    PartitionFilters pruning pytest-asserted). Serves the COMMITTED
+    centroids (models/centroids_k8.json), so the probe/assign/top-k
+    values are ALSO fully SQL-checked as similarity_topk's 'ivf1' /
+    'ivfb' rows; this entry keeps the materialized-index physical
+    path (scratch write + pruned read) under the rows-only check."""
     import os
     import tempfile
 
     from .operators.similarity import (
         ivf_knn_indexed,
         ivf_topk,
-        train_centroids,
+        load_centroids,
         write_ivf_index,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = train_centroids(emb, k=8, iters=5, sample_size=2000)
+    cents = load_centroids()
     query = emb.filter(F.col("vec_id") == 0).select("embedding") \
         .collect()[0][0]
     single = ivf_topk(emb, cents, list(query), k=20, nprobe=2).select(
@@ -924,8 +928,10 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                        f"sroie_ivf_oracle_idx_{os.getpid()}")
     track_scratch_dir(spark, idx)
     write_ivf_index(emb, idx, cents)
+    # deterministic query subset (an unordered limit() would pick
+    # engine-dependent rows — disqualifying for the SQL value check)
     queries = emb.filter(F.col("vec_id") % 97 == 3) \
-        .limit(16).selectExpr("vec_id as query_id", "embedding")
+        .selectExpr("vec_id as query_id", "embedding")
     batch = ivf_knn_indexed(spark, idx, cents, queries, k=5, nprobe=2) \
         .select(F.lit("batch").alias("kind"), "query_id", "vec_id",
                 "ivf_bucket", "cosine", "rnk")
@@ -1275,20 +1281,23 @@ def q_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: sample-init + distributed-
-    Lloyd k-means, within-cluster eps-cosine pruning keeping each
-    neighborhood's least-central member. Rows-only by design (k-means
-    is iterative with data-dependent float centroids — not
-    SQL-expressible); NumPy parity is pinned in tests/test_training.py.
-    cent_sim is micro-quantized so the rows-only checker's
-    canonicalizer sees stable values."""
+    """SemDeDup over the embeddings table: within-cluster eps-cosine
+    pruning keeping each neighborhood's least-central member, served
+    from the COMMITTED centroids (models/centroids_k8.json — the
+    judged assignment/cosine/keep algebra is fully value-checked as
+    the 'sem' rows of similarity_topk with the same literals). This
+    registry entry benches the production judge shape; the TRAINING
+    path (sample init + distributed Lloyd) stays covered by NumPy
+    parity in tests/test_training.py — its data-dependent float
+    centroids are the one part no SQL oracle can replay."""
     from .operators.semdedup import semdedup
+    from .operators.similarity import load_centroids
 
     emb = _t(spark, sf_dir, "embeddings")
     dup = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"),
                      "embedding")
     corpus = emb.select("vec_id", "embedding").unionByName(dup)
-    out = semdedup(corpus, k=8, eps=0.999, lloyd_iters=2)
+    out = semdedup(corpus, eps=0.999, centroids=load_centroids())
     return out.select(
         "vec_id", "cluster",
         F.floor(F.col("cent_sim") * 1e6 + F.lit(0.5)).cast("long")
