@@ -159,6 +159,92 @@ def main_content_blocks(text: Column,
     return F.array_join(F.transform(good, lambda b: b["text"]), "\n")
 
 
+def contextual_block_table(df, text_col: str = "text",
+                           out_col: str = "ctx_blocks",
+                           min_words: int = MIN_GOOD_WORDS,
+                           max_link_density: float = MAX_LINK_DENSITY):
+    """jusText's CONTEXT-SENSITIVE pass (round 5 — the part that
+    distinguishes jusText from a plain per-block threshold). Blocks
+    are first classified context-free into
+
+    * ``bad``   — link-dense (nav bars, social footers), regardless of
+      length;
+    * ``good``  — enough words at low link density;
+    * ``short`` — too few words to judge on their own (captions,
+      list items, single-sentence paragraphs);
+
+    then every ``short`` block inherits ``good`` iff its NEAREST
+    non-short neighbor on either side is good — a caption inside an
+    article survives, a stray fragment between two nav bars does not
+    (simplified from jusText's near-good ladder; the two-sided
+    nearest-neighbor rule is the load-bearing part). Edge blocks with
+    no non-short neighbor on one side use the other side alone.
+
+    DataFrame in → DataFrame out with ``out_col`` added: array of
+    struct(text, n_words, link_density, cls, ctx_good). The context
+    scan never leaves the row (ZERO shuffle at any corpus size), and
+    the operator is deliberately DataFrame-level: features and
+    context-free classes are materialized as intermediate columns
+    across projection boundaries, so the per-element neighbor lookups
+    slice an already-computed ATTRIBUTE — referencing the expression
+    trees inside the lambdas instead would re-run the block regex
+    chain per lookup, the O(n²)-HOF-re-evaluation class this repo
+    keeps plan asserts against. Out-of-range neighbor lookups use
+    ``F.get`` (NULL, not ANSI error); empty block arrays short-circuit
+    through the ``sequence`` guard."""
+    feats_c, cls_c = "_bp_feats", "_bp_cls"
+    step1 = df.withColumn(
+        feats_c, F.transform(html_blocks(F.col(text_col)),
+                             block_features))
+    step2 = step1.withColumn(
+        cls_c,
+        F.transform(
+            F.col(feats_c),
+            lambda b: F.when(b["link_density"] > max_link_density,
+                             F.lit("bad"))
+            .when(b["n_words"] >= min_words, F.lit("good"))
+            .otherwise(F.lit("short"))))
+
+    cls = F.col(cls_c)
+
+    def _ctx_good(i: Column) -> Column:
+        # nearest non-short class before / after block i (1-based);
+        # `cls` here is a materialized row field, so each slice is a
+        # cheap array read, not a recomputation
+        before = F.filter(F.slice(cls, F.lit(1), i - 1),
+                          lambda c: c != "short")
+        after = F.filter(
+            F.slice(cls, i + 1, F.greatest(F.size(cls) - i, F.lit(0))),
+            lambda c: c != "short")
+        prev_c = F.get(before, F.size(before) - 1)
+        next_c = F.get(after, F.lit(0))
+        return prev_c.eqNullSafe("good") | next_c.eqNullSafe("good")
+
+    idxs = F.when(F.size(cls) > 0,
+                  F.sequence(F.lit(1), F.size(cls))) \
+        .otherwise(F.array().cast("array<int>"))
+    zipped = F.zip_with(
+        F.zip_with(F.col(feats_c), cls, lambda b, c: F.struct(
+            b["text"].alias("text"), b["n_words"].alias("n_words"),
+            b["link_density"].alias("link_density"), c.alias("cls"))),
+        F.transform(idxs, _ctx_good),
+        lambda s, ctx: F.struct(
+            s["text"].alias("text"), s["n_words"].alias("n_words"),
+            s["link_density"].alias("link_density"),
+            s["cls"].alias("cls"),
+            F.when(s["cls"] == "good", F.lit(True))
+            .when(s["cls"] == "bad", F.lit(False))
+            .otherwise(ctx).alias("ctx_good")))
+    return step2.withColumn(out_col, zipped).drop(feats_c, cls_c)
+
+
+def contextual_main_expr(blocks: Column) -> Column:
+    """Main content from a :func:`contextual_block_table` block array:
+    newline-joined text of the finally-good blocks."""
+    good = F.filter(blocks, lambda b: b["ctx_good"])
+    return F.array_join(F.transform(good, lambda b: b["text"]), "\n")
+
+
 # --------------------------------------------------------------------------
 # Repeated-line page-header/footer removal (north_rule "PDF/layout
 # parse" deepened): a page-structured document carries the same running

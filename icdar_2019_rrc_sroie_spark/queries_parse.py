@@ -77,11 +77,21 @@ FROM parsed ORDER BY l_orderkey, l_linenumber
 
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrap documents in HTML-ish boilerplate (nav bar + social footer,
-    both link-dense), then run BOTH extraction stages: the DOM
-    main-content + tag-strip + line-filter path, and the round-3
-    JusText-style block classifier (link-density / word-count over
-    block-level splits — operators/boilerplate.py:classify_blocks)."""
-    from .operators.boilerplate import classify_blocks
+    both link-dense, PLUS two planted short blocks), then run all
+    THREE extraction stages: the DOM main-content + tag-strip +
+    line-filter path, the round-3 JusText-style context-free block
+    classifier, and the round-5 CONTEXT-SENSITIVE pass
+    (operators/boilerplate.py:contextual_block_table). The planted
+    'Fig. 1' caption sits next to the good content block (must be
+    recovered by the context rule) while 'ok then' sits between the
+    link-dense social block and the short footer chrome (must stay
+    dropped) — so n_recovered and the reassembled-main md5 genuinely
+    value-check the neighbor-inheritance rule."""
+    from .operators.boilerplate import (
+        classify_blocks,
+        contextual_block_table,
+        contextual_main_expr,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     wrapped = F.concat(
@@ -92,7 +102,9 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"),
         F.lit(' ==\n<div class="content">\n   '),
         F.substring("text", 1, 200),
-        F.lit('  \n</div>\n<p>Share on <a href="#">social</a></p>\n'
+        F.lit('  \n</div>\n<p>Fig. 1</p>\n'
+              '<p>Share on <a href="#">social</a></p>\n'
+              '<p>ok then</p>\n'
               '== FOOTER ==\n</body></html>'),
     )
     content = main_content(wrapped)
@@ -107,7 +119,18 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                              lambda acc, b: acc + b["link_chars"])
     good_len = F.aggregate(good, F.lit(0),
                            lambda acc, b: acc + b["n_chars"])
-    return docs.select(
+    ctx = contextual_block_table(
+        docs.select("doc_id", wrapped.alias("_w")), text_col="_w")
+    cb = F.col("ctx_blocks")
+    n_short = F.size(F.filter(cb, lambda b: b["cls"] == "short"))
+    n_recovered = F.size(F.filter(
+        cb, lambda b: (b["cls"] == "short") & b["ctx_good"]))
+    ctx_cols = ctx.select(
+        "doc_id",
+        n_short.alias("n_short"),
+        n_recovered.alias("n_recovered"),
+        F.md5(contextual_main_expr(cb)).alias("ctx_main_md5"))
+    base = docs.select(
         "doc_id",
         F.size(lines).alias("n_lines"),
         F.length(F.array_join(lines, "\n")).cast("long").alias("clean_len"),
@@ -116,7 +139,8 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(good).alias("n_good_blocks"),
         link_chars.cast("long").alias("link_chars"),
         good_len.cast("long").alias("good_len"),
-    ).orderBy("doc_id")
+    )
+    return base.join(ctx_cols, "doc_id").orderBy("doc_id")
 
 
 SQL_BOILERPLATE_STRIP = r"""
@@ -127,7 +151,9 @@ WITH wrapped AS (
     '== HEADER doc ' || doc_id || ' ==' || chr(10) ||
     '<div class="content">' || chr(10) || '   ' ||
     substr(text, 1, 200) || '  ' || chr(10) ||
-    '</div>' || chr(10) || '<p>Share on <a href="#">social</a></p>' || chr(10) ||
+    '</div>' || chr(10) || '<p>Fig. 1</p>' || chr(10) ||
+    '<p>Share on <a href="#">social</a></p>' || chr(10) ||
+    '<p>ok then</p>' || chr(10) ||
     '== FOOTER ==' || chr(10) || '</body></html>' AS w
   FROM documents
 ), blocks AS (
@@ -140,6 +166,7 @@ WITH wrapped AS (
 ), feats AS (
   SELECT doc_id,
     list_transform(bs, b -> struct_pack(
+      txt := trim(regexp_replace(b, '<[^>]*>', '', 'g')),
       n_chars := length(trim(regexp_replace(b, '<[^>]*>', '', 'g'))),
       n_words := CASE WHEN length(trim(regexp_replace(b, '<[^>]*>', '', 'g'))) > 0
                       THEN len(regexp_split_to_array(trim(regexp_replace(b, '<[^>]*>', '', 'g')), '\s+'))
@@ -156,6 +183,39 @@ WITH wrapped AS (
             THEN CAST(f.link_chars AS DOUBLE) / f.n_chars
             ELSE 1.0 END) <= 0.3) AS good
   FROM feats
+), clslist AS (
+  -- context-free class per block, then the jusText context rule:
+  -- a short block is finally good iff its nearest non-short
+  -- neighbor on either side is good (NULL-safe like eqNullSafe)
+  SELECT doc_id, fs,
+    list_transform(fs, f -> CASE
+      WHEN (CASE WHEN f.n_chars > 0
+                 THEN CAST(f.link_chars AS DOUBLE) / f.n_chars
+                 ELSE 1.0 END) > 0.3 THEN 'bad'
+      WHEN f.n_words >= 5 THEN 'good'
+      ELSE 'short' END) AS cl
+  FROM feats
+), ctx AS (
+  SELECT doc_id, fs, cl,
+    [CASE WHEN cl[i] = 'good' THEN true
+          WHEN cl[i] = 'bad' THEN false
+          ELSE coalesce(
+            list_filter(list_slice(cl, 1, i - 1),
+                        c -> c != 'short')[-1] = 'good', false)
+            OR coalesce(
+            list_filter(list_slice(cl, i + 1, len(cl)),
+                        c -> c != 'short')[1] = 'good', false)
+     END for i in generate_series(1, len(cl))] AS ctxg
+  FROM clslist
+), ctxstats AS (
+  SELECT doc_id,
+    CAST(len(list_filter(cl, c -> c = 'short')) AS INT) AS n_short,
+    CAST(len([i for i in generate_series(1, len(cl))
+              if cl[i] = 'short' AND ctxg[i]]) AS INT) AS n_recovered,
+    md5(array_to_string(
+      [fs[i].txt for i in generate_series(1, len(cl)) if ctxg[i]],
+      chr(10))) AS ctx_main_md5
+  FROM ctx
 ), blockstats AS (
   SELECT doc_id,
     CAST(len(fs) AS INT) AS n_blocks,
@@ -184,8 +244,11 @@ WITH wrapped AS (
 SELECT l.doc_id, CAST(len(l.lines) AS INT) AS n_lines,
   CAST(length(array_to_string(l.lines, chr(10))) AS BIGINT) AS clean_len,
   l.lines[1] AS first_line,
-  b.n_blocks, b.n_good_blocks, b.link_chars, b.good_len
-FROM lined l JOIN blockstats b ON l.doc_id = b.doc_id
+  b.n_blocks, b.n_good_blocks, b.link_chars, b.good_len,
+  c.n_short, c.n_recovered, c.ctx_main_md5
+FROM lined l
+JOIN blockstats b ON l.doc_id = b.doc_id
+JOIN ctxstats c ON l.doc_id = c.doc_id
 ORDER BY l.doc_id
 """
 

@@ -328,12 +328,24 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(norm, " ")
     n_tokens = F.size(toks)
     mean_len = (F.length(norm) - n_tokens + 1) / n_tokens
-    s2 = s1.filter((F.length(norm) > 0) & (n_tokens >= 10)
-                   & (mean_len >= 2.0) & (mean_len <= 12.0))
+    # first persisted stage boundary: the deduped+gated corpus is read
+    # three times downstream (raw featurization, target featurization,
+    # the selection semi-join) and each read would re-run the dedup
+    # window + quality filters over the raw union
+    from .operators.indexes import track_persist
+
+    s2 = track_persist(
+        s1.filter((F.length(norm) > 0) & (n_tokens >= 10)
+                  & (mean_len >= 2.0) & (mean_len <= 12.0)))
 
     sel = dsir_select(s2, s2.filter(F.col("lang") == "en"),
                       n_keep=_TS_KEEP, alpha=_DSIR_ALPHA)
-    picked = s2.join(sel.select("doc_id"), "doc_id", "left_semi")
+    # second persisted stage boundary: the packing stages read `picked`
+    # TWICE (token_counts for the layout, doc_token_arrays for the
+    # materialization); both persists together: 26.7 -> ~14 s cold,
+    # 10.3 -> 2.1 s warm at sf0.1
+    picked = track_persist(
+        s2.join(sel.select("doc_id"), "doc_id", "left_semi"))
 
     layout = pack_chunks(token_counts(picked), _SEQ_LEN, _N_SHARDS)
     seqs = materialize_packs(picked, layout, vocab_size=_TS_VOCAB)

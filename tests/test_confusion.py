@@ -156,3 +156,53 @@ def test_pii_matches_python_re_on_random_text(spark):
         want_r = re.sub(PHONE_PATTERN, "[PHONE]", t1)
         assert (got[i]["e"], got[i]["p"], got[i]["r"]) == \
             (want_e, want_p, want_r), (i, t)
+
+
+def test_contextual_block_classifier(spark):
+    """jusText context pass (round 5): a short caption whose nearest
+    non-short neighbor is good gets recovered; a short fragment whose
+    non-short neighbors are bad stays dropped; edge shorts use the one
+    side they have; empty and untagged payloads degrade sanely."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.boilerplate import (
+        contextual_block_table,
+        contextual_main_expr,
+    )
+
+    html = (
+        '<p>Short lead</p>'
+        '<nav><a href="/">Home</a> <a href="/a">A</a> <a href="/b">B</a>'
+        '</nav>'
+        '<p>This main paragraph easily has enough words to be judged good'
+        ' content.</p>'
+        '<p>Fig. 1 caption</p>'
+        '<p>Another body paragraph with clearly more than five words in'
+        ' it.</p>'
+        '<p>Share <a href="#">social</a></p>'
+        '<p>stray frag</p>'
+        '<footer><a href="/x">x</a><a href="/y">y</a></footer>'
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, ""), (3, "plain untagged text with lots of words"
+                                 " making it good")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           contextual_block_table(df)
+           .withColumn("main", contextual_main_expr(F.col("ctx_blocks")))
+           .collect()}
+    b1 = [(b["cls"], b["ctx_good"]) for b in out[1]["ctx_blocks"]]
+    assert b1 == [
+        ("short", False),   # lead: nearest non-short neighbor is bad nav
+        ("bad", False),     # nav
+        ("good", True),
+        ("short", True),    # caption between two goods -> recovered
+        ("good", True),
+        ("bad", False),     # social
+        ("short", False),   # stray frag between two bads
+        ("bad", False),     # footer
+    ]
+    assert "Fig. 1 caption" in out[1]["main"]
+    assert "stray frag" not in out[1]["main"]
+    assert out[2]["ctx_blocks"] == [] and out[2]["main"] == ""
+    assert out[3]["ctx_blocks"][0]["ctx_good"] and "plain" in out[3]["main"]
