@@ -342,8 +342,8 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
                       n_keep=_TS_KEEP, alpha=_DSIR_ALPHA)
     # second persisted stage boundary: the packing stages read `picked`
     # TWICE (token_counts for the layout, doc_token_arrays for the
-    # materialization); both persists together: 26.7 -> ~14 s cold,
-    # 10.3 -> 2.1 s warm at sf0.1
+    # materialization); both persists together (quiet window, sf0.1):
+    # in-battery entry 15.7 -> 5.5 s, warm rerun 10.3 -> 2.1 s
     picked = track_persist(
         s2.join(sel.select("doc_id"), "doc_id", "left_semi"))
 
