@@ -300,6 +300,99 @@ def materialize_greedy_packs(docs: DataFrame, layout: DataFrame,
     return grouped
 
 
+def epoch_order(packs: DataFrame, epoch: int,
+                id_col: str = "pack_id") -> DataFrame:
+    """Deterministic per-epoch global reshuffle of a packed set: rows
+    ordered by ``md5(epoch || pack_id)`` — a different permutation
+    every epoch, byte-identical on re-run (RNG-free, the corpus-order
+    discipline of the packing layouts applied to epochs). Trainers
+    stream epochs without materializing a shuffled copy per epoch; at
+    cluster scale the sort is the one total-order the trainer already
+    pays for, and Spark runs it sampled-range-partitioned, not
+    single-task."""
+    key = F.md5(F.concat(F.lit(f"epoch{int(epoch)}:"),
+                         F.col(id_col).cast("string")))
+    return packs.orderBy(key, id_col)
+
+
+def write_training_shards(seqs: DataFrame, path: str,
+                          rows_per_shard: int = 1024,
+                          epoch: int = 0,
+                          id_col: str = "pack_id") -> dict:
+    """Ship packed sequences to the trainer: size-bounded parquet
+    shards in the deterministic :func:`epoch_order`, plus a
+    ``_manifest`` the trainer (or a re-run) can verify the export
+    against WITHOUT re-reading the corpus.
+
+    Shard size is bounded JVM-side (``maxRecordsPerFile`` — the writer
+    rolls files, no custom partitioner); the manifest is computed by
+    reading the written files back with ``input_file_name`` and
+    carries per-shard row/token counts plus an order-free value
+    signature (sum of per-row xxhash64 over the serialized row — file
+    boundaries may shift with write parallelism, but the TOTAL
+    signature is partition-invariant and is what the verify step
+    checks). Returns the totals dict; re-running overwrites
+    idempotently.
+    """
+    spark = seqs.sparkSession
+    cols = [c for c in seqs.columns]
+    ordered = epoch_order(seqs, epoch, id_col)
+    (ordered.write.mode("overwrite")
+        .option("maxRecordsPerFile", int(rows_per_shard))
+        .parquet(f"{path}/shards"))
+    back = spark.read.parquet(f"{path}/shards")
+    tok = "n_tokens" if "n_tokens" in back.columns else None
+    # xxhash64 hashes complex types (arrays included) natively
+    row_sig = F.xxhash64(*[F.col(c) for c in cols])
+    per_file = (
+        back.select(F.input_file_name().alias("shard"),
+                    row_sig.alias("_sig"),
+                    *([F.col(tok)] if tok else []))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             (F.sum(tok).cast("long") if tok else F.lit(None).cast("long"))
+             .alias("n_tokens"),
+             # decimal(38,0): summing raw xxhash64 longs overflows
+             # under ANSI; a 38-digit sum never will at any row count
+             F.sum(F.col("_sig").cast("decimal(38,0)"))
+             .cast("decimal(38,0)").alias("sig_sum"))
+    )
+    per_file.write.mode("overwrite").parquet(f"{path}/_manifest")
+    totals = (
+        spark.read.parquet(f"{path}/_manifest")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shards"),
+             F.sum("n_rows").cast("long").alias("n_rows"),
+             F.sum("n_tokens").cast("long").alias("n_tokens"),
+             F.sum("sig_sum").cast("decimal(38,0)").alias("sig_sum"))
+        .collect()[0]
+    )
+    return {k: (None if totals[k] is None else int(totals[k]))
+            for k in ("n_shards", "n_rows", "n_tokens", "sig_sum")}
+
+
+def verify_training_shards(spark, path: str, expected: DataFrame,
+                           id_col: str = "pack_id") -> dict:
+    """Trainer-side export check: recompute the order-free signature
+    over the shipped shards and over ``expected`` (the DataFrame the
+    export was built from) and compare counts + signature. Returns
+    ``{ok, shipped_rows, expected_rows}``; partition-layout agnostic
+    by construction."""
+    back = spark.read.parquet(f"{path}/shards")
+    cols = expected.columns
+    sig = F.xxhash64(*[F.col(c) for c in cols])
+
+    def _tot(df: DataFrame):
+        r = df.agg(F.count(F.lit(1)).cast("long").alias("n"),
+                   F.sum(sig.cast("decimal(38,0)")).alias("s")) \
+            .collect()[0]
+        return int(r["n"]), (None if r["s"] is None else int(r["s"]))
+
+    sn, ss = _tot(back.select(*cols))
+    en, es = _tot(expected)
+    return {"ok": (sn, ss) == (en, es),
+            "shipped_rows": sn, "expected_rows": en}
+
+
 def pack_stats(packs: DataFrame, seq_len: int) -> DataFrame:
     """One-row packing audit: pack count, packed token count, padding
     waste fraction (greedy) — ``1 - tokens/(n_packs*seq_len)``. For

@@ -359,6 +359,44 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pack_id")
 
 
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHIPPING step (round 5): pack a corpus slice, export it as
+    row-bounded parquet shards in deterministic epoch order with a
+    verifiable manifest, then run the trainer-side verification.
+    Rows-only by nature (a sink with scratch side effects — the same
+    class as detection_sink's zip packaging); the returned single row
+    carries the manifest totals plus the verify verdicts (the export
+    must verify against its source and FAIL against a tampered one),
+    so the driver's row check still gates the end-to-end contract.
+    All layout/materialization math is value-oracled in
+    `pack_sequences`."""
+    import os
+    import tempfile
+
+    from .operators.indexes import track_scratch_dir
+    from .operators.packing import (
+        materialize_packs,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    layout = pack_chunks(token_counts(docs), _SEQ_LEN, _N_SHARDS)
+    seqs = materialize_packs(docs, layout)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"sroie_ship_{os.getpid()}")
+    track_scratch_dir(spark, path)
+    totals = write_training_shards(seqs, path, rows_per_shard=32)
+    ok = verify_training_shards(spark, path, seqs)["ok"]
+    tampered_ok = verify_training_shards(
+        spark, path, seqs.filter(F.col("pack_id") != 0))["ok"]
+    return spark.createDataFrame(
+        [(int(totals["n_shards"]), int(totals["n_rows"]),
+          int(totals["n_tokens"]), bool(ok), bool(tampered_ok))],
+        "n_shards long, n_rows long, n_tokens long, "
+        "verify_ok boolean, tampered_verify_ok boolean")
+
+
 SQL_QUERIES_TRAINING = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
@@ -366,4 +404,5 @@ SQL_QUERIES_TRAINING = {
 
 ROWS_ONLY_TRAINING = {
     "training_set": (q_training_set, None),
+    "training_shards": (q_training_shards, None),
 }

@@ -403,3 +403,59 @@ def test_greedy_packs_preserves_id_type(spark):
     assert dict(out.dtypes)["doc_id"] == "string"
     rows = out.collect()
     assert {r["doc_id"] for r in rows} == {"a", "b", "c"}
+
+
+def test_epoch_order_deterministic_permutations(spark):
+    """epoch_order: per-epoch permutations differ, re-runs are
+    byte-identical, and the multiset never changes."""
+    from icdar_2019_rrc_sroie_spark.operators.packing import epoch_order
+
+    packs = spark.createDataFrame(
+        [(i, i * 10) for i in range(60)], "pack_id long, n_tokens long")
+    e0a = [r["pack_id"] for r in epoch_order(packs, 0).collect()]
+    e0b = [r["pack_id"] for r in epoch_order(packs, 0).collect()]
+    e1 = [r["pack_id"] for r in epoch_order(packs, 1).collect()]
+    assert e0a == e0b
+    assert e0a != e1
+    assert sorted(e0a) == sorted(e1) == list(range(60))
+
+
+def test_write_and_verify_training_shards(spark, tmp_path):
+    """Shipping step: shards are row-bounded, the manifest totals match
+    the input, verify passes against the source and fails against a
+    tampered expectation, and a re-export is idempotent."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.packing import (
+        doc_token_arrays,
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 80")
+    seqs = doc_token_arrays(docs).select(
+        F.col("doc_id").alias("pack_id"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.col("toks").alias("tokens"))
+    path = str(tmp_path / "ship")
+    totals = write_training_shards(seqs, path, rows_per_shard=16)
+    n_seqs = seqs.count()
+    n_toks = seqs.agg(F.sum("n_tokens")).collect()[0][0]
+    assert totals["n_rows"] == n_seqs
+    assert totals["n_tokens"] == int(n_toks)
+    assert totals["n_shards"] >= n_seqs // 16
+
+    back = spark.read.parquet(f"{path}/shards")
+    per_file = (back.groupBy(F.input_file_name()).count().collect())
+    assert all(r["count"] <= 16 for r in per_file)
+
+    v = verify_training_shards(spark, path, seqs)
+    assert v["ok"] and v["shipped_rows"] == n_seqs
+    tampered = verify_training_shards(spark, path,
+                                      seqs.filter("pack_id != 3"))
+    assert not tampered["ok"]
+
+    totals2 = write_training_shards(seqs, path, rows_per_shard=16)
+    assert totals2["n_rows"] == totals["n_rows"]
+    assert totals2["sig_sum"] == totals["sig_sum"]
