@@ -1,0 +1,137 @@
+"""SFT data preparation — rendering multi-turn conversations into
+training-ready token streams with per-turn spans and assistant-only
+loss masks (round 5).
+
+The step between transcript extraction and sequence packing that a
+fine-tuning pipeline actually needs: each conversation serializes to
+ONE canonical whitespace token stream (a ``<|role|>`` tag token per
+turn followed by the turn's normalized tokens — the same
+``normalized_text`` canonicalization as the dedup/packing family, so
+``packing.token_counts`` / ``doc_token_arrays`` over the rendered text
+agree with the recorded offsets exactly), together with
+
+* ``spans``   — (turn_idx, role, tok_start, tok_len) per turn: where
+  each turn landed in the stream (tok_start 0-based at the tag token);
+* the assistant LOSS MASK — the token positions a trainer computes
+  loss on: assistant turns' CONTENT tokens (the tag token itself is
+  masked out with everything non-assistant).
+
+Scale shape: one shuffle keyed conv_id (the groupBy that assembles a
+conversation — the same single exchange the extraction flagship pays),
+then pure per-row array algebra; per-turn token arrays and lengths are
+materialized as intermediate columns across projection boundaries
+before anything scans them per element (the HOF re-evaluation
+discipline). Because the rendered ``text`` is a plain canonical-
+whitespace string, the whole packing family composes directly on top:
+``greedy_packs`` over the rendered token counts packs WHOLE
+conversations, ``materialize_greedy_packs`` reassembles them, and the
+spans translate into any pack by adding the pack offset.
+
+No counterpart in the reference (it trains on fixed per-image crops);
+this is the training-data mandate's SFT face.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+ROLE_TAG_FMT = "<|{role}|>"
+
+
+def _turn_tokens(role: Column, text: Column) -> Column:
+    """One turn's token array: the role-tag token, then the turn's
+    canonical whitespace tokens (none when the turn normalizes to
+    empty). Tag tokens contain no whitespace, so splitting the joined
+    stream reproduces the array exactly."""
+    tag = F.concat(F.lit("<|"), role, F.lit("|>"))
+    norm = normalized_text(text)
+    return F.when(
+        F.length(norm) > 0,
+        F.concat(F.array(tag), F.split(norm, " "))
+    ).otherwise(F.array(tag))
+
+
+def render_conversations(turns: DataFrame, conv_col: str = "conv_id",
+                         turn_col: str = "turn_idx",
+                         role_col: str = "role",
+                         text_col: str = "text") -> DataFrame:
+    """(conv_id, text, tokens, n_tokens, spans): each conversation's
+    canonical serialized form.
+
+    ``spans`` is array<struct(turn_idx, role, tok_start, tok_len)> in
+    turn order, with ``tok_start`` the 0-based stream position of the
+    turn's tag token and ``tok_len`` covering tag + content. The
+    per-turn offsets are an in-row prefix sum over materialized length
+    columns — no window, no second shuffle; the only exchange is the
+    conversation-assembly groupBy."""
+    assembled = (
+        turns.groupBy(conv_col)
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col(turn_col).alias("turn_idx"),
+            F.col(role_col).alias("role"),
+            F.col(text_col).alias("text")))).alias("_ts"))
+    )
+    with_toks = assembled.withColumn(
+        "_tt",
+        F.transform(F.col("_ts"), lambda t: F.struct(
+            t["turn_idx"].alias("turn_idx"),
+            t["role"].alias("role"),
+            _turn_tokens(t["role"], t["text"]).alias("toks"))))
+    # materialize lengths, then offsets, as separate columns: the span
+    # builder below references them per element, and attribute slices
+    # are field reads while inlined expression trees would re-run the
+    # normalization regex per turn (the HOF re-evaluation class)
+    with_lens = with_toks.withColumn(
+        "_lens", F.transform(F.col("_tt"), lambda x: F.size(x["toks"])))
+    with_offs = with_lens.withColumn(
+        "_offs",
+        F.aggregate(
+            F.col("_lens"), F.array(F.lit(0)),
+            lambda acc, ln: F.concat(
+                acc, F.array(F.element_at(acc, -1) + ln))))
+    spans = F.zip_with(
+        F.col("_tt"), F.slice(F.col("_offs"), 1, F.size(F.col("_tt"))),
+        lambda t, off: F.struct(
+            t["turn_idx"].alias("turn_idx"),
+            t["role"].alias("role"),
+            off.cast("long").alias("tok_start"),
+            F.size(t["toks"]).cast("long").alias("tok_len")))
+    tokens = F.flatten(F.transform(F.col("_tt"), lambda x: x["toks"]))
+    return (
+        with_offs
+        .withColumn("spans", spans)
+        .withColumn("tokens", tokens)
+        .select(
+            conv_col,
+            F.array_join(F.col("tokens"), " ").alias("text"),
+            "tokens",
+            F.size(F.col("tokens")).cast("long").alias("n_tokens"),
+            "spans")
+    )
+
+
+def assistant_mask(rendered: DataFrame, conv_col: str = "conv_id",
+                   loss_role: str = "assistant") -> DataFrame:
+    """(conv_id, mask_tokens, n_mask_tokens, n_tokens): the tokens a
+    trainer computes loss on — ``loss_role`` turns' CONTENT (each
+    turn's tag token excluded), extracted by slicing the rendered
+    stream with the recorded spans. Slicing the STREAM (rather than
+    re-normalizing the turn texts) is deliberate: it proves the spans
+    index the stream correctly, which is exactly what a packer
+    translating spans into packs relies on."""
+    role_spans = F.filter(F.col("spans"),
+                          lambda s: s["role"] == loss_role)
+    mask = F.flatten(F.transform(
+        role_spans,
+        lambda s: F.slice(
+            F.col("tokens"),
+            (s["tok_start"] + 2).cast("int"),
+            (s["tok_len"] - 1).cast("int"))))
+    return rendered.select(
+        conv_col,
+        mask.alias("mask_tokens"),
+        F.size(mask).cast("long").alias("n_mask_tokens"),
+        F.col("n_tokens"))

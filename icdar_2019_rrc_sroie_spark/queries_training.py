@@ -57,7 +57,23 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves. The oracle recomputes the chunk layout from one global
     cumsum in md5-shard order, replays the greedy fill state machine
     as a recursive CTE per shard, and reassembles both streams with
-    ordered string_aggs."""
+    ordered string_aggs.
+
+    Round-5 SFT arms over a documents-derived conversation fixture
+    (conv_id = doc_id%50, turn_idx = doc_id//50, role cycling
+    user/assistant/tool): 'conv' rows value-check
+    sft.render_conversations' per-turn spans — (pack_id=conv_id,
+    doc_id=turn_idx, a=tok_start, b=tok_len, c=role code) — and
+    'cmask' rows the assistant-only LOSS MASK extracted by slicing the
+    rendered stream with those spans (a=masked token count,
+    b=md5-prefix of the masked stream, c=conversation tokens;
+    doc_id=-1). The oracle recomputes offsets with a per-conversation
+    window cumsum and the mask with an ordered string_agg of assistant
+    content — agreeing values prove the spans index the stream
+    exactly."""
+    from .operators.indexes import track_persist
+    from .operators.sft import assistant_mask, render_conversations
+
     docs = _t(spark, sf_dir, "documents")
     counts = token_counts(docs)
     chunk_layout = pack_chunks(counts, _SEQ_LEN, _N_SHARDS)
@@ -83,8 +99,35 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("a"),
         _stream_hash(F.col("tokens")).alias("b"),
         F.col("n_pad").alias("c"))
+    turns = docs.select(
+        (F.col("doc_id") % 50).alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("long").alias("turn_idx"),
+        F.when(F.floor(F.col("doc_id") / 50) % 3 == 0, F.lit("user"))
+        .when(F.floor(F.col("doc_id") / 50) % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool")).alias("role"),
+        F.substring("text", 1, 120).alias("text"))
+    rendered = track_persist(render_conversations(turns))
+    conv = rendered.select(
+        F.lit("conv").alias("kind"),
+        F.col("conv_id").alias("pack_id"),
+        F.explode("spans").alias("s"),
+    ).select(
+        "kind", "pack_id",
+        F.col("s.turn_idx").cast("long").alias("doc_id"),
+        F.col("s.tok_start").alias("a"),
+        F.col("s.tok_len").alias("b"),
+        F.when(F.col("s.role") == "user", F.lit(0))
+        .when(F.col("s.role") == "assistant", F.lit(1))
+        .otherwise(F.lit(2)).cast("long").alias("c"))
+    cmask = assistant_mask(rendered).select(
+        F.lit("cmask").alias("kind"),
+        F.col("conv_id").alias("pack_id"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.col("n_mask_tokens").alias("a"),
+        _stream_hash(F.col("mask_tokens")).alias("b"),
+        F.col("n_tokens").alias("c"))
     return (chunk.unionByName(greedy).unionByName(mat)
-            .unionByName(matg)
+            .unionByName(matg).unionByName(conv).unionByName(cmask)
             .orderBy("kind", "pack_id", "doc_id", "a"))
 
 
@@ -174,6 +217,35 @@ WITH RECURSIVE {base}, rec AS (
       AS BIGINT) AS h
   FROM rec r JOIN tokd t USING (doc_id)
   GROUP BY r.shard * 1099511627776 + r.placed
+), sft_turns AS (
+  SELECT doc_id % 50 AS conv_id, doc_id // 50 AS turn_idx,
+    substr(text, 1, 120) AS t
+  FROM documents
+), sft_tt AS (
+  -- one token stream per turn: a role-tag token + the normalized
+  -- whitespace tokens (tag only when the turn normalizes to empty)
+  SELECT conv_id, turn_idx, norm,
+    CAST(turn_idx % 3 AS BIGINT) AS role_code,
+    CAST(1 + CASE WHEN length(norm) > 0
+         THEN len(regexp_split_to_array(norm, '\s+')) ELSE 0 END
+         AS BIGINT) AS tlen
+  FROM (SELECT conv_id, turn_idx,
+          regexp_replace(lower(trim(t)), '\s+', ' ', 'g') AS norm
+        FROM sft_turns)
+), sft_sp AS (
+  SELECT conv_id, turn_idx, role_code, norm, tlen,
+    SUM(tlen) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS UNBOUNDED PRECEDING) - tlen AS tok_start
+  FROM sft_tt
+), sft_mask AS (
+  SELECT conv_id,
+    CAST(coalesce(SUM(CASE WHEN role_code = 1 THEN tlen - 1 END), 0)
+         AS BIGINT) AS n_mask,
+    CAST('0x' || substr(md5(coalesce(string_agg(
+      CASE WHEN role_code = 1 AND length(norm) > 0 THEN norm END,
+      ' ' ORDER BY turn_idx), '')), 1, 8) AS BIGINT) AS mask_h,
+    CAST(SUM(tlen) AS BIGINT) AS conv_tokens
+  FROM sft_sp GROUP BY conv_id
 )
 SELECT 'chunk' AS kind, pack_id, doc_id, a, b, c FROM chunk_rows
 UNION ALL
@@ -191,6 +263,16 @@ SELECT 'matg' AS kind, pack_id, CAST(-1 AS BIGINT) AS doc_id,
   n_tokens AS a, h AS b,
   CAST(greatest(0, {L} - n_tokens) AS BIGINT) AS c
 FROM matg_rows
+UNION ALL
+SELECT 'conv' AS kind, CAST(conv_id AS BIGINT) AS pack_id,
+  CAST(turn_idx AS BIGINT) AS doc_id,
+  CAST(tok_start AS BIGINT) AS a, tlen AS b, role_code AS c
+FROM sft_sp
+UNION ALL
+SELECT 'cmask' AS kind, CAST(conv_id AS BIGINT) AS pack_id,
+  CAST(-1 AS BIGINT) AS doc_id,
+  n_mask AS a, mask_h AS b, conv_tokens AS c
+FROM sft_mask
 ORDER BY kind, pack_id, doc_id, a
 """
 

@@ -459,3 +459,95 @@ def test_write_and_verify_training_shards(spark, tmp_path):
     totals2 = write_training_shards(seqs, path, rows_per_shard=16)
     assert totals2["n_rows"] == totals["n_rows"]
     assert totals2["sig_sum"] == totals["sig_sum"]
+
+
+def test_render_conversations_python_replay(spark):
+    """SFT rendering: spans/tokens match a pure-Python replay on messy
+    input (collapsed whitespace, empty turns, out-of-order arrival)."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.sft import (
+        assistant_mask,
+        render_conversations,
+    )
+
+    rows = [
+        (1, 1, "assistant", "Hi!  How can   I help?"),
+        (1, 0, "user", "  Hello there "),
+        (1, 2, "tool", "   "),
+        (1, 3, "assistant", "Done."),
+        (2, 0, "user", "solo"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string")
+    rendered = {r["conv_id"]: r
+                for r in render_conversations(turns).collect()}
+
+    def replay(conv):
+        toks, spans = [], []
+        for ti, role, text in sorted(
+                (t[1], t[2], t[3]) for t in rows if t[0] == conv):
+            tt = [f"<|{role}|>"] + " ".join(text.strip().lower()
+                                            .split()).split()
+            tt = [x for x in tt if x]
+            spans.append((ti, role, len(toks), len(tt)))
+            toks.extend(tt)
+        return toks, spans
+
+    for conv in (1, 2):
+        toks, spans = replay(conv)
+        got = rendered[conv]
+        assert list(got["tokens"]) == toks
+        assert [(s["turn_idx"], s["role"], s["tok_start"], s["tok_len"])
+                for s in got["spans"]] == spans
+        assert got["text"] == " ".join(toks)
+    mask = {r["conv_id"]: list(r["mask_tokens"])
+            for r in assistant_mask(
+                render_conversations(turns)).collect()}
+    assert mask[1] == ["hi!", "how", "can", "i", "help?", "done."]
+    assert mask[2] == []
+
+
+def test_sft_composes_with_packing(spark):
+    """The rendered text is canonical-whitespace, so the whole packing
+    family composes: token_counts over the rendered text equals the
+    recorded n_tokens, greedy_packs keeps conversations whole, and the
+    materialized pack stream carries each conversation contiguously at
+    its pack offset."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.packing import (
+        greedy_packs,
+        materialize_greedy_packs,
+        token_counts,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.sft import (
+        render_conversations,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 90")
+    turns = docs.select(
+        (F.col("doc_id") % 9).alias("conv_id"),
+        F.floor(F.col("doc_id") / 9).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")).alias("role"),
+        F.substring("text", 1, 100).alias("text"))
+    rendered = render_conversations(turns)
+    as_docs = rendered.select(F.col("conv_id").alias("doc_id"),
+                              "text", "tokens", "n_tokens")
+    counted = {r["doc_id"]: r["n_tokens"]
+               for r in token_counts(as_docs).collect()}
+    recorded = {r["doc_id"]: r["n_tokens"] for r in as_docs.collect()}
+    assert counted == recorded
+
+    layout = greedy_packs(token_counts(as_docs), 512, n_shards=4)
+    packs = materialize_greedy_packs(as_docs, layout, 512)
+    lay = {r["doc_id"]: r for r in layout.collect()}
+    streams = {r["pack_id"]: list(r["tokens"]) for r in packs.collect()}
+    convs = {r["doc_id"]: list(r["tokens"]) for r in as_docs.collect()}
+    assert set(lay) == set(convs)
+    for cid, row in lay.items():
+        off = row["pack_off"]
+        toks = convs[cid]
+        assert streams[row["pack_id"]][off:off + len(toks)] == toks
