@@ -113,6 +113,37 @@ def render_conversations(turns: DataFrame, conv_col: str = "conv_id",
     )
 
 
+def pack_loss_spans(layout: DataFrame, rendered: DataFrame,
+                    conv_col: str = "conv_id",
+                    layout_id_col: str = "doc_id",
+                    loss_role: str = "assistant") -> DataFrame:
+    """Translate per-conversation loss spans into PACK coordinates —
+    the artifact the trainer consumes next to the packed sequences:
+    (pack_id, conv_id, tok_start, tok_len) where tok_start indexes the
+    pack's token stream and covers a ``loss_role`` turn's CONTENT (tag
+    token excluded). ``layout`` is a :func:`greedy_packs` output over
+    the rendered conversations (whole-document packing — a
+    conversation is never split, so a span maps into exactly one pack
+    by adding that conversation's ``pack_off``). One equi-join on the
+    conversation id; empty-content turns produce no span."""
+    sp = (
+        rendered.select(F.col(conv_col), F.explode("spans").alias("s"))
+        .filter((F.col("s.role") == loss_role) & (F.col("s.tok_len") > 1))
+        .select(F.col(conv_col),
+                (F.col("s.tok_start") + 1).cast("long").alias("_cstart"),
+                (F.col("s.tok_len") - 1).cast("long").alias("tok_len"))
+    )
+    lay = layout.select(F.col(layout_id_col).alias(conv_col),
+                        "pack_id", "pack_off")
+    return (
+        sp.join(lay, conv_col)
+        .select("pack_id", conv_col,
+                (F.col("pack_off") + F.col("_cstart")).cast("long")
+                .alias("tok_start"),
+                "tok_len")
+    )
+
+
 def assistant_mask(rendered: DataFrame, conv_col: str = "conv_id",
                    loss_role: str = "assistant") -> DataFrame:
     """(conv_id, mask_tokens, n_mask_tokens, n_tokens): the tokens a

@@ -551,3 +551,56 @@ def test_sft_composes_with_packing(spark):
         off = row["pack_off"]
         toks = convs[cid]
         assert streams[row["pack_id"]][off:off + len(toks)] == toks
+
+
+def test_pack_loss_spans_index_pack_streams(spark):
+    """Loss spans translated into pack coordinates must slice the
+    MATERIALIZED pack streams to exactly the assistant content the
+    conversation-level mask extracts — the full render -> pack ->
+    mask-translation loop."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.packing import (
+        greedy_packs,
+        materialize_greedy_packs,
+        token_counts,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.sft import (
+        assistant_mask,
+        pack_loss_spans,
+        render_conversations,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 90")
+    turns = docs.select(
+        (F.col("doc_id") % 9).alias("conv_id"),
+        F.floor(F.col("doc_id") / 9).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")).alias("role"),
+        F.substring("text", 1, 100).alias("text"))
+    rendered = render_conversations(turns).persist()
+    as_docs = rendered.select(F.col("conv_id").alias("doc_id"),
+                              "text", "n_tokens")
+    layout = greedy_packs(token_counts(as_docs), 512, n_shards=4)
+    packs = materialize_greedy_packs(
+        rendered.select(F.col("conv_id").alias("doc_id"), "text"),
+        layout, 512)
+    spans = pack_loss_spans(layout, rendered).collect()
+    streams = {r["pack_id"]: list(r["tokens"]) for r in packs.collect()}
+    got = {}
+    for r in spans:
+        seg = streams[r["pack_id"]][r["tok_start"]:
+                                    r["tok_start"] + r["tok_len"]]
+        got.setdefault(r["conv_id"], []).extend(
+            (r["tok_start"], tuple(seg)))
+    # per conversation, concatenating the pack slices in tok_start
+    # order reproduces the conversation-level mask exactly
+    mask = {r["conv_id"]: list(r["mask_tokens"])
+            for r in assistant_mask(rendered).collect()}
+    for cid, parts in got.items():
+        ordered = [t for _, seg in sorted(
+            zip(parts[0::2], parts[1::2])) for t in seg]
+        assert ordered == mask[cid], cid
+    assert set(got) == {c for c, m in mask.items() if m}
+    rendered.unpersist()
