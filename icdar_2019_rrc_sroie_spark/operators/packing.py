@@ -201,6 +201,76 @@ def greedy_packs(counts: DataFrame, seq_len: int,
         .groupBy("_shard").applyInPandas(_pack, out_schema))
 
 
+def bfd_packs(counts: DataFrame, seq_len: int,
+              n_shards: int = PACKING_N_SHARDS_DEFAULT,
+              id_col: str = "doc_id") -> DataFrame:
+    """Best-fit-decreasing whole-document packing — the padding-waste
+    upgrade over :func:`greedy_packs`' next-fit: docs are placed
+    LARGEST FIRST, each into the open pack whose remaining capacity
+    fits it most tightly (new pack only when none fits), so pack tails
+    fill with the small documents instead of being abandoned at the
+    first overflow. Same output contract as greedy_packs
+    (pack_id, id, pack_off, n_tokens, overflow) — pack ids namespaced
+    per md5 shard, over-length docs get a flagged pack of their own —
+    so :func:`materialize_greedy_packs` and the mask translators
+    compose unchanged (within-pack order is pack_off order either
+    way). Deterministic: ties in the fit break toward the
+    lowest-numbered pack, the placement order is (n_tokens desc, md5
+    key, id). The per-shard fill state is inherently sequential
+    (applyInPandas, parallel across shards); a real BFD keeps the open
+    packs in a heap — at shard sizes (corpus/1024) a linear scan is
+    fine and simpler to replay in tests."""
+    import pandas as pd
+
+    key, shard = _shard_and_key(id_col, n_shards)
+    rows = counts.filter(F.col("n_tokens") > 0).select(
+        shard.alias("_shard"), key.alias("_key"),
+        F.col(id_col), F.col("n_tokens"))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "_key", id_col],
+                              ascending=[False, True, True])
+        shard_base = int(pdf["_shard"].iloc[0]) << 40
+        remaining: list[int] = []  # open-pack residual capacity
+        out_pack, out_off, out_ovf = [], [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n >= seq_len:
+                # own (full or overflow) pack; never reopened
+                remaining.append(0)
+                out_pack.append(shard_base + len(remaining) - 1)
+                out_off.append(0)
+                out_ovf.append(n > seq_len)
+                continue
+            best, best_rem = -1, seq_len + 1
+            for i, r in enumerate(remaining):
+                if n <= r < best_rem:
+                    best, best_rem = i, r
+            if best < 0:
+                remaining.append(seq_len)
+                best = len(remaining) - 1
+            out_pack.append(shard_base + best)
+            out_off.append(seq_len - remaining[best])
+            out_ovf.append(False)
+            remaining[best] -= n
+        return pd.DataFrame({
+            "pack_id": out_pack, id_col: pdf[id_col].to_numpy(),
+            "pack_off": out_off,
+            "n_tokens": pdf["n_tokens"].to_numpy(),
+            "overflow": out_ovf,
+        })
+
+    id_type = {f.name: f.dataType.simpleString()
+               for f in counts.schema.fields}[id_col]
+    out_schema = (f"pack_id long, {id_col} {id_type}, pack_off long, "
+                  "n_tokens long, overflow boolean")
+    return (rows.repartition(
+        min(n_shards, rows.sparkSession.sparkContext.defaultParallelism),
+        "_shard")
+        .select("_shard", "_key", id_col, "n_tokens")
+        .groupBy("_shard").applyInPandas(_pack, out_schema))
+
+
 def doc_token_arrays(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(id, toks) — each document's canonical whitespace token array,

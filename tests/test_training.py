@@ -604,3 +604,64 @@ def test_pack_loss_spans_index_pack_streams(spark):
         assert ordered == mask[cid], cid
     assert set(got) == {c for c, m in mask.items() if m}
     rendered.unpersist()
+
+
+def test_bfd_packs_beats_next_fit_and_composes(spark):
+    """Best-fit-decreasing packing: capacity never exceeded, waste no
+    worse than next-fit on the corpus, deterministic across input
+    partitionings, and the materializer reassembles its packs with
+    correct contiguous placement."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.packing import (
+        bfd_packs,
+        greedy_packs,
+        materialize_greedy_packs,
+        pack_stats,
+        token_counts,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 200")
+    counts = token_counts(docs)
+    bfd = bfd_packs(counts, SEQ, n_shards=4)
+    nf = greedy_packs(counts, SEQ, n_shards=4)
+
+    rows = bfd.collect()
+    fills = {}
+    for r in rows:
+        if not r["overflow"]:
+            fills.setdefault(r["pack_id"], []).append(
+                (r["pack_off"], r["n_tokens"]))
+    for pid, spans in fills.items():
+        spans.sort()
+        cursor = 0
+        for off, n in spans:
+            assert off >= cursor, (pid, spans)  # no overlap
+            cursor = off + n
+        assert cursor <= SEQ, (pid, cursor)
+
+    w_bfd = pack_stats(bfd, SEQ).collect()[0]["waste_frac"]
+    w_nf = pack_stats(nf, SEQ).collect()[0]["waste_frac"]
+    assert w_bfd <= w_nf + 1e-12
+
+    again = bfd_packs(counts.repartition(7), SEQ, n_shards=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+    packs = materialize_greedy_packs(docs, bfd, SEQ)
+    toks = {r["pack_id"]: list(r["tokens"]) for r in packs.collect()}
+    from icdar_2019_rrc_sroie_spark.operators.packing import (
+        doc_token_arrays,
+    )
+    dt = {r["doc_id"]: list(r["toks"])
+          for r in doc_token_arrays(docs).collect()}
+    for r in rows:
+        if r["overflow"]:
+            continue
+        seg = toks[r["pack_id"]]
+        # materializer concatenates chunks in pack_off ORDER (gaps
+        # collapse), so locate by cumulative position among the pack's
+        # spans rather than raw offset
+        pos = sum(n for off, n in fills[r["pack_id"]]
+                  if off < r["pack_off"])
+        assert seg[pos:pos + r["n_tokens"]] == dt[r["doc_id"]], r
