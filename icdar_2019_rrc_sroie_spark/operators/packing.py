@@ -402,7 +402,11 @@ def write_training_shards(seqs: DataFrame, path: str,
     boundaries may shift with write parallelism, but the TOTAL
     signature is partition-invariant and is what the verify step
     checks). Returns the totals dict; re-running overwrites
-    idempotently.
+    idempotently. The manifest costs one read-back scan of the export
+    (freshly written, typically page-cached); a crash between the
+    shard write and the manifest write leaves a stale manifest that
+    :func:`verify_training_shards` flags as a mismatch — re-export to
+    recover.
     """
     spark = seqs.sparkSession
     cols = [c for c in seqs.columns]
