@@ -185,13 +185,15 @@ def contextual_block_table(df, text_col: str = "text",
     scan never leaves the row (ZERO shuffle at any corpus size), and
     the operator is deliberately DataFrame-level: features and
     context-free classes are materialized as intermediate columns
-    across projection boundaries, so the per-element neighbor lookups
-    slice an already-computed ATTRIBUTE — referencing the expression
-    trees inside the lambdas instead would re-run the block regex
-    chain per lookup, the O(n²)-HOF-re-evaluation class this repo
-    keeps plan asserts against. Out-of-range neighbor lookups use
-    ``F.get`` (NULL, not ANSI error); empty block arrays short-circuit
-    through the ``sequence`` guard."""
+    across projection boundaries, so the neighbor scan reads
+    already-computed ATTRIBUTES — referencing the expression trees
+    inside the lambdas instead would re-run the block regex chain per
+    lookup, the O(n²)-HOF-re-evaluation class this repo keeps plan
+    asserts against. The scan itself is two linear carry passes (last
+    non-short before / first after via aggregate + reverse), so cost
+    is O(blocks) per document; edge blocks see NULL carries
+    (NULL-safe compares), and empty block arrays fall through every
+    pass as empties."""
     feats_c, cls_c = "_bp_feats", "_bp_cls"
     step1 = df.withColumn(
         feats_c, F.transform(html_blocks(F.col(text_col)),
@@ -207,27 +209,34 @@ def contextual_block_table(df, text_col: str = "text",
 
     cls = F.col(cls_c)
 
-    def _ctx_good(i: Column) -> Column:
-        # nearest non-short class before / after block i (1-based);
-        # `cls` here is a materialized row field, so each slice is a
-        # cheap array read, not a recomputation
-        before = F.filter(F.slice(cls, F.lit(1), i - 1),
-                          lambda c: c != "short")
-        after = F.filter(
-            F.slice(cls, i + 1, F.greatest(F.size(cls) - i, F.lit(0))),
-            lambda c: c != "short")
-        prev_c = F.get(before, F.size(before) - 1)
-        next_c = F.get(after, F.lit(0))
-        return prev_c.eqNullSafe("good") | next_c.eqNullSafe("good")
+    def _carry_scan(arr: Column) -> Column:
+        # arr[i]'s nearest preceding non-short class (NULL if none):
+        # ONE linear aggregate pass carrying the last non-short seen —
+        # the first version sliced+filtered the whole class array per
+        # element, an O(n_blocks²) scan per document (round-5 review);
+        # `cls` is a materialized attribute, so both passes are pure
+        # array reads either way, but boilerplate-heavy pages split
+        # into thousands of blocks and the quadratic form costs
+        # millions of reads per row
+        return F.aggregate(
+            arr,
+            F.struct(F.array().cast("array<string>").alias("out"),
+                     F.lit(None).cast("string").alias("carry")),
+            lambda acc, c: F.struct(
+                F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
+                F.when(c != "short", c).otherwise(acc["carry"])
+                .alias("carry")),
+            lambda acc: acc["out"])
 
-    idxs = F.when(F.size(cls) > 0,
-                  F.sequence(F.lit(1), F.size(cls))) \
-        .otherwise(F.array().cast("array<int>"))
+    prev_ns = _carry_scan(cls)
+    next_ns = F.reverse(_carry_scan(F.reverse(cls)))
     zipped = F.zip_with(
         F.zip_with(F.col(feats_c), cls, lambda b, c: F.struct(
             b["text"].alias("text"), b["n_words"].alias("n_words"),
             b["link_density"].alias("link_density"), c.alias("cls"))),
-        F.transform(idxs, _ctx_good),
+        F.zip_with(prev_ns, next_ns,
+                   lambda p, n: p.eqNullSafe("good")
+                   | n.eqNullSafe("good")),
         lambda s, ctx: F.struct(
             s["text"].alias("text"), s["n_words"].alias("n_words"),
             s["link_density"].alias("link_density"),

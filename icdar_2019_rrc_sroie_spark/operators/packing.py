@@ -135,6 +135,39 @@ def pack_chunks(counts: DataFrame, seq_len: int,
     )
 
 
+def _sharded_whole_doc_packs(counts: DataFrame, n_shards: int,
+                             id_col: str, kernel) -> DataFrame:
+    """Shared scaffolding for the whole-document packers
+    (:func:`greedy_packs`, :func:`bfd_packs`): deterministic md5
+    sharding, id-type-preserving output schema, explicit repartition,
+    and the per-shard ``applyInPandas`` dispatch — only the sequential
+    fill ``kernel(pdf, id_col) -> pdf`` differs. Factored so contract
+    fixes (the id-type handling that once broke string-id corpora, the
+    parallelism discipline) exist in ONE place (round-5 review)."""
+    key, shard = _shard_and_key(id_col, n_shards)
+    rows = counts.filter(F.col("n_tokens") > 0).select(
+        shard.alias("_shard"), key.alias("_key"),
+        F.col(id_col), F.col("n_tokens"))
+
+    def _run(pdf):
+        return kernel(pdf, id_col)
+
+    # id type follows the input (token_counts et al. are id-type
+    # agnostic; hardcoding long here broke string-id corpora)
+    id_type = {f.name: f.dataType.simpleString()
+               for f in counts.schema.fields}[id_col]
+    out_schema = (f"pack_id long, {id_col} {id_type}, pack_off long, "
+                  "n_tokens long, overflow boolean")
+    # explicit repartition: the groupBy key count (n_shards) exceeds
+    # AQE's coalesced width on small inputs, and the kernel is
+    # CPU-per-row — same discipline as ensure_parallelism
+    return (rows.repartition(
+        min(n_shards, rows.sparkSession.sparkContext.defaultParallelism),
+        "_shard")
+        .select("_shard", "_key", id_col, "n_tokens")
+        .groupBy("_shard").applyInPandas(_run, out_schema))
+
+
 def greedy_packs(counts: DataFrame, seq_len: int,
                  n_shards: int = PACKING_N_SHARDS_DEFAULT,
                  id_col: str = "doc_id") -> DataFrame:
@@ -155,14 +188,8 @@ def greedy_packs(counts: DataFrame, seq_len: int,
     """
     import pandas as pd
 
-    pos_cols = ["_shard", "_key", id_col, "n_tokens"]
-    key, shard = _shard_and_key(id_col, n_shards)
-    rows = counts.filter(F.col("n_tokens") > 0).select(
-        shard.alias("_shard"), key.alias("_key"),
-        F.col(id_col), F.col("n_tokens"))
-
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_key", id_col])
+    def _pack(pdf: pd.DataFrame, idc: str) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_key", idc])
         shard_base = int(pdf["_shard"].iloc[0]) << 40
         pack_local, fill = 0, 0
         out_pack, out_off, out_ovf = [], [], []
@@ -179,26 +206,13 @@ def greedy_packs(counts: DataFrame, seq_len: int,
                 pack_local += 1
                 fill = 0
         return pd.DataFrame({
-            "pack_id": out_pack, id_col: pdf[id_col].to_numpy(),
+            "pack_id": out_pack, idc: pdf[idc].to_numpy(),
             "pack_off": out_off,
             "n_tokens": pdf["n_tokens"].to_numpy(),
             "overflow": out_ovf,
         })
 
-    # id type follows the input (token_counts et al. are id-type
-    # agnostic; hardcoding long here broke string-id corpora)
-    id_type = {f.name: f.dataType.simpleString()
-               for f in counts.schema.fields}[id_col]
-    out_schema = (f"pack_id long, {id_col} {id_type}, pack_off long, "
-                  "n_tokens long, overflow boolean")
-    # explicit repartition: the groupBy key count (n_shards) exceeds
-    # AQE's coalesced width on small inputs, and the kernel is
-    # CPU-per-row — same discipline as ensure_parallelism
-    return (rows.repartition(
-        min(n_shards, rows.sparkSession.sparkContext.defaultParallelism),
-        "_shard")
-        .select(*pos_cols)
-        .groupBy("_shard").applyInPandas(_pack, out_schema))
+    return _sharded_whole_doc_packs(counts, n_shards, id_col, _pack)
 
 
 def bfd_packs(counts: DataFrame, seq_len: int,
@@ -222,13 +236,8 @@ def bfd_packs(counts: DataFrame, seq_len: int,
     fine and simpler to replay in tests."""
     import pandas as pd
 
-    key, shard = _shard_and_key(id_col, n_shards)
-    rows = counts.filter(F.col("n_tokens") > 0).select(
-        shard.alias("_shard"), key.alias("_key"),
-        F.col(id_col), F.col("n_tokens"))
-
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["n_tokens", "_key", id_col],
+    def _pack(pdf: pd.DataFrame, idc: str) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "_key", idc],
                               ascending=[False, True, True])
         shard_base = int(pdf["_shard"].iloc[0]) << 40
         remaining: list[int] = []  # open-pack residual capacity
@@ -254,21 +263,13 @@ def bfd_packs(counts: DataFrame, seq_len: int,
             out_ovf.append(False)
             remaining[best] -= n
         return pd.DataFrame({
-            "pack_id": out_pack, id_col: pdf[id_col].to_numpy(),
+            "pack_id": out_pack, idc: pdf[idc].to_numpy(),
             "pack_off": out_off,
             "n_tokens": pdf["n_tokens"].to_numpy(),
             "overflow": out_ovf,
         })
 
-    id_type = {f.name: f.dataType.simpleString()
-               for f in counts.schema.fields}[id_col]
-    out_schema = (f"pack_id long, {id_col} {id_type}, pack_off long, "
-                  "n_tokens long, overflow boolean")
-    return (rows.repartition(
-        min(n_shards, rows.sparkSession.sparkContext.defaultParallelism),
-        "_shard")
-        .select("_shard", "_key", id_col, "n_tokens")
-        .groupBy("_shard").applyInPandas(_pack, out_schema))
+    return _sharded_whole_doc_packs(counts, n_shards, id_col, _pack)
 
 
 def doc_token_arrays(df: DataFrame, id_col: str = "doc_id",
@@ -446,11 +447,15 @@ def write_training_shards(seqs: DataFrame, path: str,
 
 def verify_training_shards(spark, path: str, expected: DataFrame,
                            id_col: str = "pack_id") -> dict:
-    """Trainer-side export check: recompute the order-free signature
-    over the shipped shards and over ``expected`` (the DataFrame the
-    export was built from) and compare counts + signature. Returns
-    ``{ok, shipped_rows, expected_rows}``; partition-layout agnostic
-    by construction."""
+    """Trainer-side export check, THREE-way: the shipped shards, the
+    ``_manifest``, and ``expected`` (the DataFrame the export was
+    built from) must all agree on row count and the order-free value
+    signature. The manifest leg is what catches a crash between the
+    shard write and the manifest write — the stale manifest's totals
+    disagree with the fresh shards (round-5 review: the first version
+    never read the manifest, leaving that documented contract
+    unimplemented). Returns ``{ok, manifest_ok, shipped_rows,
+    expected_rows}``; partition-layout agnostic by construction."""
     back = spark.read.parquet(f"{path}/shards")
     cols = expected.columns
     sig = F.xxhash64(*[F.col(c) for c in cols])
@@ -463,7 +468,15 @@ def verify_training_shards(spark, path: str, expected: DataFrame,
 
     sn, ss = _tot(back.select(*cols))
     en, es = _tot(expected)
-    return {"ok": (sn, ss) == (en, es),
+    man = (spark.read.parquet(f"{path}/_manifest")
+           .agg(F.sum("n_rows").cast("long").alias("n"),
+                F.sum("sig_sum").cast("decimal(38,0)").alias("s"))
+           .collect()[0])
+    mn = None if man["n"] is None else int(man["n"])
+    ms = None if man["s"] is None else int(man["s"])
+    manifest_ok = (mn, ms) == (sn, ss)
+    return {"ok": (sn, ss) == (en, es) and manifest_ok,
+            "manifest_ok": manifest_ok,
             "shipped_rows": sn, "expected_rows": en}
 
 

@@ -61,20 +61,8 @@ def kmeans_lloyd(df: DataFrame, init: list[list[float]], iters: int = 5,
     assignment consumers see still comes from the Catalyst expr."""
     centroids = [list(map(float, c)) for c in init]
     for _ in range(iters):
-        cmat = np.array(centroids, dtype=np.float64)
-
-        @F.pandas_udf("int")
-        def _assign(vs: pd.Series) -> pd.Series:
-            if not len(vs):
-                return pd.Series([], dtype="int32")
-            m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-            d2 = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
-            return pd.Series(d2.argmin(axis=1).astype("int32"))
-
-        assigned = df.select(
-            _assign(F.col(vec_col)).alias("_c"),
-            F.posexplode(F.col(vec_col)).alias("_d", "_x"))
-        rows = (assigned.groupBy("_c", "_d")
+        rows = (_lloyd_assigned(df, centroids, vec_col)
+                .groupBy("_c", "_d")
                 .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
                 .collect())
         nxt = [list(c) for c in centroids]
@@ -82,6 +70,36 @@ def kmeans_lloyd(df: DataFrame, init: list[list[float]], iters: int = 5,
             nxt[int(r["_c"])][int(r["_d"])] = float(r["_m"])
         centroids = nxt
     return centroids
+
+
+def _lloyd_assigned(df: DataFrame, centroids: list[list[float]],
+                    vec_col: str) -> DataFrame:
+    """One Lloyd iteration's (cluster, dim, value) rows — factored out
+    so tests can assert the REAL assignment plan (ArrowEvalPython, not
+    a re-planned literal argmin). NULL or wrong-dimension embeddings
+    assign -1 and are dropped before the mean (the Catalyst argmin this
+    replaced degraded the same way via NULL propagation — a dirty row
+    must not fail the training job; round-5 review)."""
+    cmat = np.array(centroids, dtype=np.float64)
+    dim = cmat.shape[1]
+
+    @F.pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        out = np.full(len(vs), -1, dtype="int32")
+        idxs, vals = [], []
+        for i, v in enumerate(vs):
+            if v is not None and len(v) == dim:
+                idxs.append(i)
+                vals.append(np.asarray(v, dtype=np.float64))
+        if vals:
+            m = np.stack(vals)
+            d2 = ((m[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            out[np.asarray(idxs)] = d2.argmin(axis=1).astype("int32")
+        return pd.Series(out)
+
+    return (df.select(_assign(F.col(vec_col)).alias("_c"),
+                      F.posexplode(F.col(vec_col)).alias("_d", "_x"))
+            .filter(F.col("_c") >= 0))
 
 
 def semdedup(df: DataFrame, k: int = 8, eps: float = 0.95,

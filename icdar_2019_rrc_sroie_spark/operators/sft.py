@@ -45,9 +45,18 @@ def _turn_tokens(role: Column, text: Column) -> Column:
     """One turn's token array: the role-tag token, then the turn's
     canonical whitespace tokens (none when the turn normalizes to
     empty). Tag tokens contain no whitespace, so splitting the joined
-    stream reproduces the array exactly."""
+    stream reproduces the array exactly.
+
+    The extra ``F.trim`` matters: ``normalized_text`` trims SPACES but
+    a trailing newline/tab survives as a trailing space after the
+    collapse ('done.\\n' → 'done. '), and splitting that yields a
+    phantom '' token — desyncing the recorded n_tokens from
+    ``token_counts`` over the rendered text, which shifts every
+    downstream pack_loss_span (round-5 review repro). After the
+    collapse all whitespace is plain spaces, so one trim restores the
+    exact canonical form."""
     tag = F.concat(F.lit("<|"), role, F.lit("|>"))
-    norm = normalized_text(text)
+    norm = F.trim(normalized_text(text))
     return F.when(
         F.length(norm) > 0,
         F.concat(F.array(tag), F.split(norm, " "))

@@ -340,8 +340,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = semdedup(corpus, eps=0.999, centroids=load_centroids()).select(
         F.lit("sem").alias("kind"), nul_l.alias("query_id"), "vec_id",
         F.col("cluster").cast("int").alias("bucket"), nul_i.alias("rnk"),
-        F.floor(F.col("cent_sim") * 1e6 + F.lit(0.5)).cast("long")
-        .alias("cosine_micro"), "keep")
+        _micro(F.col("cent_sim")).alias("cosine_micro"), "keep")
     from .queries_pipeline import q_ann_knn_join, q_ivf_ann
 
     ivf = q_ivf_ann(spark, sf_dir).select(

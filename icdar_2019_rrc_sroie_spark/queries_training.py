@@ -230,7 +230,10 @@ WITH RECURSIVE {base}, rec AS (
          THEN len(regexp_split_to_array(norm, '\s+')) ELSE 0 END
          AS BIGINT) AS tlen
   FROM (SELECT conv_id, turn_idx,
-          regexp_replace(lower(trim(t)), '\s+', ' ', 'g') AS norm
+          -- outer trim: after the collapse all whitespace is spaces,
+          -- so this removes what the inner (space-only) trim missed
+          -- when the raw turn ended in \n or \t — mirrors sft.py
+          trim(regexp_replace(lower(trim(t)), '\s+', ' ', 'g')) AS norm
         FROM sft_turns)
 ), sft_sp AS (
   SELECT conv_id, turn_idx, role_code, norm, tlen,

@@ -298,33 +298,30 @@ def test_semdedup_serving_is_jvm_side(spark):
 
 def test_kmeans_lloyd_assignment_is_arrow_batched(spark):
     """Regression guard for the round-5 training-loop fix: the Lloyd
-    iteration's assignment must go through the Arrow seam (pandas_udf
-    -> ArrowEvalPython), NOT the literal-array Catalyst argmin whose
-    re-planning cost grows with k*dim every iteration."""
-    import numpy as np
-    from pyspark.sql import functions as F
-
+    iteration's REAL assignment plan (via the factored
+    _lloyd_assigned builder kmeans_lloyd itself calls) must go through
+    the Arrow seam (ArrowEvalPython), NOT the literal-array Catalyst
+    argmin whose re-planning cost grows with k*dim every iteration —
+    the first version of this test asserted a local spy copy of the
+    UDF, which guarded nothing (round-5 review)."""
     from icdar_2019_rrc_sroie_spark.operators.semdedup import (
+        _lloyd_assigned,
         kmeans_lloyd,
     )
 
     df = spark.read.parquet(
         "/root/testdata/sf0.001/embeddings.parquet").limit(32)
-    # reproduce one iteration's assignment plan by spying on the same
-    # construction kmeans_lloyd performs
-    import pandas as pd
-
-    cmat = np.zeros((4, 64))
-
-    @F.pandas_udf("int")
-    def _assign(vs: pd.Series) -> pd.Series:
-        m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-        return pd.Series(((m[:, None, :] - cmat[None, :, :]) ** 2)
-                         .sum(axis=2).argmin(axis=1).astype("int32"))
-
-    plan = (df.select(_assign(F.col("embedding")).alias("_c"))
+    cents = [[0.0] * 64, [1.0] * 64]
+    plan = (_lloyd_assigned(df, cents, "embedding")
             ._jdf.queryExecution().executedPlan().toString())
     assert "ArrowEvalPython" in plan
-    # and the real function still runs end-to-end on the same corpus
-    cents = kmeans_lloyd(df, [[0.0] * 64, [1.0] * 64], iters=1)
-    assert len(cents) == 2 and len(cents[0]) == 64
+    assert "array_position" not in plan  # the literal-argmin shape
+    # end-to-end on the same corpus, WITH a dirty row: a NULL
+    # embedding must assign -1 and drop, not fail the iteration
+    from pyspark.sql import functions as F
+
+    dirty = df.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(999999, None)], df.select("vec_id", "embedding").schema))
+    cents2 = kmeans_lloyd(dirty, cents, iters=1)
+    assert len(cents2) == 2 and len(cents2[0]) == 64

@@ -665,3 +665,39 @@ def test_bfd_packs_beats_next_fit_and_composes(spark):
         pos = sum(n for off, n in fills[r["pack_id"]]
                   if off < r["pack_off"])
         assert seg[pos:pos + r["n_tokens"]] == dt[r["doc_id"]], r
+
+
+def test_render_conversations_trailing_newline_consistency(spark):
+    """Round-5 review repro, pinned: a turn ending in a newline (or
+    tab) must not desync the recorded n_tokens from token_counts over
+    the rendered text — normalized_text's space-only trim leaves a
+    trailing collapsed space whose split yields a phantom '' token
+    unless the render re-trims."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.packing import (
+        token_counts,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.sft import (
+        assistant_mask,
+        render_conversations,
+    )
+
+    turns = spark.createDataFrame(
+        [(1, 0, "user", "Hello there"),
+         (1, 1, "assistant", "Done.\n"),
+         (2, 0, "assistant", "\ttabbed\t")],
+        "conv_id long, turn_idx int, role string, text string")
+    rendered = render_conversations(turns)
+    rows = {r["conv_id"]: r for r in rendered.collect()}
+    assert list(rows[1]["tokens"]) == [
+        "<|user|>", "hello", "there", "<|assistant|>", "done."]
+    assert "" not in rows[2]["tokens"]
+    counted = {r["doc_id"]: r["n_tokens"] for r in token_counts(
+        rendered.select(F.col("conv_id").alias("doc_id"), "text")
+    ).collect()}
+    recorded = {r["conv_id"]: r["n_tokens"] for r in rendered.collect()}
+    assert counted == recorded
+    mask = {r["conv_id"]: list(r["mask_tokens"])
+            for r in assistant_mask(rendered).collect()}
+    assert mask[1] == ["done."] and mask[2] == ["tabbed"]
