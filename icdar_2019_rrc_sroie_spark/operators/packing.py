@@ -399,10 +399,11 @@ def write_training_shards(seqs: DataFrame, path: str,
     rolls files, no custom partitioner); the manifest is computed by
     reading the written files back with ``input_file_name`` and
     carries per-shard row/token counts plus an order-free value
-    signature (sum of per-row xxhash64 over the serialized row — file
-    boundaries may shift with write parallelism, but the TOTAL
-    signature is partition-invariant and is what the verify step
-    checks). Returns the totals dict; re-running overwrites
+    signature: the SUM and the BIT-XOR of per-row xxhash64 over the
+    serialized row (two independent order-free combiners — sum alone
+    would admit compensating-edit cancellation; file boundaries may
+    shift with write parallelism, but the TOTAL signatures are
+    partition-invariant and are what the verify step checks). Returns the totals dict; re-running overwrites
     idempotently. The manifest costs one read-back scan of the export
     (freshly written, typically page-cached); a crash between the
     shard write and the manifest write leaves a stale manifest that
@@ -430,7 +431,14 @@ def write_training_shards(seqs: DataFrame, path: str,
              # decimal(38,0): summing raw xxhash64 longs overflows
              # under ANSI; a 38-digit sum never will at any row count
              F.sum(F.col("_sig").cast("decimal(38,0)"))
-             .cast("decimal(38,0)").alias("sig_sum"))
+             .cast("decimal(38,0)").alias("sig_sum"),
+             # second, independent order-free combiner: an additive sum
+             # alone admits compensating-edit collisions (swap two rows
+             # whose hash DELTAS cancel); an attacker-free export does
+             # not need cryptographic strength, but sum+xor+count
+             # together make accidental cancellation vanishingly
+             # unlikely (a pair must cancel in both Z and GF(2)^64)
+             F.expr("bit_xor(_sig)").alias("sig_xor"))
     )
     per_file.write.mode("overwrite").parquet(f"{path}/_manifest")
     totals = (
@@ -438,11 +446,13 @@ def write_training_shards(seqs: DataFrame, path: str,
         .agg(F.count(F.lit(1)).cast("long").alias("n_shards"),
              F.sum("n_rows").cast("long").alias("n_rows"),
              F.sum("n_tokens").cast("long").alias("n_tokens"),
-             F.sum("sig_sum").cast("decimal(38,0)").alias("sig_sum"))
+             F.sum("sig_sum").cast("decimal(38,0)").alias("sig_sum"),
+             F.expr("bit_xor(sig_xor)").alias("sig_xor"))
         .collect()[0]
     )
     return {k: (None if totals[k] is None else int(totals[k]))
-            for k in ("n_shards", "n_rows", "n_tokens", "sig_sum")}
+            for k in ("n_shards", "n_rows", "n_tokens", "sig_sum",
+                      "sig_xor")}
 
 
 def verify_training_shards(spark, path: str, expected: DataFrame,
@@ -461,36 +471,55 @@ def verify_training_shards(spark, path: str, expected: DataFrame,
     sig = F.xxhash64(*[F.col(c) for c in cols])
 
     def _tot(df: DataFrame):
-        r = df.agg(F.count(F.lit(1)).cast("long").alias("n"),
-                   F.sum(sig.cast("decimal(38,0)")).alias("s")) \
-            .collect()[0]
-        return int(r["n"]), (None if r["s"] is None else int(r["s"]))
+        r = df.select(sig.alias("_sig")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("_sig").cast("decimal(38,0)")).alias("s"),
+            F.expr("bit_xor(_sig)").alias("x"),
+        ).collect()[0]
+        return (int(r["n"]),
+                None if r["s"] is None else int(r["s"]),
+                None if r["x"] is None else int(r["x"]))
 
-    sn, ss = _tot(back.select(*cols))
-    en, es = _tot(expected)
+    sn, ss, sx = _tot(back.select(*cols))
+    en, es, ex = _tot(expected)
     man = (spark.read.parquet(f"{path}/_manifest")
            .agg(F.sum("n_rows").cast("long").alias("n"),
-                F.sum("sig_sum").cast("decimal(38,0)").alias("s"))
+                F.sum("sig_sum").cast("decimal(38,0)").alias("s"),
+                F.expr("bit_xor(sig_xor)").alias("x"))
            .collect()[0])
     mn = None if man["n"] is None else int(man["n"])
     ms = None if man["s"] is None else int(man["s"])
-    manifest_ok = (mn, ms) == (sn, ss)
-    return {"ok": (sn, ss) == (en, es) and manifest_ok,
+    mx = None if man["x"] is None else int(man["x"])
+    manifest_ok = (mn, ms, mx) == (sn, ss, sx)
+    return {"ok": (sn, ss, sx) == (en, es, ex) and manifest_ok,
             "manifest_ok": manifest_ok,
             "shipped_rows": sn, "expected_rows": en}
 
 
 def pack_stats(packs: DataFrame, seq_len: int) -> DataFrame:
     """One-row packing audit: pack count, packed token count, padding
-    waste fraction (greedy) — ``1 - tokens/(n_packs*seq_len)``. For
-    ``pack_chunks`` output pass ``tok_len`` as the token column via
-    ``packs.withColumnRenamed``; waste is 0 there by construction."""
+    waste fraction (greedy) — ``1 - fill/(n_packs*seq_len)`` where
+    ``fill`` clamps each pack's tokens at ``seq_len``: an OVERFLOW pack
+    (one doc longer than seq_len) is full, not negatively wasteful —
+    unclamped, a handful of long docs could push waste_frac below zero
+    and mask real padding (round-5 advice). Overflow packs are counted
+    separately (``n_overflow``, with their beyond-seq_len tokens in
+    ``n_overflow_tokens``) so the audit shows the truncation exposure
+    too. For ``pack_chunks`` output pass ``tok_len`` as the token
+    column via ``withColumnRenamed``; waste is 0 there by
+    construction."""
     tok = "n_tokens" if "n_tokens" in packs.columns else "tok_len"
-    return packs.agg(
-        F.countDistinct("pack_id").alias("n_packs"),
-        F.sum(tok).alias("n_tokens"),
+    per_pack = packs.groupBy("pack_id").agg(
+        F.sum(tok).alias("_ptok"))
+    return per_pack.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("_ptok").alias("n_tokens"),
+        F.sum(F.least(F.col("_ptok"), F.lit(seq_len))).alias("_fill"),
+        F.sum((F.col("_ptok") > seq_len).cast("long")).alias("n_overflow"),
+        F.sum(F.greatest(F.col("_ptok") - seq_len, F.lit(0)))
+        .alias("n_overflow_tokens"),
     ).select(
-        "n_packs", "n_tokens",
-        (F.lit(1.0) - F.col("n_tokens")
+        "n_packs", "n_tokens", "n_overflow", "n_overflow_tokens",
+        (F.lit(1.0) - F.col("_fill")
          / (F.col("n_packs") * F.lit(float(seq_len)))).alias("waste_frac"),
     )

@@ -145,6 +145,20 @@ class TestGreedyPacks:
         row = pack_stats(packs, SEQ).collect()[0]
         assert row.n_packs == 2 and row.n_tokens == 80
         assert abs(row.waste_frac - (1 - 80 / 128)) < 1e-12
+        assert row.n_overflow == 0 and row.n_overflow_tokens == 0
+
+    def test_pack_stats_overflow_clamped(self, spark):
+        # an overflow pack is FULL, not negatively wasteful: unclamped,
+        # one 3*SEQ doc would drive waste_frac to -2 and mask the real
+        # padding of its neighbors (round-5 advice)
+        tokens = {1: 3 * SEQ, 2: SEQ // 2}
+        packs = greedy_packs(_counts_df(spark, tokens), SEQ, n_shards=1)
+        row = pack_stats(packs, SEQ).collect()[0]
+        assert row.n_packs == 2
+        assert row.n_overflow == 1
+        assert row.n_overflow_tokens == 2 * SEQ
+        # pack 1 full (clamped), pack 2 half full -> waste = 0.25
+        assert abs(row.waste_frac - 0.25) < 1e-12
 
     def test_token_counts_canonicalization(self, spark):
         df = spark.createDataFrame(
@@ -459,6 +473,10 @@ def test_write_and_verify_training_shards(spark, tmp_path):
     totals2 = write_training_shards(seqs, path, rows_per_shard=16)
     assert totals2["n_rows"] == totals["n_rows"]
     assert totals2["sig_sum"] == totals["sig_sum"]
+    # second order-free combiner (r6): xor signature is also stable
+    # across re-exports and present in the manifest totals
+    assert totals2["sig_xor"] == totals["sig_xor"]
+    assert isinstance(totals["sig_xor"], int)
 
 
 def test_render_conversations_python_replay(spark):
