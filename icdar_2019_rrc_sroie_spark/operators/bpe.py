@@ -47,6 +47,30 @@ def load_merges(path: str | None = None) -> list[tuple[str, str]]:
         return [tuple(m) for m in json.load(f)]
 
 
+BPE_UNK_ID = 0
+_BPE_MERGE_ID_BASE = 129  # ids 1..128 = ASCII chr(0..127)+1, 0 = <unk>
+
+
+def bpe_vocab(merges: list[tuple[str, str]] | None = None
+              ) -> dict[str, int]:
+    """Deterministic trained-vocabulary id table: id 0 is ``<unk>``
+    (non-ASCII base characters), ids 1..128 are the ASCII base alphabet
+    (``chr(c) -> c+1``), ids 129.. are the merge products in rank
+    order. Engine-portable by construction — the DuckDB oracle derives
+    the same table from the merges VALUES (product string = ``a||b``)
+    plus the codepoint rule, no committed vocab file needed. Every
+    multi-character token a greedy BPE apply can emit IS some merge's
+    product, so the table is total over tokenizer output."""
+    if merges is None:
+        merges = load_merges()
+    vocab = {chr(c): c + 1 for c in range(128)}
+    for i, (a, b) in enumerate(merges):
+        prod = a + b
+        assert prod not in vocab, f"duplicate merge product {prod!r}"
+        vocab[prod] = _BPE_MERGE_ID_BASE + i
+    return vocab
+
+
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Canonical greedy BPE apply: merge all occurrences of the
     best-ranked present pair, repeat to fixpoint."""
@@ -102,7 +126,12 @@ def bpe_profile(df: DataFrame,
         hs: list[str] = []
         for t in texts:
             stream: list[str] = []
-            for w in pat.findall(t or ""):
+            # chr(31) is the stream-hash separator here AND the
+            # structural separator of the oracle's wrapped word state;
+            # an input U+001F would be captured by the punctuation
+            # pretoken class and desync both (round-5 advice). Strip it
+            # in BOTH engines before pretokenizing.
+            for w in pat.findall((t or "").replace("\x1f", "")):
                 toks = cache.get(w)
                 if toks is None:
                     if len(cache) > 1 << 17:
@@ -122,6 +151,61 @@ def bpe_profile(df: DataFrame,
     return ensure_parallelism(df).select(
         F.col(id_col), _prof(F.col(text_col)).alias("_p")
     ).select(id_col, "_p.n_bpe_true_tokens", "_p.bpe_stream_md5")
+
+
+def bpe_token_arrays(df: DataFrame,
+                     merges: list[tuple[str, str]] | None = None,
+                     id_col: str = "doc_id",
+                     text_col: str = "text",
+                     drop_empty: bool = True,
+                     out_toks: str = "toks",
+                     out_ids: str = "ids") -> DataFrame:
+    """(id, toks, ids, n_tokens) — each document's TRAINED-BPE token
+    stream as parallel string/id arrays, the packing-facing face of the
+    tokenizer (round 6: this is what wires real subword ids through
+    ``pack_chunks``/``materialize_packs``/``write_training_shards``
+    instead of the hashing-trick whitespace ids the round-5 layer
+    shipped). Ids come from :func:`bpe_vocab` (committed merges — no
+    fitted table to join, no literal-heavy Catalyst map); the token
+    walk is the same cached greedy apply as :func:`bpe_profile`, one
+    Arrow-batched projection, zero shuffle.
+
+    ``drop_empty`` mirrors ``doc_token_arrays``' contract (packing
+    layouts exclude zero-token docs); pass False where empty rows must
+    survive (per-turn SFT tokenization — an empty turn still renders
+    its role tag)."""
+    if merges is None:
+        merges = load_merges()
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+
+    @F.pandas_udf(f"{out_toks} array<string>, {out_ids} array<long>")
+    def _tok(texts: pd.Series) -> pd.DataFrame:
+        pat = re.compile(BPE_TOKEN_PATTERN, re.ASCII)
+        cache: dict[str, list[str]] = {}
+        ts: list[list[str]] = []
+        ids: list[list[int]] = []
+        for t in texts:
+            stream: list[str] = []
+            for w in pat.findall((t or "").replace("\x1f", "")):
+                toks = cache.get(w)
+                if toks is None:
+                    if len(cache) > 1 << 17:
+                        cache.clear()
+                    toks = encode_word(w, ranks)
+                    cache[w] = toks
+                stream.extend(toks)
+            ts.append(stream)
+            ids.append([vocab.get(tok, BPE_UNK_ID) for tok in stream])
+        return pd.DataFrame({out_toks: ts, out_ids: ids})
+
+    out = ensure_parallelism(df).select(
+        F.col(id_col), _tok(F.col(text_col)).alias("_b")
+    ).select(id_col, f"_b.{out_toks}", f"_b.{out_ids}")
+    if drop_empty:
+        out = out.filter(F.size(out_toks) > 0)
+    return out.withColumn(
+        "n_tokens", F.size(out_toks).cast("long"))
 
 
 def _sql_quote(s: str) -> str:
@@ -154,10 +238,14 @@ def bpe_sql_ctes(merges: list[tuple[str, str]] | None = None,
     return rf"""bpe_merges(rank, a, b) AS (
   SELECT * FROM (VALUES {vals}) m(rank, a, b)
 ), bpe_pret AS (
+  -- chr(31) stripped before pretokenizing: it is the structural
+  -- separator of the wrapped word state below (and of the Spark-side
+  -- stream hash); see bpe_profile
   SELECT doc_id, unnest(l) AS w,
          unnest(generate_series(1, len(l))) AS pos
   FROM (SELECT doc_id,
-          regexp_extract_all({text_expr}, '{pat}') AS l
+          regexp_extract_all(replace({text_expr}, chr(31), ''),
+                             '{pat}') AS l
         FROM {src})
 ), bpe_words AS (SELECT DISTINCT w FROM bpe_pret),
 bpe_steps AS (
@@ -190,4 +278,39 @@ bpe_steps AS (
     md5(string_agg(f.tok_str, chr(31) ORDER BY p.pos)) AS bpe_stream_md5
   FROM bpe_pret p JOIN bpe_final f ON p.w = f.w
   GROUP BY p.doc_id
+)"""
+
+
+def bpe_arrays_sql_ctes() -> str:
+    """CTE chain extending :func:`bpe_sql_ctes` (append after it) to
+    per-document token ARRAYS with trained-vocab ids — terminates in
+    ``bpe_arrays(doc_id, tl, il, n)`` where ``tl``/``il`` are the
+    parallel token-string / token-id lists of :func:`bpe_token_arrays`
+    and ``n`` their length. The vocab is derived in SQL exactly as
+    :func:`bpe_vocab` derives it in Python: merge products (``a||b``)
+    at ``128 + rank`` (the VALUES ranks are 1-based, so this equals the
+    Python ``129 + i``), ASCII base characters at codepoint+1, anything
+    else ``0`` (<unk>)."""
+    return f""", bpe_vocab_sql AS (
+  SELECT 128 + rank AS id, a || b AS tok FROM bpe_merges
+), bpe_doc_tok AS (
+  SELECT s.doc_id, unnest(s.tl) AS tok,
+         unnest(generate_series(1, len(s.tl))) AS tpos
+  FROM (SELECT p.doc_id,
+          string_split(string_agg(f.tok_str, chr(31) ORDER BY p.pos),
+                       chr(31)) AS tl
+        FROM bpe_pret p JOIN bpe_final f ON p.w = f.w
+        GROUP BY p.doc_id) s
+), bpe_doc_tok_ids AS (
+  SELECT d.doc_id, d.tpos, d.tok,
+    CAST(COALESCE(v.id,
+      CASE WHEN length(d.tok) = 1 AND unicode(d.tok) BETWEEN 0 AND 127
+           THEN unicode(d.tok) + 1 ELSE {BPE_UNK_ID} END) AS BIGINT)
+      AS tid
+  FROM bpe_doc_tok d LEFT JOIN bpe_vocab_sql v ON d.tok = v.tok
+), bpe_arrays AS (
+  SELECT doc_id, list(tok ORDER BY tpos) AS tl,
+         list(tid ORDER BY tpos) AS il,
+         CAST(count(*) AS BIGINT) AS n
+  FROM bpe_doc_tok_ids GROUP BY doc_id
 )"""

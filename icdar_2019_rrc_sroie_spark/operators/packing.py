@@ -54,6 +54,18 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def token_counts_from_arrays(tokens_df: DataFrame,
+                             id_col: str = "doc_id",
+                             toks_col: str = "toks") -> DataFrame:
+    """(id, n_tokens) over a PRE-TOKENIZED corpus — the layout currency
+    when a trained tokenizer (``bpe.bpe_token_arrays``) supplies the
+    streams instead of the canonical whitespace split. Layouts built
+    from these counts index the SAME arrays the materializers slice, so
+    offsets, SFT spans and shards all refer to one token stream."""
+    return tokens_df.select(
+        F.col(id_col), F.size(toks_col).cast("long").alias("n_tokens"))
+
+
 def _shard_and_key(id_col: str, n_shards: int) -> tuple[Column, Column]:
     """Deterministic shuffle key (md5 hex prefix, engine-portable) and
     its shard. The key doubles as the virtual-stream order: packing in
@@ -296,14 +308,24 @@ def hashed_vocab_ids(tokens: Column, vocab_size: int) -> Column:
                    .cast("long") % vocab_size))
 
 
-def materialize_packs(docs: DataFrame, layout: DataFrame,
+def materialize_packs(docs: DataFrame | None, layout: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
-                      vocab_size: int | None = None) -> DataFrame:
+                      vocab_size: int | None = None,
+                      tokens_df: DataFrame | None = None) -> DataFrame:
     """The actual training sequences for a :func:`pack_chunks` layout:
     (pack_id, n_tokens, tokens) where ``tokens`` is the pack's token
     stream — every pack except the stream tail exactly ``seq_len``
     long, zero padding. ``vocab_size`` adds a ``token_ids`` column
     (:func:`hashed_vocab_ids`).
+
+    ``tokens_df`` substitutes a PRE-TOKENIZED corpus (id, ``toks``,
+    optionally parallel ``ids`` — ``bpe.bpe_token_arrays`` output) for
+    the whitespace split; the layout must then come from
+    :func:`token_counts_from_arrays` over the same arrays. When an
+    ``ids`` column is present it is sliced in lockstep with the token
+    strings and emitted as ``token_ids`` — real trained-vocab ids, the
+    round-6 contract fix over the hashing-trick ids (``vocab_size``
+    must be None then; the two id sources are mutually exclusive).
 
     One join (layout × tokenized docs on id — layout fan-out is linear
     in corpus tokens) and one hash aggregate keyed pack_id; the
@@ -312,22 +334,33 @@ def materialize_packs(docs: DataFrame, layout: DataFrame,
     construction), so no window and no per-pack skew beyond seq_len
     itself. Token slicing stays JVM-side (``slice``).
     """
-    toks = doc_token_arrays(docs, id_col, text_col)
-    chunks = (
-        layout.join(toks, id_col)
-        .select(
-            "pack_id", "pack_off",
-            F.slice(F.col("toks"), F.col("tok_start") + 1,
-                    F.col("tok_len")).alias("_chunk"))
-    )
-    out = (
-        chunks.groupBy("pack_id")
-        .agg(F.flatten(F.transform(
+    toks = (tokens_df if tokens_df is not None
+            else doc_token_arrays(docs, id_col, text_col))
+    has_ids = tokens_df is not None and "ids" in tokens_df.columns
+    if has_ids and vocab_size is not None:
+        raise ValueError("vocab_size (hashing-trick ids) and tokens_df "
+                         "ids (trained vocab) are mutually exclusive")
+    chunk_cols = [F.slice(F.col("toks"), F.col("tok_start") + 1,
+                          F.col("tok_len")).alias("_chunk")]
+    if has_ids:
+        chunk_cols.append(F.slice(F.col("ids"), F.col("tok_start") + 1,
+                                  F.col("tok_len")).alias("_ichunk"))
+    chunks = layout.join(toks, id_col).select(
+        "pack_id", "pack_off", *chunk_cols)
+    aggs = [F.flatten(F.transform(
+        F.array_sort(F.collect_list(
+            F.struct(F.col("pack_off"), F.col("_chunk")))),
+        lambda s: s["_chunk"])).alias("tokens")]
+    if has_ids:
+        aggs.append(F.flatten(F.transform(
             F.array_sort(F.collect_list(
-                F.struct(F.col("pack_off"), F.col("_chunk")))),
-            lambda s: s["_chunk"])).alias("tokens"))
+                F.struct(F.col("pack_off"), F.col("_ichunk")))),
+            lambda s: s["_ichunk"])).alias("token_ids"))
+    out = (
+        chunks.groupBy("pack_id").agg(*aggs)
         .select("pack_id", F.size("tokens").cast("long").alias("n_tokens"),
-                "tokens")
+                "tokens",
+                *(["token_ids"] if has_ids else []))
     )
     if vocab_size is not None:
         out = out.withColumn(
@@ -335,18 +368,23 @@ def materialize_packs(docs: DataFrame, layout: DataFrame,
     return out
 
 
-def materialize_greedy_packs(docs: DataFrame, layout: DataFrame,
+def materialize_greedy_packs(docs: DataFrame | None, layout: DataFrame,
                              seq_len: int, id_col: str = "doc_id",
                              text_col: str = "text",
-                             pad_token: str | None = None) -> DataFrame:
+                             pad_token: str | None = None,
+                             tokens_df: DataFrame | None = None
+                             ) -> DataFrame:
     """Training sequences for a :func:`greedy_packs` layout:
     (pack_id, n_tokens, n_pad, overflow, tokens). Documents are whole
     (never sliced); ``pad_token`` right-pads every non-overflow pack to
     ``seq_len`` (None leaves them ragged — attention-mask trainers pad
     downstream). ``n_pad`` is the padding the pack would need either
     way; ``overflow`` marks single-doc packs longer than ``seq_len``
-    (the layout's flag, carried through)."""
-    toks = doc_token_arrays(docs, id_col, text_col)
+    (the layout's flag, carried through). ``tokens_df`` substitutes a
+    pre-tokenized corpus (see :func:`materialize_packs`) — the layout
+    must come from the same arrays' counts."""
+    toks = (tokens_df.select(id_col, "toks") if tokens_df is not None
+            else doc_token_arrays(docs, id_col, text_col))
     docs_in_pack = layout.join(toks, id_col).select(
         "pack_id", "pack_off", "overflow", F.col("toks").alias("_chunk"))
     grouped = (

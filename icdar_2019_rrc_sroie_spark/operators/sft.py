@@ -66,7 +66,8 @@ def _turn_tokens(role: Column, text: Column) -> Column:
 def render_conversations(turns: DataFrame, conv_col: str = "conv_id",
                          turn_col: str = "turn_idx",
                          role_col: str = "role",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         turn_toks_col: str | None = None) -> DataFrame:
     """(conv_id, text, tokens, n_tokens, spans): each conversation's
     canonical serialized form.
 
@@ -75,20 +76,43 @@ def render_conversations(turns: DataFrame, conv_col: str = "conv_id",
     turn's tag token and ``tok_len`` covering tag + content. The
     per-turn offsets are an in-row prefix sum over materialized length
     columns — no window, no second shuffle; the only exchange is the
-    conversation-assembly groupBy."""
+    conversation-assembly groupBy.
+
+    ``turn_toks_col`` names a PRE-TOKENIZED content array on ``turns``
+    (e.g. ``bpe.bpe_token_arrays`` with ``drop_empty=False`` — the
+    round-6 trained-tokenizer path): each turn renders as its role tag
+    token followed by that array verbatim, so spans/masks index the BPE
+    stream. The ``text`` column is then only informational (BPE tokens
+    contain spaces; the token ARRAY is the canonical stream, and the
+    packing materializers consume arrays, not text)."""
+    turn_struct = [
+        F.col(turn_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+    ]
+    if turn_toks_col is None:
+        turn_struct.append(F.col(text_col).alias("text"))
+    else:
+        turn_struct.append(F.coalesce(
+            F.col(turn_toks_col),
+            F.array().cast("array<string>")).alias("ctoks"))
     assembled = (
         turns.groupBy(conv_col)
-        .agg(F.array_sort(F.collect_list(F.struct(
-            F.col(turn_col).alias("turn_idx"),
-            F.col(role_col).alias("role"),
-            F.col(text_col).alias("text")))).alias("_ts"))
+        .agg(F.array_sort(F.collect_list(
+            F.struct(*turn_struct))).alias("_ts"))
     )
+
+    def _toks(t):
+        if turn_toks_col is None:
+            return _turn_tokens(t["role"], t["text"])
+        tag = F.concat(F.lit("<|"), t["role"], F.lit("|>"))
+        return F.concat(F.array(tag), t["ctoks"])
+
     with_toks = assembled.withColumn(
         "_tt",
         F.transform(F.col("_ts"), lambda t: F.struct(
             t["turn_idx"].alias("turn_idx"),
             t["role"].alias("role"),
-            _turn_tokens(t["role"], t["text"]).alias("toks"))))
+            _toks(t).alias("toks"))))
     # materialize lengths, then offsets, as separate columns: the span
     # builder below references them per element, and attribute slices
     # are field reads while inlined expression trees would re-run the

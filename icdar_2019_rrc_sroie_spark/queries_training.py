@@ -44,6 +44,23 @@ def _stream_hash(tokens: Column) -> Column:
         16, 10).cast("long")
 
 
+def _stream_hash31(tokens: Column) -> Column:
+    """Like :func:`_stream_hash` but chr(31)-joined — the separator for
+    BPE streams, whose tokens themselves contain spaces (the tokenizer
+    strips U+001F from input, so the join is unambiguous)."""
+    return F.conv(
+        F.substring(F.md5(F.array_join(tokens, "\x1f")), 1, 8),
+        16, 10).cast("long")
+
+
+def _ids_hash(ids: Column) -> Column:
+    """md5-hex-prefix (as BIGINT) of the comma-joined id stream."""
+    return F.conv(
+        F.substring(F.md5(F.array_join(
+            F.transform(ids, lambda i: i.cast("string")), ",")), 1, 8),
+        16, 10).cast("long")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both packing disciplines over the documents table as a
     discriminated union: 'chunk' rows are the concat-and-chunk layout
@@ -70,7 +87,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id=-1). The oracle recomputes offsets with a per-conversation
     window cumsum and the mask with an ordered string_agg of assistant
     content — agreeing values prove the spans index the stream
-    exactly."""
+    exactly.
+
+    Round-6 trained-tokenizer arms ('bmat'/'bconv'/'bmask'): the same
+    layout → materialize → SFT-mask contract over TRAINED-BPE streams
+    with real vocab ids — see the inline comment at the bmat block for
+    the exact encodings."""
     from .operators.indexes import track_persist
     from .operators.sft import assistant_mask, render_conversations
 
@@ -126,13 +148,82 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_mask_tokens").alias("a"),
         _stream_hash(F.col("mask_tokens")).alias("b"),
         F.col("n_tokens").alias("c"))
+
+    # Round-6 trained-tokenizer arms: the SAME layouts/materialization/
+    # SFT machinery over TRAINED-BPE token streams with real vocab ids
+    # (bpe.bpe_token_arrays) instead of the whitespace split. 'bmat'
+    # value-checks the materialized chunk packs — a=BPE token count,
+    # b=md5-prefix of the chr(31)-joined token stream, c=md5-prefix of
+    # the comma-joined TRAINED-VOCAB id stream — so the shipped
+    # contract (layout counts == sliced arrays == id streams) is
+    # driver-attested end to end. 'bconv'/'bmask' replay the SFT spans
+    # and assistant loss mask over per-turn BPE content arrays (the
+    # tag token stays a single special token). The oracle replays the
+    # greedy BPE merge loop per distinct pretoken (recursive CTE),
+    # derives the same vocab ids from the merges table, and re-runs
+    # the chunk layout over BPE counts.
+    from .operators.bpe import bpe_token_arrays
+
+    barr = track_persist(bpe_token_arrays(docs))
+    blayout = pack_chunks(barr.select("doc_id", "n_tokens"),
+                          _SEQ_LEN, _N_SHARDS)
+    bmat = materialize_packs(None, blayout, tokens_df=barr).select(
+        F.lit("bmat").alias("kind"), "pack_id",
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.col("n_tokens").alias("a"),
+        _stream_hash31(F.col("tokens")).alias("b"),
+        _ids_hash(F.col("token_ids")).alias("c"))
+    tturns = bpe_token_arrays(turns.withColumnRenamed("conv_id", "_c")
+                              .withColumn("doc_id",
+                                          F.col("_c") + F.col("turn_idx") * 50),
+                              drop_empty=False)
+    turns_tok = turns.join(
+        tturns.select(
+            ((F.col("doc_id") % 50)).alias("conv_id"),
+            F.floor(F.col("doc_id") / 50).cast("long").alias("turn_idx"),
+            F.col("toks").alias("ctoks")),
+        ["conv_id", "turn_idx"])
+    rendered_b = track_persist(
+        render_conversations(turns_tok, turn_toks_col="ctoks"))
+    bconv = rendered_b.select(
+        F.lit("bconv").alias("kind"),
+        F.col("conv_id").alias("pack_id"),
+        F.explode("spans").alias("s"),
+    ).select(
+        "kind", "pack_id",
+        F.col("s.turn_idx").cast("long").alias("doc_id"),
+        F.col("s.tok_start").alias("a"),
+        F.col("s.tok_len").alias("b"),
+        F.when(F.col("s.role") == "user", F.lit(0))
+        .when(F.col("s.role") == "assistant", F.lit(1))
+        .otherwise(F.lit(2)).cast("long").alias("c"))
+    bmask = assistant_mask(rendered_b).select(
+        F.lit("bmask").alias("kind"),
+        F.col("conv_id").alias("pack_id"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.col("n_mask_tokens").alias("a"),
+        _stream_hash31(F.col("mask_tokens")).alias("b"),
+        F.col("n_tokens").alias("c"))
     return (chunk.unionByName(greedy).unionByName(mat)
             .unionByName(matg).unionByName(conv).unionByName(cmask)
+            .unionByName(bmat).unionByName(bconv).unionByName(bmask)
             .orderBy("kind", "pack_id", "doc_id", "a"))
 
 
 def _sql_pack_sequences() -> str:
+    from .operators.bpe import bpe_arrays_sql_ctes, bpe_sql_ctes
+
     L, S = _SEQ_LEN, _N_SHARDS
+    # BPE units: full documents (layout/materialization arms) plus the
+    # SFT fixture's 120-char turn texts, offset so one recursive merge
+    # replay covers both
+    bpe_units = f"""units AS (
+  SELECT doc_id, text AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 100000000 AS doc_id, substr(text, 1, 120) AS t
+  FROM documents
+), {bpe_sql_ctes(src="units", text_expr="t")}{bpe_arrays_sql_ctes()}"""
+    h31 = "chr(31)"
     base = rf"""counts AS (
   SELECT doc_id,
     CASE WHEN length(norm) = 0 THEN 0
@@ -249,6 +340,63 @@ WITH RECURSIVE {base}, rec AS (
       ' ' ORDER BY turn_idx), '')), 1, 8) AS BIGINT) AS mask_h,
     CAST(SUM(tlen) AS BIGINT) AS conv_tokens
   FROM sft_sp GROUP BY conv_id
+), {bpe_units}, bkeyed AS (
+  -- chunk layout replayed over TRAINED-BPE token counts (docs only)
+  SELECT a.doc_id, a.n AS n_tokens,
+    md5('pack' || CAST(a.doc_id AS VARCHAR)) AS key,
+    CAST('0x' || substr(md5('pack' || CAST(a.doc_id AS VARCHAR)), 1, 8)
+         AS BIGINT) % {S} AS shard
+  FROM bpe_arrays a WHERE a.doc_id < 100000000 AND a.n > 0
+), bpos AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY shard, key, doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS gstart
+  FROM bkeyed
+), bchunk_rows AS (
+  SELECT CAST(p AS BIGINT) AS pack_id, doc_id,
+    CAST(greatest(0, p * {L} - gstart) AS BIGINT) AS a,
+    CAST(least(n_tokens, p * {L} + {L} - gstart)
+         - greatest(0, p * {L} - gstart) AS BIGINT) AS b,
+    CAST(greatest(0, gstart - p * {L}) AS BIGINT) AS c
+  FROM (SELECT doc_id, n_tokens, gstart,
+          unnest(generate_series(CAST(gstart // {L} AS BIGINT),
+                                 CAST((gstart + n_tokens - 1) // {L}
+                                      AS BIGINT))) AS p
+        FROM bpos)
+), bmat_rows AS (
+  SELECT c.pack_id, CAST(SUM(c.b) AS BIGINT) AS n_tokens,
+    CAST('0x' || substr(md5(string_agg(
+      array_to_string(list_slice(a.tl, c.a + 1, c.a + c.b), {h31}),
+      {h31} ORDER BY c.c)), 1, 8) AS BIGINT) AS th,
+    CAST('0x' || substr(md5(string_agg(
+      array_to_string(list_slice(a.il, c.a + 1, c.a + c.b), ','),
+      ',' ORDER BY c.c)), 1, 8) AS BIGINT) AS ih
+  FROM bchunk_rows c JOIN bpe_arrays a ON a.doc_id = c.doc_id
+  GROUP BY c.pack_id
+), bturn AS (
+  -- per-turn BPE content: LEFT JOIN keeps empty turns (tag-only,
+  -- tlen=1), mirroring drop_empty=False on the Spark side
+  SELECT s.conv_id, s.turn_idx,
+    CAST(s.turn_idx % 3 AS BIGINT) AS role_code,
+    CAST(1 + coalesce(a.n, 0) AS BIGINT) AS tlen,
+    coalesce(a.n, 0) AS n_content,
+    array_to_string(coalesce(a.tl, []), {h31}) AS content_str
+  FROM sft_turns s LEFT JOIN bpe_arrays a
+    ON a.doc_id = (s.conv_id + s.turn_idx * 50) + 100000000
+), bsp AS (
+  SELECT conv_id, turn_idx, role_code, tlen, n_content, content_str,
+    SUM(tlen) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                    ROWS UNBOUNDED PRECEDING) - tlen AS tok_start
+  FROM bturn
+), bmask_rows AS (
+  SELECT conv_id,
+    CAST(coalesce(SUM(CASE WHEN role_code = 1 THEN n_content END), 0)
+         AS BIGINT) AS n_mask,
+    CAST('0x' || substr(md5(coalesce(string_agg(
+      CASE WHEN role_code = 1 AND n_content > 0 THEN content_str END,
+      {h31} ORDER BY turn_idx), '')), 1, 8) AS BIGINT) AS mask_h,
+    CAST(SUM(tlen) AS BIGINT) AS conv_tokens
+  FROM bsp GROUP BY conv_id
 )
 SELECT 'chunk' AS kind, pack_id, doc_id, a, b, c FROM chunk_rows
 UNION ALL
@@ -276,6 +424,20 @@ SELECT 'cmask' AS kind, CAST(conv_id AS BIGINT) AS pack_id,
   CAST(-1 AS BIGINT) AS doc_id,
   n_mask AS a, mask_h AS b, conv_tokens AS c
 FROM sft_mask
+UNION ALL
+SELECT 'bmat' AS kind, pack_id, CAST(-1 AS BIGINT) AS doc_id,
+  n_tokens AS a, th AS b, ih AS c
+FROM bmat_rows
+UNION ALL
+SELECT 'bconv' AS kind, CAST(conv_id AS BIGINT) AS pack_id,
+  CAST(turn_idx AS BIGINT) AS doc_id,
+  CAST(tok_start AS BIGINT) AS a, tlen AS b, role_code AS c
+FROM bsp
+UNION ALL
+SELECT 'bmask' AS kind, CAST(conv_id AS BIGINT) AS pack_id,
+  CAST(-1 AS BIGINT) AS doc_id,
+  n_mask AS a, mask_h AS b, conv_tokens AS c
+FROM bmask_rows
 ORDER BY kind, pack_id, doc_id, a
 """
 
@@ -371,7 +533,6 @@ ORDER BY sel_micro DESC, doc_id ASC LIMIT {_DSIR_KEEP}
 """
 
 
-_TS_VOCAB = 32768
 _TS_KEEP = 300
 
 
@@ -390,9 +551,12 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per emitted training sequence — (pack_id,
     n_tokens, stream_h, ids_h) with md5-prefix signatures of the token
-    stream and the hashed-vocab id stream. Fully deterministic (md5
-    ordering, RNG-free Gumbel), so the driver's rows+hash check is
-    stable. Composition invariants (planted dup excluded, only
+    stream and the TRAINED-BPE id stream (round 6: the packers consume
+    ``bpe.bpe_token_arrays`` streams, so n_tokens counts BPE tokens
+    and ids come from the trained vocabulary — the round-5 layer
+    shipped hashing-trick whitespace ids here). Fully deterministic
+    (md5 ordering, RNG-free Gumbel), so the driver's rows+hash check
+    is stable. Composition invariants (planted dup excluded, only
     selected docs packed, id/token streams consistent) are pinned by
     tests/test_training.py."""
     from .operators.dedup import exact_dedup, normalized_text
@@ -425,22 +589,27 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sel = dsir_select(s2, s2.filter(F.col("lang") == "en"),
                       n_keep=_TS_KEEP, alpha=_DSIR_ALPHA)
-    # second persisted stage boundary: the packing stages read `picked`
-    # TWICE (token_counts for the layout, doc_token_arrays for the
-    # materialization); both persists together (quiet window, sf0.1):
-    # in-battery entry 15.7 -> 5.5 s, warm rerun 10.3 -> 2.1 s
+    # second persisted stage boundary: without it the BPE tokenization
+    # below would re-run the dedup+gate+selection lineage; both
+    # persists together (quiet window, sf0.1): in-battery entry
+    # 15.7 -> 5.5 s, warm rerun 10.3 -> 2.1 s (r5, whitespace path)
     picked = track_persist(
         s2.join(sel.select("doc_id"), "doc_id", "left_semi"))
 
-    layout = pack_chunks(token_counts(picked), _SEQ_LEN, _N_SHARDS)
-    seqs = materialize_packs(picked, layout, vocab_size=_TS_VOCAB)
+    # round 6: tokenize the selected slice with the TRAINED tokenizer —
+    # layout counts, materialized streams and shipped ids all index the
+    # one BPE stream (third stage-boundary persist: the arrays feed the
+    # layout counts AND the materialization join)
+    from .operators.bpe import bpe_token_arrays
+
+    barr = track_persist(bpe_token_arrays(picked))
+    layout = pack_chunks(barr.select("doc_id", "n_tokens"),
+                         _SEQ_LEN, _N_SHARDS)
+    seqs = materialize_packs(None, layout, tokens_df=barr)
     return seqs.select(
         "pack_id", "n_tokens",
-        _stream_hash(F.col("tokens")).alias("stream_h"),
-        F.conv(F.substring(F.md5(F.array_join(
-            F.transform(F.col("token_ids"),
-                        lambda i: i.cast("string")), ",")), 1, 8),
-            16, 10).cast("long").alias("ids_h"),
+        _stream_hash31(F.col("tokens")).alias("stream_h"),
+        _ids_hash(F.col("token_ids")).alias("ids_h"),
     ).orderBy("pack_id")
 
 
@@ -465,9 +634,17 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_training_shards,
     )
 
+    from .operators.bpe import bpe_token_arrays
+    from .operators.indexes import track_persist
+
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    layout = pack_chunks(token_counts(docs), _SEQ_LEN, _N_SHARDS)
-    seqs = materialize_packs(docs, layout)
+    # round 6: shards carry TRAINED-BPE token strings and vocab ids —
+    # the manifest signature (xxhash64 over all columns, token_ids
+    # included) now attests the real id streams a trainer consumes
+    barr = track_persist(bpe_token_arrays(docs))
+    layout = pack_chunks(barr.select("doc_id", "n_tokens"),
+                         _SEQ_LEN, _N_SHARDS)
+    seqs = materialize_packs(None, layout, tokens_df=barr)
     path = os.path.join(tempfile.gettempdir(),
                         f"sroie_ship_{os.getpid()}")
     track_scratch_dir(spark, path)

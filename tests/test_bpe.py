@@ -160,3 +160,50 @@ def test_bpe_oracle_matches_kernel_on_whitespace_variants(spark):
     assert got == want
     # the newline doc must actually count its \n pretoken
     assert got[0][0] >= 3
+
+
+def test_bpe_token_arrays_replay_ids_and_unit_sep(spark):
+    """Round-6 packing face: toks/ids are the cached greedy apply plus
+    trained-vocab lookups (merge products at 129+rank, ASCII at cp+1,
+    else <unk>=0); U+001F is stripped BEFORE pretokenizing in both
+    engines (it is the stream/oracle separator); drop_empty mirrors
+    doc_token_arrays."""
+    import re
+
+    from icdar_2019_rrc_sroie_spark.operators.bpe import (
+        BPE_TOKEN_PATTERN,
+        bpe_token_arrays,
+        bpe_vocab,
+        encode_word,
+        load_merges,
+    )
+
+    merges = load_merges()
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+    rows = [(1, "Hello world, totals are 123.45!"),
+            (2, "strip\x1fthe unit\x1f sep"),
+            (3, "café résumé — unicode falls to unk"),
+            (4, ""), (5, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (list(r["toks"]), list(r["ids"]), r["n_tokens"])
+           for r in bpe_token_arrays(df).collect()}
+    pat = re.compile(BPE_TOKEN_PATTERN, re.ASCII)
+    for i, t in rows:
+        stream = [tok for w in pat.findall(t.replace("\x1f", ""))
+                  for tok in encode_word(w, ranks)]
+        if not stream:
+            assert i not in got  # drop_empty
+            continue
+        ids = [vocab.get(tok, 0) for tok in stream]
+        assert got[i] == (stream, ids, len(stream)), i
+    # non-ASCII base chars map to <unk>, ASCII ones to cp+1
+    assert 0 in got[3][1]
+    # kept rows under drop_empty=False: empty docs with empty arrays
+    kept = {r["doc_id"]: list(r["toks"])
+            for r in bpe_token_arrays(df, drop_empty=False).collect()}
+    assert kept[4] == [] and set(kept) == {1, 2, 3, 4, 5}
+    # U+001F never changes the tokenization vs pre-stripped text
+    assert got[2][0] == [
+        tok for w in pat.findall("stripthe unit sep")
+        for tok in encode_word(w, ranks)]

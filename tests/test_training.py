@@ -719,3 +719,112 @@ def test_render_conversations_trailing_newline_consistency(spark):
     mask = {r["conv_id"]: list(r["mask_tokens"])
             for r in assistant_mask(rendered).collect()}
     assert mask[1] == ["done."] and mask[2] == ["tabbed"]
+
+
+def test_bpe_materialize_packs_streams_and_ids(spark):
+    """Round-6 trained-tokenizer wiring: a chunk layout built from
+    token_counts_from_arrays over bpe_token_arrays output, materialized
+    with tokens_df=..., must (a) emit full packs except the tail,
+    (b) reassemble the exact concatenated BPE stream in md5 order, and
+    (c) carry token_ids sliced in lockstep with the token strings
+    (trained vocab, not the hashing trick)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.bpe import (
+        bpe_token_arrays,
+        bpe_vocab,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.packing import (
+        materialize_packs,
+        pack_chunks,
+        token_counts_from_arrays,
+    )
+
+    SEQ, SHARDS = 128, 4
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 60")
+    barr = bpe_token_arrays(docs).persist()
+    layout = pack_chunks(token_counts_from_arrays(barr), SEQ, SHARDS)
+    packs = materialize_packs(None, layout, tokens_df=barr) \
+        .orderBy("pack_id").collect()
+    vocab = bpe_vocab()
+    # (a) zero waste, (c) ids parallel to tokens
+    for i, p in enumerate(packs):
+        if i < len(packs) - 1:
+            assert p.n_tokens == SEQ
+        assert list(p.token_ids) == [vocab.get(t, 0) for t in p.tokens]
+    # (b) exact stream reassembly in the deterministic md5 order
+    arrs = {r["doc_id"]: list(r["toks"]) for r in barr.collect()}
+
+    def key(i):
+        h = hashlib.md5(f"pack{i}".encode()).hexdigest()
+        return (int(h[:8], 16) % SHARDS, h, i)
+
+    expected = [t for i in sorted(arrs, key=key) for t in arrs[i]]
+    got = [t for p in packs for t in p.tokens]
+    assert got == expected
+    barr.unpersist()
+
+
+def test_bpe_sft_pack_slice_equals_mask(spark):
+    """The SFT loop over the TRAINED-BPE stream (round 6): render with
+    pre-tokenized turns, greedy-pack the rendered conversations via
+    token_counts_from_arrays, materialize with tokens_df, translate
+    loss spans — pack slices must reproduce the assistant-mask content
+    exactly on the BPE stream."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.bpe import bpe_token_arrays
+    from icdar_2019_rrc_sroie_spark.operators.packing import (
+        greedy_packs,
+        materialize_greedy_packs,
+        token_counts_from_arrays,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.sft import (
+        assistant_mask,
+        pack_loss_spans,
+        render_conversations,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 90")
+    turns = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 9).alias("conv_id"),
+        F.floor(F.col("doc_id") / 9).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")).alias("role"),
+        F.substring("text", 1, 100).alias("text"))
+    tt = bpe_token_arrays(turns, drop_empty=False)
+    turns_tok = turns.join(
+        tt.select("doc_id", F.col("toks").alias("ctoks")), "doc_id")
+    rendered = render_conversations(
+        turns_tok, turn_toks_col="ctoks").persist()
+    counts = token_counts_from_arrays(
+        rendered.select(F.col("conv_id").alias("doc_id"),
+                        F.col("tokens").alias("toks")))
+    layout = greedy_packs(counts, 512, n_shards=4)
+    packs = materialize_greedy_packs(
+        None, layout, 512,
+        tokens_df=rendered.select(F.col("conv_id").alias("doc_id"),
+                                  F.col("tokens").alias("toks")))
+    spans = pack_loss_spans(layout, rendered).collect()
+    streams = {r["pack_id"]: list(r["tokens"]) for r in packs.collect()}
+    got = {}
+    for r in spans:
+        seg = streams[r["pack_id"]][r["tok_start"]:
+                                    r["tok_start"] + r["tok_len"]]
+        got.setdefault(r["conv_id"], []).extend(
+            (r["tok_start"], tuple(seg)))
+    mask = {r["conv_id"]: list(r["mask_tokens"])
+            for r in assistant_mask(rendered).collect()}
+    for cid, parts in got.items():
+        ordered = [t for _, seg in sorted(
+            zip(parts[0::2], parts[1::2])) for t in seg]
+        assert ordered == mask[cid], cid
+    assert set(got) == {c for c, m in mask.items() if m}
+    # BPE content tokens keep their leading spaces through the loop
+    assert any(t.startswith(" ") for m in mask.values() for t in m)
+    rendered.unpersist()
