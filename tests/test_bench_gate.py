@@ -55,3 +55,16 @@ def test_select_attempt_single_attempt_annotates_itself():
     assert out["winning_attempt"] == 1
     assert out["attempt1_total_sec"] == 95.0
     assert out["n_attempts"] == 1 and not out["degraded"]
+
+
+def test_select_attempt_carries_per_attempt_queries():
+    # round 6 (VERDICT r5 #7): BOTH attempts' per-query timings ship in
+    # the artifact so warm/cold regime switches stay comparable
+    a = {"cpu_calib_mops": [13.0, 9.0, 13.0], "value": 150.0,
+         "queries": {"q1": 9.0}}
+    b = {"cpu_calib_mops": [12.0, 11.5, 11.8], "value": 95.0,
+         "queries": {"q1": 5.0}}
+    out = bench.select_attempt([a, b])
+    assert [at["queries"] for at in out["attempts"]] == \
+        [{"q1": 9.0}, {"q1": 5.0}]
+    assert [at["total_sec"] for at in out["attempts"]] == [150.0, 95.0]

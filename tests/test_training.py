@@ -828,3 +828,75 @@ def test_bpe_sft_pack_slice_equals_mask(spark):
     # BPE content tokens keep their leading spaces through the loop
     assert any(t.startswith(" ") for m in mask.values() for t in m)
     rendered.unpersist()
+
+
+class TestDsirThreshold:
+    """Round-6 threshold-mode selection: the distributed shape for
+    corpus-scale n_keep — same selected set as exact, no O(n_keep)
+    TakeOrdered in the plan."""
+
+    def _scores(self, spark, n=5000):
+        from pyspark.sql import functions as F
+
+        # deterministic quasi-random integer scores with planted ties
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 97 + 1).alias("n_grams"),
+            ((F.col("id") * 2654435761) % 1000000 - 500000)
+            .alias("score_micro"))
+
+    def test_same_set_as_exact(self, spark):
+        from icdar_2019_rrc_sroie_spark.operators.dsir import dsir_resample
+        from icdar_2019_rrc_sroie_spark.operators.indexes import (
+            release_indexes,
+        )
+
+        scores = self._scores(spark)
+        for n_keep in (100, 2500, 4999):
+            exact = {tuple(r) for r in dsir_resample(
+                scores, n_keep, mode="exact").collect()}
+            thr = {tuple(r) for r in dsir_resample(
+                scores, n_keep, mode="threshold").collect()}
+            assert thr == exact, n_keep
+            assert len(thr) == n_keep
+        release_indexes()
+
+    def test_no_corpus_scale_take_ordered(self, spark):
+        import re
+
+        from icdar_2019_rrc_sroie_spark.operators.dsir import dsir_resample
+        from icdar_2019_rrc_sroie_spark.operators.indexes import (
+            release_indexes,
+        )
+
+        def _plan(df) -> str:
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        scores = self._scores(spark, n=20000)
+        n_keep = 15000
+        plan = _plan(dsir_resample(scores, n_keep, mode="threshold"))
+        limits = [int(m) for m in re.findall(
+            r"TakeOrderedAndProject\(limit=(\d+)", plan)]
+        # the only sort-limit is the band tie-break, O(rel_err*N):
+        # far below n_keep (exact mode would show limit=15000)
+        assert limits, "band tie-break should be a TakeOrdered"
+        assert all(lim < n_keep // 10 for lim in limits), limits
+        exact_plan = _plan(dsir_resample(scores, n_keep, mode="exact"))
+        assert f"TakeOrderedAndProject(limit={n_keep}" in exact_plan
+        release_indexes()
+
+    def test_auto_cutoff_and_degenerate_cases(self, spark):
+        from icdar_2019_rrc_sroie_spark.operators.dsir import dsir_resample
+        from icdar_2019_rrc_sroie_spark.operators.indexes import (
+            release_indexes,
+        )
+
+        scores = self._scores(spark, n=400)
+        # auto below cutoff -> exact plan
+        plan = dsir_resample(scores, 50, mode="auto") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject(limit=50" in plan
+        # n_keep >= total -> everything selected, no sort at all
+        rows = dsir_resample(scores, 1000, mode="threshold").collect()
+        assert len(rows) == 400
+        release_indexes()
