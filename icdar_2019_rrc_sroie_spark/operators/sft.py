@@ -158,7 +158,9 @@ def pack_loss_spans(layout: DataFrame, rendered: DataFrame,
     the rendered conversations (whole-document packing — a
     conversation is never split, so a span maps into exactly one pack
     by adding that conversation's ``pack_off``). One equi-join on the
-    conversation id; empty-content turns produce no span."""
+    conversation id; empty-content turns produce no span. For
+    concat-and-chunk layouts (conversations split across packs) use
+    :func:`pack_loss_spans_chunked`."""
     sp = (
         rendered.select(F.col(conv_col), F.explode("spans").alias("s"))
         .filter((F.col("s.role") == loss_role) & (F.col("s.tok_len") > 1))
@@ -174,6 +176,53 @@ def pack_loss_spans(layout: DataFrame, rendered: DataFrame,
                 (F.col("pack_off") + F.col("_cstart")).cast("long")
                 .alias("tok_start"),
                 "tok_len")
+    )
+
+
+def pack_loss_spans_chunked(layout: DataFrame, rendered: DataFrame,
+                            conv_col: str = "conv_id",
+                            layout_id_col: str = "doc_id",
+                            loss_role: str = "assistant") -> DataFrame:
+    """Loss spans for a :func:`packing.pack_chunks` layout — the
+    round-6 completion of the SFT path: conversations LONGER than
+    ``seq_len`` split across packs (the whole-doc :func:`pack_loss_spans`
+    contract can't place them), so each loss span is intersected with
+    the conversation's chunk slices and re-based per pack. Output:
+    (pack_id, conv_id, tok_start, tok_len, conv_tok_start) — slice
+    ``tok_len`` tokens at ``tok_start`` of the pack's stream;
+    ``conv_tok_start`` is the segment's position in the conversation
+    stream (content coordinates re-included so a trainer — or a test —
+    can reassemble split spans in order without re-deriving the chunk
+    tiling).
+
+    Pure interval algebra over one equi-join on the conversation id:
+    span [cstart, cstart+clen) ∩ chunk [tok_start, tok_start+tok_len)
+    → pack coordinates by adding ``pack_off - tok_start``. Fan-out is
+    (spans per conv) × (chunks per conv) before the overlap filter —
+    both are small per conversation (turns, and n_tokens/seq_len), and
+    the join key keeps it conversation-local, so no corpus-scale
+    blowup; empty intersections are filtered, empty-content turns
+    never enter."""
+    sp = (
+        rendered.select(F.col(conv_col), F.explode("spans").alias("s"))
+        .filter((F.col("s.role") == loss_role) & (F.col("s.tok_len") > 1))
+        .select(F.col(conv_col),
+                (F.col("s.tok_start") + 1).cast("long").alias("_cstart"),
+                (F.col("s.tok_start") + F.col("s.tok_len")).cast("long")
+                .alias("_cend"))
+    )
+    lay = layout.select(F.col(layout_id_col).alias(conv_col),
+                        "pack_id", "tok_start", "tok_len", "pack_off")
+    ostart = F.greatest(F.col("_cstart"), F.col("tok_start"))
+    oend = F.least(F.col("_cend"), F.col("tok_start") + F.col("tok_len"))
+    return (
+        sp.join(lay, conv_col)
+        .select(F.col("pack_id"), F.col(conv_col),
+                (F.col("pack_off") + ostart - F.col("tok_start"))
+                .cast("long").alias("tok_start"),
+                (oend - ostart).cast("long").alias("tok_len"),
+                ostart.cast("long").alias("conv_tok_start"))
+        .filter(F.col("tok_len") > 0)
     )
 
 

@@ -204,9 +204,32 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_mask_tokens").alias("a"),
         _stream_hash31(F.col("mask_tokens")).alias("b"),
         F.col("n_tokens").alias("c"))
+    # 'cspan' (round 6): loss spans for a CHUNK layout — conversations
+    # split across packs at seq_len 64 (forced splits at this fixture's
+    # conv sizes), each assistant-content span intersected with its
+    # conversation's chunk slices and re-based per pack. Rows:
+    # pack_id, doc_id=conv_id, a=tok_start (pack coords), b=tok_len,
+    # c=conv_tok_start (conversation coords — pins the interval algebra
+    # from both ends).
+    from .operators.packing import token_counts_from_arrays
+    from .operators.sft import pack_loss_spans_chunked
+
+    _CSPAN_LEN = 64
+    conv_counts = token_counts_from_arrays(
+        rendered.select(F.col("conv_id").alias("doc_id"),
+                        F.col("tokens").alias("toks")))
+    clayout = pack_chunks(conv_counts, _CSPAN_LEN, _N_SHARDS)
+    cspan = pack_loss_spans_chunked(clayout, rendered).select(
+        F.lit("cspan").alias("kind"),
+        F.col("pack_id"),
+        F.col("conv_id").alias("doc_id"),
+        F.col("tok_start").alias("a"),
+        F.col("tok_len").alias("b"),
+        F.col("conv_tok_start").alias("c"))
     return (chunk.unionByName(greedy).unionByName(mat)
             .unionByName(matg).unionByName(conv).unionByName(cmask)
             .unionByName(bmat).unionByName(bconv).unionByName(bmask)
+            .unionByName(cspan)
             .orderBy("kind", "pack_id", "doc_id", "a"))
 
 
@@ -397,6 +420,43 @@ WITH RECURSIVE {base}, rec AS (
       {h31} ORDER BY turn_idx), '')), 1, 8) AS BIGINT) AS mask_h,
     CAST(SUM(tlen) AS BIGINT) AS conv_tokens
   FROM bsp GROUP BY conv_id
+), cvkeyed AS (
+  -- chunk layout over the rendered conversations (seq_len 64: forces
+  -- splits) for the chunk-layout loss-span arm
+  SELECT conv_id, CAST(SUM(tlen) AS BIGINT) AS n_tokens,
+    md5('pack' || CAST(conv_id AS VARCHAR)) AS key,
+    CAST('0x' || substr(md5('pack' || CAST(conv_id AS VARCHAR)), 1, 8)
+         AS BIGINT) % {S} AS shard
+  FROM sft_sp GROUP BY conv_id HAVING SUM(tlen) > 0
+), cvpos AS (
+  SELECT conv_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY shard, key, conv_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS gstart
+  FROM cvkeyed
+), cvchunk AS (
+  SELECT CAST(p AS BIGINT) AS pack_id, conv_id,
+    CAST(greatest(0, p * 64 - gstart) AS BIGINT) AS tok_start,
+    CAST(least(n_tokens, p * 64 + 64 - gstart)
+         - greatest(0, p * 64 - gstart) AS BIGINT) AS tok_len,
+    CAST(greatest(0, gstart - p * 64) AS BIGINT) AS pack_off
+  FROM (SELECT conv_id, n_tokens, gstart,
+          unnest(generate_series(CAST(gstart // 64 AS BIGINT),
+                                 CAST((gstart + n_tokens - 1) // 64
+                                      AS BIGINT))) AS p
+        FROM cvpos)
+), cspan_rows AS (
+  -- span [cstart, cend) ∩ chunk [tok_start, tok_start+tok_len),
+  -- re-based into pack coordinates (mirrors pack_loss_spans_chunked)
+  SELECT c.pack_id, s.conv_id,
+    CAST(c.pack_off + greatest(s.tok_start + 1, c.tok_start)
+         - c.tok_start AS BIGINT) AS a,
+    CAST(least(s.tok_start + s.tlen, c.tok_start + c.tok_len)
+         - greatest(s.tok_start + 1, c.tok_start) AS BIGINT) AS b,
+    CAST(greatest(s.tok_start + 1, c.tok_start) AS BIGINT) AS cpos
+  FROM sft_sp s JOIN cvchunk c USING (conv_id)
+  WHERE s.role_code = 1 AND s.tlen > 1
+    AND least(s.tok_start + s.tlen, c.tok_start + c.tok_len)
+        > greatest(s.tok_start + 1, c.tok_start)
 )
 SELECT 'chunk' AS kind, pack_id, doc_id, a, b, c FROM chunk_rows
 UNION ALL
@@ -438,6 +498,10 @@ SELECT 'bmask' AS kind, CAST(conv_id AS BIGINT) AS pack_id,
   CAST(-1 AS BIGINT) AS doc_id,
   n_mask AS a, mask_h AS b, conv_tokens AS c
 FROM bmask_rows
+UNION ALL
+SELECT 'cspan' AS kind, pack_id, CAST(conv_id AS BIGINT) AS doc_id,
+  a, b, cpos AS c
+FROM cspan_rows
 ORDER BY kind, pack_id, doc_id, a
 """
 

@@ -900,3 +900,61 @@ class TestDsirThreshold:
         rows = dsir_resample(scores, 1000, mode="threshold").collect()
         assert len(rows) == 400
         release_indexes()
+
+
+def test_pack_loss_spans_chunked_index_pack_streams(spark):
+    """Round-6: loss spans for a CHUNK layout (conversations split
+    across packs) must slice the materialized pack streams to exactly
+    the assistant-mask content, reassembled across packs in
+    conversation order via conv_tok_start."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.packing import (
+        materialize_packs,
+        pack_chunks,
+        token_counts_from_arrays,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.sft import (
+        assistant_mask,
+        pack_loss_spans_chunked,
+        render_conversations,
+    )
+
+    SEQ = 48  # far below conversation size -> every conv splits
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 90")
+    turns = docs.select(
+        (F.col("doc_id") % 9).alias("conv_id"),
+        F.floor(F.col("doc_id") / 9).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant")).alias("role"),
+        F.substring("text", 1, 100).alias("text"))
+    rendered = render_conversations(turns).persist()
+    as_toks = rendered.select(F.col("conv_id").alias("doc_id"),
+                              F.col("tokens").alias("toks"))
+    layout = pack_chunks(token_counts_from_arrays(as_toks), SEQ,
+                         n_shards=4)
+    packs = materialize_packs(None, layout, tokens_df=as_toks)
+    streams = {r["pack_id"]: list(r["tokens"]) for r in packs.collect()}
+    spans = pack_loss_spans_chunked(layout, rendered).collect()
+    # conversations really do split across packs
+    assert len({r["pack_id"] for r in spans}) > len(
+        {r["conv_id"] for r in spans})
+    got = {}
+    for r in spans:
+        seg = streams[r["pack_id"]][r["tok_start"]:
+                                    r["tok_start"] + r["tok_len"]]
+        assert len(seg) == r["tok_len"], "span exceeds pack stream"
+        got.setdefault(r["conv_id"], []).append(
+            (r["conv_tok_start"], seg))
+    mask = {r["conv_id"]: list(r["mask_tokens"])
+            for r in assistant_mask(rendered).collect()}
+    for cid, parts in got.items():
+        ordered = [t for _, seg in sorted(parts) for t in seg]
+        assert ordered == mask[cid], cid
+    assert set(got) == {c for c, m in mask.items() if m}
+    # split evidence: some conversation contributes from >1 pack
+    assert any(len({p for p, _ in [(r["pack_id"], 0) for r in spans
+                                   if r["conv_id"] == cid]}) > 1
+               for cid in got)
+    rendered.unpersist()
