@@ -289,19 +289,19 @@ def _cluster_merge_mapping(stored_labels: DataFrame, new_edges: DataFrame,
     IS the global component minimum — the store's canonical-label
     invariant survives merging by construction.
 
-    The store is scanned EXACTLY ONCE: the lookup join materializes
-    into the persisted ``cur``, and everything downstream (contracted
-    edges — whose lineage the CC fixpoint re-evaluates per iteration —
-    the new-node anti-filter, the crash-conflict buckets) reads the
-    persisted rows. Before round-5 profiling, each of those consumers
-    re-scanned the full store per action: ~3-5 scans per merge, which
-    made a 10-edge maintenance merge GROW with history (8.7 s → 26 s
-    at 64× — the exact property this module exists to avoid).
-    Historical EDGES are never an input — by signature, not just by
-    plan. The one remaining O(store) cost per merge is that single
-    node-lookup scan: the store is partitioned by component hash, so a
-    node probe can't prune (a node-bucketed secondary index or Iceberg
-    bloom filters would close that; documented, not emulated).
+    ``stored_labels`` is scanned EXACTLY ONCE: the lookup join
+    materializes into the persisted ``cur``, and everything downstream
+    (contracted edges — whose lineage the CC fixpoint re-evaluates per
+    iteration — the new-node anti-filter) reads the persisted rows.
+    Before round-5 profiling, each of those consumers re-scanned the
+    full store per action: ~3-5 scans per merge, which made a 10-edge
+    maintenance merge GROW with history (8.7 s → 26 s at 64× — the
+    exact property this module exists to avoid). Historical EDGES are
+    never an input — by signature, not just by plan. Round 6 closed
+    the last O(store) term too: :func:`merge_labels_store` passes a
+    node-bucket-PRUNED slice of its node-keyed mirror as
+    ``stored_labels`` (``_mirror_lookup``), so even the single lookup
+    scan reads only the probe nodes' partitions.
     """
     from .dedup import connected_components
     from .indexes import track_persist
@@ -393,16 +393,38 @@ def write_cluster_labels(labels: DataFrame, labels_path: str,
                          n_buckets: int = LABELS_N_BUCKETS_DEFAULT) -> None:
     """Initialize the label store: (node, component) partitioned by
     ``comp_bucket = xxhash64(component) % n_buckets`` so incremental
-    merges rewrite only the partitions holding affected components.
+    merges rewrite only the partitions holding affected components —
+    PLUS (round 6) a node-keyed MIRROR of the same rows under
+    ``<path>/nodes``, partitioned by ``node_bucket = xxhash64(node) %
+    n_buckets``: the merge's per-node label lookup prunes to the probe
+    nodes' buckets instead of scanning the whole store (the last
+    history-proportional cost in the ingest loop, VERDICT r5 #4).
     The modulus is pinned in ``<path>/_meta`` (same discipline as the
     lineage span store — a silently changed modulus would scatter
     components across partitions)."""
     spark = labels.sparkSession
+    # repartition by the partition column before every partitionBy
+    # write (here and in _apply_merge): without it each of the writer's
+    # tasks emits a file into every bucket dir it holds rows for —
+    # ~tasks×buckets small files (measured: ~4.8k files in a
+    # 16×-history store), and every later slice read pays the
+    # listing/open cost in proportion to HISTORY — round 6 measured
+    # the 16×-history maintenance merge at 15.9 s vs 8.4 s at 1×; this
+    # one change flattened it to 8.95 vs 8.46. One file per bucket is
+    # also the 100 TB-safe shape (no small-file explosion under
+    # continuous ingest).
     labels.select(
         "node", "component",
         _labels_bucket(F.col("component"), n_buckets).alias("comp_bucket"),
-    ).write.mode("overwrite").partitionBy("comp_bucket") \
+    ).repartition("comp_bucket") \
+        .write.mode("overwrite").partitionBy("comp_bucket") \
         .parquet(f"{labels_path}/labels")
+    labels.select(
+        "node", "component",
+        _labels_bucket(F.col("node"), n_buckets).alias("node_bucket"),
+    ).repartition("node_bucket") \
+        .write.mode("overwrite").partitionBy("node_bucket") \
+        .parquet(f"{labels_path}/nodes")
     spark.createDataFrame([(n_buckets,)], "n_buckets int") \
         .write.mode("overwrite").parquet(f"{labels_path}/_meta")
 
@@ -422,127 +444,255 @@ def read_cluster_labels(spark: SparkSession, labels_path: str) -> DataFrame:
     return _labels_df(spark, labels_path).select("node", "component")
 
 
-def merge_labels_store(spark: SparkSession, labels_path: str,
-                       new_edges: DataFrame, snapshot_id: str,
-                       max_iterations: int = 25) -> dict:
-    """Fold a snapshot's candidate edges into the persisted label store,
-    rewriting ONLY the ``comp_bucket`` partitions that hold an affected
-    component (old side of a rename, new side, or a brand-new node's
-    component) — per-ingest write cost proportional to the touched
-    clusters, not the accumulated corpus. Appends one lineage row
-    (snapshot_id, n_renames, n_new_nodes, n_buckets_rewritten) under
-    ``<path>/_lineage`` (idempotent per snapshot — dynamic overwrite).
+def _nodes_df(spark: SparkSession, labels_path: str) -> DataFrame | None:
+    """The node-keyed mirror, or None when unreadable (zero-row
+    bootstrap leaves no files; a pre-round-6 store has no mirror at
+    all — callers distinguish via the labels side)."""
+    try:
+        return spark.read.parquet(f"{labels_path}/nodes")
+    except Exception:  # noqa: BLE001
+        return None
 
-    Two-phase write: the updated bucket contents are materialized to a
-    ``_staging`` dir FIRST, then dynamic-partition-overwritten into the
-    store — overwriting partitions while lazily reading them would race
-    the scan against the delete (same crash-safety discipline as
-    plans/lineage.py's staged bucket rewrite; on Iceberg this is one
-    atomic MERGE, see docs/CATALOG.md). Returns the lineage row as a
-    dict. Label reads prune to the affected partitions (asserted via
-    PartitionFilters in tests).
 
-    Two rename edge cases the happy path hides (round-5 self-review):
+def _mirror_lookup(spark: SparkSession, labels_path: str,
+                   nodes: DataFrame, n_buckets: int) -> DataFrame:
+    """(node, component) rows for the probe ``nodes``' buckets only —
+    the merge's label lookup, pruned to the node-bucket partitions the
+    probe set actually hashes into (PartitionFilters-asserted in
+    tests). The collect is the probe set's DISTINCT bucket ids —
+    bounded by ``n_buckets``, a control-plane round-trip. A store
+    written before the mirror existed is migrated in place (one
+    full labels scan, once)."""
+    mirror = _nodes_df(spark, labels_path)
+    if mirror is None:
+        # legacy store (labels exist, mirror never written): build it
+        labels = _labels_df(spark, labels_path)
+        if labels.limit(1).count() > 0:
+            labels.select(
+                "node", "component",
+                _labels_bucket(F.col("node"), n_buckets)
+                .alias("node_bucket"),
+            ).repartition("node_bucket") \
+                .write.mode("overwrite").partitionBy("node_bucket") \
+                .parquet(f"{labels_path}/nodes")
+            mirror = _nodes_df(spark, labels_path)
+    if mirror is None:
+        return spark.createDataFrame([], "node long, component long")
+    buckets = sorted({
+        int(r["b"]) for r in nodes.select(
+            _labels_bucket(F.col("node"), n_buckets).alias("b"))
+        .distinct().collect()})
+    return (mirror.filter(F.col("node_bucket").isin(buckets))
+            .select("node", "component"))
 
-    * a bucket EMPTIED by the merge (every component it held renamed
-      away, nothing else hashing there) produces no rows, and dynamic
-      overwrite only replaces partitions present in the written data —
-      its stale files must be swept explicitly (the post-commit delete
-      below), or reads would resurrect pre-merge labels;
-    * a crash between the partition overwrite and that sweep (or mid-
-      overwrite — dynamic overwrite is not atomic across partitions)
-      can leave a node present in two buckets with conflicting labels.
-      Recovery contract: re-run the SAME snapshot's merge (the missing
-      ``_lineage`` row marks it incomplete). The re-merge heals: label
-      lookups and the affected-slice rewrite both resolve conflicting
-      duplicates to the smaller label (renames only ever decrease —
-      hash-min components), and the emptied-bucket sweep then removes
-      the stale copy. Pinned by
-      tests/test_incremental.py::test_merge_labels_store_heals_partial_crash.
+
+def _read_pending(spark: SparkSession, labels_path: str
+                  ) -> tuple[DataFrame, DataFrame] | None:
+    """The crash-recovery intent marker: the (relabel, new_rows) merge
+    artifact persisted BEFORE any store write and deleted only after
+    both stores are consistent. Present ⇒ a previous merge crashed
+    mid-apply; replaying it (idempotent) heals both stores."""
+    try:
+        return (spark.read.parquet(f"{labels_path}/_pending/relabel"),
+                spark.read.parquet(f"{labels_path}/_pending/new_rows"))
+    except Exception:  # noqa: BLE001 — no pending merge
+        return None
+
+
+def _apply_merge(spark: SparkSession, labels_path: str,
+                 relabel: DataFrame, new_rows: DataFrame,
+                 n_buckets: int, fail_after: str | None = None,
+                 counts: tuple[int, int] | None = None) -> int:
+    """Apply a persisted (relabel, new_rows) merge artifact to BOTH
+    stores — the comp-bucketed labels and the node-bucketed mirror —
+    rewriting only affected partitions. IDEMPOTENT: replaying after a
+    crash at any point converges (renames no-op once applied; the
+    node-min dedup collapses a replayed new_rows union and any
+    crash-window duplicate copies). Returns the number of labels
+    partitions rewritten.
+
+    ``fail_after`` is a test hook naming a crash point
+    ('labels_overwrite' | 'labels_sweep' | 'mirror') — the heal tests
+    inject real crashes instead of simulating them with file surgery.
     """
     import uuid
 
-    meta = spark.read.parquet(f"{labels_path}/_meta").collect()[0]
-    n_buckets = int(meta["n_buckets"])
-    stored = read_cluster_labels(spark, labels_path)
-    relabel, new_rows, cur = _cluster_merge_mapping(stored, new_edges,
-                                                    max_iterations)
-    relabel = relabel.persist()
-    new_rows = new_rows.persist()
-    # buckets holding CONFLICTING duplicate labels of new-edge nodes:
-    # after a mid-overwrite crash, the re-merge sees the conflict
-    # resolved by the min-label lookup (no rename is rediscovered), so
-    # the stale copy's bucket must be pulled into the rewrite
-    # explicitly — a renamed component's rows are co-located in one
-    # partition and at least one member is a new-edge node, so every
-    # crash-stale component surfaces here. Read from the persisted
-    # lookup (`cur`), NOT a fresh store scan.
-    conflict_buckets = (
-        cur.filter(F.col("n_lbls") > 1)
-        .select(F.explode("_lbls").alias("c"))
-        .select(_labels_bucket(F.col("c"), n_buckets).alias("b"))
-    )
+    from .indexes import _delete_path
+
+    n_renames, n_new = counts if counts is not None else (
+        relabel.count(), new_rows.count())
+    if n_renames == 0 and n_new == 0:
+        return 0
     bucket_rows = (
         relabel.select(_labels_bucket(F.col("_old"), n_buckets).alias("b"))
         .unionAll(relabel.select(
             _labels_bucket(F.col("_new"), n_buckets).alias("b")))
         .unionAll(new_rows.select(
             _labels_bucket(F.col("component"), n_buckets).alias("b")))
-        .unionAll(conflict_buckets)
         .distinct().collect()
     )
     affected = sorted({int(r["b"]) for r in bucket_rows})
-    n_renames = relabel.count()
-    n_new = new_rows.count()
-    if affected:
-        aff = (
-            _labels_df(spark, labels_path)
-            .filter(F.col("comp_bucket").isin(affected))
+    # the rename table is bounded by 2x the new-edge count, but a huge
+    # snapshot can push it past executor broadcast budgets — gate the
+    # hint on the measured count (round-5 self-review); past the gate
+    # AQE still broadcasts at runtime if the side turns out small
+    _rl = F.broadcast(relabel) if n_renames <= 5_000_000 else relabel
+    aff = (
+        _labels_df(spark, labels_path)
+        .filter(F.col("comp_bucket").isin(affected))
+        .select("node", "component")
+    )
+    updated = (
+        aff.join(_rl, F.col("component") == F.col("_old"), "left")
+        .select("node", F.coalesce("_new", F.col("component"))
+                .alias("component"))
+        .unionByName(new_rows)
+        # node-min dedup: heals crash-window duplicates (a node left in
+        # two buckets by an interrupted overwrite — renames only ever
+        # decrease) AND collapses a replayed new_rows union against
+        # rows the crashed attempt already wrote; bounded by the slice
+        .groupBy("node").agg(F.min("component").alias("component"))
+        .select("node", "component",
+                _labels_bucket(F.col("component"), n_buckets)
+                .alias("comp_bucket"))
+    )
+    # two-phase write: materialize to _staging FIRST — overwriting
+    # partitions while lazily reading them would race the scan against
+    # the delete (on Iceberg this is one atomic MERGE, docs/CATALOG.md)
+    staging = f"{labels_path}/_staging/{uuid.uuid4().hex}"
+    # pre-partitioned staging → the overwrite lands ONE file per bucket
+    # dir (see write_cluster_labels on why that matters)
+    updated.repartition("comp_bucket") \
+        .write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("comp_bucket").parquet(f"{labels_path}/labels")
+    if fail_after == "labels_overwrite":
+        raise RuntimeError("injected crash: labels_overwrite")
+    # sweep EMPTIED buckets: dynamic overwrite replaces only partitions
+    # present in the written data, so an affected bucket whose every
+    # component was renamed away keeps its stale files unless deleted
+    present = {int(r["comp_bucket"]) for r in spark.read
+               .parquet(staging).select("comp_bucket")
+               .distinct().collect()}
+    for b in affected:
+        if b not in present:
+            _delete_path(spark, f"{labels_path}/labels/comp_bucket={b}")
+    _delete_path(spark, f"{labels_path}/_staging")
+    if fail_after == "labels_sweep":
+        raise RuntimeError("injected crash: labels_sweep")
+
+    # mirror apply: the nodes whose label changed are exactly the
+    # members of the merge's target components (renames' _new sides +
+    # new nodes' components) — read them partition-pruned from the
+    # just-written labels, then rewrite only their node buckets. The
+    # mirror never empties a bucket (nodes are never deleted), so no
+    # sweep is needed on this side.
+    new_comps = (
+        relabel.select(F.col("_new").alias("_c"))
+        .unionByName(new_rows.select(F.col("component").alias("_c")))
+        .distinct()
+    )
+    _nc = (F.broadcast(new_comps)
+           if n_renames + n_new <= 5_000_000 else new_comps)
+    comp_buckets = sorted({
+        int(r["b"]) for r in new_comps.select(
+            _labels_bucket(F.col("_c"), n_buckets).alias("b"))
+        .distinct().collect()})
+    members = (
+        _labels_df(spark, labels_path)
+        .filter(F.col("comp_bucket").isin(comp_buckets))
+        .join(_nc, F.col("component") == F.col("_c"), "left_semi")
+        .select("node", "component")
+        .persist()
+    )
+    node_buckets = sorted({
+        int(r["b"]) for r in members.select(
+            _labels_bucket(F.col("node"), n_buckets).alias("b"))
+        .distinct().collect()})
+    if node_buckets:
+        mirror = _nodes_df(spark, labels_path)
+        slice_df = (
+            mirror.filter(F.col("node_bucket").isin(node_buckets))
             .select("node", "component")
-            # heal crash-window duplicates: a node left in two buckets
-            # by an interrupted overwrite keeps its SMALLER label
-            # (renames only decrease); cost bounded by the slice
-            .groupBy("node").agg(F.min("component").alias("component"))
-        )
-        # the rename table is bounded by 2x the new-edge count, but a
-        # huge snapshot can push it past executor broadcast budgets —
-        # n_renames is already counted, so gate the hint instead of
-        # forcing it (round-5 self-review); past the gate AQE still
-        # broadcasts at runtime if the shuffled side turns out small
-        _rl = F.broadcast(relabel) if n_renames <= 5_000_000 else relabel
-        updated = (
-            aff.join(_rl, F.col("component") == F.col("_old"), "left")
-            .select("node", F.coalesce("_new", F.col("component"))
-                    .alias("component"))
-            .unionByName(new_rows)
+            if mirror is not None
+            else spark.createDataFrame([], "node long, component long"))
+        updated_mirror = (
+            slice_df.join(members, "node", "left_anti")
+            .unionByName(members)
             .select("node", "component",
-                    _labels_bucket(F.col("component"), n_buckets)
-                    .alias("comp_bucket"))
+                    _labels_bucket(F.col("node"), n_buckets)
+                    .alias("node_bucket"))
         )
         staging = f"{labels_path}/_staging/{uuid.uuid4().hex}"
-        updated.write.mode("overwrite").parquet(staging)
+        updated_mirror.repartition("node_bucket") \
+            .write.mode("overwrite").parquet(staging)
         spark.read.parquet(staging).write.mode("overwrite") \
             .option("partitionOverwriteMode", "dynamic") \
-            .partitionBy("comp_bucket").parquet(f"{labels_path}/labels")
-        from .indexes import _delete_path
-
-        # sweep EMPTIED buckets: dynamic overwrite replaces only
-        # partitions present in the written data, so an affected bucket
-        # whose every component was renamed away keeps its stale files
-        # unless deleted here (missing dirs are a no-op delete)
-        present = {int(r["comp_bucket"]) for r in spark.read
-                   .parquet(staging).select("comp_bucket")
-                   .distinct().collect()}
-        for b in affected:
-            if b not in present:
-                _delete_path(
-                    spark, f"{labels_path}/labels/comp_bucket={b}")
+            .partitionBy("node_bucket").parquet(f"{labels_path}/nodes")
         _delete_path(spark, f"{labels_path}/_staging")
-    relabel.unpersist()
-    new_rows.unpersist()
+    members.unpersist()
+    if fail_after == "mirror":
+        raise RuntimeError("injected crash: mirror")
+    return len(affected)
+
+
+def merge_labels_store(spark: SparkSession, labels_path: str,
+                       new_edges: DataFrame, snapshot_id: str,
+                       max_iterations: int = 25,
+                       fail_after: str | None = None) -> dict:
+    """Fold a snapshot's candidate edges into the persisted label store,
+    rewriting ONLY the partitions that hold an affected component (in
+    the comp-bucketed labels) or an affected node (in the node-keyed
+    mirror) — per-ingest cost proportional to the touched clusters, not
+    the accumulated corpus. Appends one lineage row (snapshot_id,
+    n_renames, n_new_nodes, n_buckets_rewritten) under
+    ``<path>/_lineage`` (idempotent per snapshot — dynamic overwrite).
+
+    Round 6 closes the last history-proportional cost: the per-node
+    label LOOKUP now reads the node-bucketed mirror pruned to the probe
+    nodes' partitions (``_mirror_lookup``; PartitionFilters-asserted)
+    instead of scanning every comp_bucket partition. Mirror and labels
+    are kept consistent by an intent-marker protocol: the merge
+    artifact (relabel + new_rows) is persisted to ``<path>/_pending``
+    BEFORE any store write and deleted only after both stores are
+    rewritten — a crash at ANY point (mid labels overwrite, before the
+    emptied-bucket sweep, mid mirror overwrite) leaves ``_pending`` in
+    place, and the next merge replays it first (``_apply_merge`` is
+    idempotent: applied renames no-op, the node-min dedup collapses
+    duplicates). Recovery contract: re-run the same snapshot's merge —
+    or any later merge; healing is unconditional on entry. Pinned by
+    tests/test_incremental.py::test_merge_labels_store_heals_injected_crashes.
+    """
+    from .indexes import _delete_path
+
+    meta = spark.read.parquet(f"{labels_path}/_meta").collect()[0]
+    n_buckets = int(meta["n_buckets"])
+    pending = _read_pending(spark, labels_path)
+    if pending is not None:
+        _apply_merge(spark, labels_path, *pending, n_buckets)
+        _delete_path(spark, f"{labels_path}/_pending")
+    stored = _mirror_lookup(spark, labels_path, (
+        new_edges.select(F.col("id_a").alias("node"))
+        .unionAll(new_edges.select(F.col("id_b").alias("node")))
+        .distinct()), n_buckets)
+    relabel, new_rows, cur = _cluster_merge_mapping(stored, new_edges,
+                                                    max_iterations)
+    relabel.write.mode("overwrite") \
+        .parquet(f"{labels_path}/_pending/relabel")
+    new_rows.write.mode("overwrite") \
+        .parquet(f"{labels_path}/_pending/new_rows")
     cur.unpersist()
+    pend_rl = spark.read.parquet(f"{labels_path}/_pending/relabel")
+    pend_nr = spark.read.parquet(f"{labels_path}/_pending/new_rows")
+    n_renames = pend_rl.count()
+    n_new = pend_nr.count()
+    n_rewritten = _apply_merge(spark, labels_path, pend_rl, pend_nr,
+                               n_buckets, fail_after=fail_after,
+                               counts=(n_renames, n_new))
+    _delete_path(spark, f"{labels_path}/_pending")
     row = {"snapshot_id": snapshot_id, "n_renames": int(n_renames),
-           "n_new_nodes": int(n_new), "n_buckets_rewritten": len(affected)}
+           "n_new_nodes": int(n_new), "n_buckets_rewritten": n_rewritten}
     spark.createDataFrame(
         [(row["n_renames"], row["n_new_nodes"],
           row["n_buckets_rewritten"], snapshot_id)],

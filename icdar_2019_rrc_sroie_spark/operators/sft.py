@@ -226,6 +226,74 @@ def pack_loss_spans_chunked(layout: DataFrame, rendered: DataFrame,
     )
 
 
+def write_sft_shards(packs: DataFrame, spans: DataFrame, path: str,
+                     rows_per_shard: int = 1024, epoch: int = 0) -> dict:
+    """Ship an SFT training set: the materialized packs AND their
+    loss-span sidecar, each as verified row-bounded shards (the packing
+    module's writer reused — both exports get the order-free sum+xor
+    manifest). Layout: ``<path>/packs/{shards,_manifest}`` and
+    ``<path>/spans/{shards,_manifest}``. Returns the two totals dicts
+    merged (span keys prefixed ``spans_``)."""
+    from .packing import write_training_shards
+
+    pt = write_training_shards(packs, f"{path}/packs",
+                               rows_per_shard, epoch)
+    st = write_training_shards(spans, f"{path}/spans",
+                               rows_per_shard, epoch)
+    out = dict(pt)
+    out.update({f"spans_{k}": v for k, v in st.items()})
+    return out
+
+
+def verify_sft_shards(spark, path: str, expected_packs: DataFrame,
+                      expected_spans: DataFrame,
+                      expected_mask: DataFrame,
+                      conv_col: str = "conv_id") -> dict:
+    """Trainer-side SFT export check: both shard sets verify against
+    their manifests and sources (``packing.verify_training_shards``),
+    AND the loss mask is recomputed FROM THE SHIPPED FILES ONLY —
+    slicing each shipped pack's token stream with the shipped spans and
+    reassembling per conversation — then compared against
+    ``expected_mask`` (``assistant_mask`` output: conv_id,
+    mask_tokens). That closes the loop a manifest can't: the spans
+    actually index the token streams a trainer will load. Returns
+    ``{packs_ok, spans_ok, mask_ok, ok}``."""
+    from .packing import verify_training_shards
+
+    packs_ok = verify_training_shards(
+        spark, f"{path}/packs", expected_packs)["ok"]
+    spans_ok = verify_training_shards(
+        spark, f"{path}/spans", expected_spans)["ok"]
+    shipped_packs = spark.read.parquet(f"{path}/packs/shards")
+    shipped_spans = spark.read.parquet(f"{path}/spans/shards")
+    order_col = ("conv_tok_start" if "conv_tok_start"
+                 in shipped_spans.columns else "tok_start")
+    segs = (
+        shipped_spans
+        .join(shipped_packs.select("pack_id", "tokens"), "pack_id")
+        .select(F.col(conv_col), F.col(order_col).alias("_ord"),
+                F.slice(F.col("tokens"),
+                        (F.col("tok_start") + 1).cast("int"),
+                        F.col("tok_len").cast("int")).alias("_seg"))
+    )
+    recon = segs.groupBy(conv_col).agg(
+        F.flatten(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("_ord"), F.col("_seg")))),
+            lambda s: s["_seg"])).alias("_recon"))
+    exp = expected_mask.select(
+        F.col(conv_col), F.col("mask_tokens").alias("_want")
+    ).filter(F.size("_want") > 0)
+    cmp = recon.join(exp, conv_col, "full").select(
+        (F.coalesce(F.col("_recon") == F.col("_want"), F.lit(False)))
+        .alias("_eq"))
+    n_bad = cmp.filter(~F.col("_eq")).count()
+    mask_ok = n_bad == 0
+    return {"packs_ok": packs_ok, "spans_ok": spans_ok,
+            "mask_ok": mask_ok,
+            "ok": packs_ok and spans_ok and mask_ok}
+
+
 def assistant_mask(rendered: DataFrame, conv_col: str = "conv_id",
                    loss_role: str = "assistant") -> DataFrame:
     """(conv_id, mask_tokens, n_mask_tokens, n_tokens): the tokens a

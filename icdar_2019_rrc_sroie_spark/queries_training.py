@@ -723,6 +723,78 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "verify_ok boolean, tampered_verify_ok boolean")
 
 
+def q_sft_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SFT SHIPPING step (round 6) — the fine-tuning counterpart of
+    `training_set`+`training_shards` as one end-to-end job: documents →
+    conversation fixture → per-turn TRAINED-BPE tokenization → render
+    with spans → greedy whole-conversation packing → materialized
+    sequences → loss spans in pack coordinates → shard export of packs
+    AND the loss-span sidecar (each with the sum+xor manifest) →
+    trainer-side verify that RECOMPUTES the assistant mask from the
+    shipped files alone (slice shipped streams with shipped spans,
+    compare to the rendered mask). Rows-only by nature (a sink with
+    scratch side effects, same class as `training_shards`); the single
+    returned row carries the export totals and the verify verdicts,
+    including a must-fail probe with one span dropped."""
+    import os
+    import tempfile
+
+    from .operators.bpe import bpe_token_arrays
+    from .operators.indexes import track_persist, track_scratch_dir
+    from .operators.packing import (
+        greedy_packs,
+        materialize_greedy_packs,
+        token_counts_from_arrays,
+    )
+    from .operators.sft import (
+        assistant_mask,
+        pack_loss_spans,
+        render_conversations,
+        verify_sft_shards,
+        write_sft_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    turns = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 50).alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("long").alias("turn_idx"),
+        F.when(F.floor(F.col("doc_id") / 50) % 3 == 0, F.lit("user"))
+        .when(F.floor(F.col("doc_id") / 50) % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("tool")).alias("role"),
+        F.substring("text", 1, 120).alias("text"))
+    tt = bpe_token_arrays(turns, drop_empty=False)
+    turns_tok = turns.join(
+        tt.select("doc_id", F.col("toks").alias("ctoks")), "doc_id")
+    rendered = track_persist(
+        render_conversations(turns_tok, turn_toks_col="ctoks"))
+    counts = token_counts_from_arrays(
+        rendered.select(F.col("conv_id").alias("doc_id"),
+                        F.col("tokens").alias("toks")))
+    layout = track_persist(greedy_packs(counts, 2048, _N_SHARDS))
+    packs = materialize_greedy_packs(
+        None, layout, 2048,
+        tokens_df=rendered.select(F.col("conv_id").alias("doc_id"),
+                                  F.col("tokens").alias("toks")))
+    spans = pack_loss_spans(layout, rendered)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"sroie_sft_ship_{os.getpid()}")
+    track_scratch_dir(spark, path)
+    totals = write_sft_shards(packs, spans, path, rows_per_shard=16)
+    mask = assistant_mask(rendered)
+    v = verify_sft_shards(spark, path, packs, spans, mask)
+    tampered = verify_sft_shards(
+        spark, path, packs, spans.limit(max(0, spans.count() - 1)), mask)
+    return spark.createDataFrame(
+        [(int(totals["n_shards"]), int(totals["n_rows"]),
+          int(totals["n_tokens"]), int(totals["spans_n_rows"]),
+          bool(v["packs_ok"]), bool(v["spans_ok"]), bool(v["mask_ok"]),
+          bool(tampered["spans_ok"]))],
+        "n_pack_shards long, n_pack_rows long, n_tokens long, "
+        "n_spans long, packs_ok boolean, spans_ok boolean, "
+        "mask_ok boolean, tampered_spans_ok boolean")
+
+
 SQL_QUERIES_TRAINING = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
@@ -731,4 +803,5 @@ SQL_QUERIES_TRAINING = {
 ROWS_ONLY_TRAINING = {
     "training_set": (q_training_set, None),
     "training_shards": (q_training_shards, None),
+    "sft_set": (q_sft_set, None),
 }

@@ -805,6 +805,25 @@ def test_ivf_knn_indexed_batch_parity_and_pruning(spark, tmp_path):
     assert scan and any("ivf_bucket" in ln for ln in scan), scan
     in_sets = [ln for ln in scan if "IN (" in ln or "in(" in ln.lower()]
     assert in_sets, scan
+
+    # round 6 (VERDICT r5 minor #3): past the count gate the probe
+    # table is NOT broadcast — a shuffle-hash equi-join with identical
+    # per-query results, so a corpus-sized query table can't blow the
+    # executor broadcast budget
+    big = ivf_knn_indexed(spark, path, cents, queries, k=5, nprobe=2,
+                          max_broadcast_probes=0)
+    got_big = {}
+    for r in big.collect():
+        got_big.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["vec_id"], round(r["cosine"], 9)))
+    assert {q: sorted(v) for q, v in got_big.items()} \
+        == {q: sorted(v) for q, v in got.items()}
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    # the probe side rides no broadcast: any BroadcastExchange in the
+    # plan must not carry the probe columns
+    bcast = [ln for ln in plan.splitlines() if "BroadcastExchange" in ln]
+    assert not any("_qvec" in ln for ln in bcast), bcast
     release_indexes()
 
 

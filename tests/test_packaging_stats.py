@@ -36,6 +36,35 @@ def test_py_files_zip_imports(tmp_path):
     assert got.stdout.strip() == "70"
 
 
+def test_committed_dist_zip_matches_working_tree():
+    """The committed dist/ zip (the --py-files artifact the multi-JVM
+    cluster-evidence runs ship) must match the working tree byte for
+    byte — a stale zip would make spark-submit evidence silently test
+    old code (round 6, VERDICT r5 #9). Fails ⇒ re-run
+    tools/package.py."""
+    import os
+
+    from tools.package import PKG, ROOT
+
+    dist = os.path.join(ROOT, "dist", f"{PKG}.zip")
+    assert os.path.exists(dist), "dist zip missing — run tools/package.py"
+    with zipfile.ZipFile(dist) as zf:
+        members = {n: zf.read(n) for n in zf.namelist()
+                   if n.endswith(".py")}
+    tree = {}
+    for dirpath, _dirnames, filenames in os.walk(os.path.join(ROOT, PKG)):
+        if "__pycache__" in dirpath:
+            continue
+        for name in filenames:
+            if name.endswith(".py"):
+                full = os.path.join(dirpath, name)
+                with open(full, "rb") as f:
+                    tree[os.path.relpath(full, ROOT)] = f.read()
+    assert members == tree, (
+        "dist zip is stale vs the working tree: "
+        f"{sorted(set(members) ^ set(tree))[:5] or 'content differs'}")
+
+
 def test_channel_stats(spark):
     rows = [
         ("m1", "image", b"\x01\x02", (6, 4, 3, None, None)),
