@@ -208,6 +208,151 @@ def bpe_token_arrays(df: DataFrame,
         "n_tokens", F.size(out_toks).cast("long"))
 
 
+def distributed_word_counts(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """(word, cnt) distinct-pretoken occurrence counts — the trainer's
+    ONLY corpus-proportional step, entirely JVM-side: one
+    ``regexp_extract_all`` explode + one hash aggregate (map-side
+    partial combine for free). Java regex ``\\s`` is ASCII — the same
+    semantics ``re.ASCII`` pins on the Python apply side — and U+001F
+    is stripped exactly as the apply/profile kernels strip it."""
+    return (df.select(
+        F.explode(F.regexp_extract_all(
+            F.regexp_replace(F.col(text_col), "\x1f", ""),
+            F.lit(f"({BPE_TOKEN_PATTERN})"), F.lit(1))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array<struct(a,b)> of adjacent symbol pairs (empty for 1-symbol
+    words — ``slice`` with length 0 is an empty array)."""
+    return F.zip_with(
+        F.slice(syms, 1, F.size(syms) - 1),
+        F.slice(syms, 2, F.size(syms) - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")))
+
+
+def _merge_fold(syms: Column, a: str, b: str) -> Column:
+    """Apply merge (a, b) to a symbol array: non-overlapping
+    left-to-right, all occurrences — the same semantics as
+    :func:`encode_word`'s inner loop, as one Catalyst ``aggregate``
+    fold (merge when the accumulator's last element is ``a`` and the
+    incoming symbol is ``b``; the freshly merged ``a+b`` is strictly
+    longer than ``a``, so it can never immediately re-match as the
+    left operand — exactly the index-skip of the imperative walk)."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        syms, F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lab)),
+        ).otherwise(F.concat(acc, F.array(s))))
+
+
+def train_merges_distributed(docs: DataFrame, n_merges: int,
+                             id_col: str = "doc_id",
+                             text_col: str = "text"
+                             ) -> list[tuple[str, str]]:
+    """Sennrich-style BPE TRAINING as a Spark job — the corpus-scale
+    face of ``tools/train_bpe.py`` (whose in-memory trainer collects
+    every text to the driver; byte-identical output pinned by test and
+    by the tool's ``--distributed`` self-check against the committed
+    model).
+
+    Shape: the corpus is scanned ONCE (:func:`distributed_word_counts`
+    — the only step proportional to corpus size); training then
+    iterates over the DISTINCT-WORD table. Per merge: the argmax pair
+    is one 1-row TakeOrdered over the persisted pair-count table
+    (deterministic tie-break: max count, then lexicographically
+    smallest (a, b) — the Python trainer's exact rule), and pair
+    counts are maintained by DELTAS from the words that actually
+    contain the merged pair (old adjacencies out, new adjacencies in)
+    — never recounted from scratch, so per-iteration compute is
+    O(changed words) + one pair-table aggregate, not O(corpus) or
+    O(total symbol occurrences). Lineage is truncated per iteration
+    (alternating parquet dirs under the session checkpoint dir when
+    one is set — real-cluster mode — else ``localCheckpoint``),
+    bounded at two copies per state table; scratch dirs are released
+    via the usual ``release_indexes`` hook.
+
+    The per-iteration words-table rewrite materializes O(vocab) rows —
+    the honest cost of immutable state; at 100 TB the vocab table is
+    millions of rows where the corpus is billions, and the expensive
+    thing (rescanning text or recounting all pairs) never happens.
+    """
+    import uuid
+
+    from .indexes import track_scratch_dir
+
+    spark = docs.sparkSession
+    ckpt_dir = spark.sparkContext.getCheckpointDir()
+    if ckpt_dir is not None:
+        base = f"{ckpt_dir.rstrip('/')}/bpe-{uuid.uuid4().hex}"
+        track_scratch_dir(spark, base)
+        state = {"i": 0}
+
+        def _ckpt(df: DataFrame, slot: str) -> DataFrame:
+            p = f"{base}/{slot}-{state['i'] % 2}"
+            df.write.mode("overwrite").parquet(p)
+            return spark.read.parquet(p)
+    else:
+
+        def _ckpt(df: DataFrame, slot: str) -> DataFrame:
+            return df.localCheckpoint()
+
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)))
+    words = _ckpt(
+        distributed_word_counts(docs, id_col, text_col)
+        .select("word", chars.alias("syms"), "cnt"), "words")
+    pair_rows = (lambda w: w.select(
+        F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "cnt")
+        .select("p.a", "p.b", "cnt"))
+    pairs = _ckpt(
+        pair_rows(words).groupBy("a", "b")
+        .agg(F.sum("cnt").alias("cnt")), "pairs")
+    n_word_parts = max(1, words.rdd.getNumPartitions())
+
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        best = pairs.filter(F.col("cnt") > 0) \
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")) \
+            .limit(1).collect()
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        has_pair = F.exists(
+            _adjacent_pairs(F.col("syms")),
+            lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)))
+        changed = words.filter(has_pair)
+        rewritten = changed.select(
+            "word", _merge_fold(F.col("syms"), a, b).alias("syms"), "cnt")
+        deltas = (
+            pair_rows(changed).select("a", "b", (-F.col("cnt")).alias("cnt"))
+            .unionAll(pair_rows(rewritten))
+        )
+        if ckpt_dir is not None:
+            state["i"] += 1
+        new_pairs = _ckpt(
+            pairs.unionAll(deltas).groupBy("a", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") != 0), "pairs")
+        # unionAll SUMS partition counts and checkpoints preserve them —
+        # without the coalesce the words table doubles its partition
+        # count every merge (measured: 4097 tasks/stage by merge 13 at
+        # sf0.01, 145 s for 16 merges vs ~25 s pinned). groupBy re-pins
+        # the pairs table to shuffle.partitions for free; words has no
+        # shuffle, so pin it explicitly (narrow, no data movement).
+        new_words = _ckpt(
+            words.filter(~has_pair).unionAll(rewritten)
+            .coalesce(n_word_parts), "words")
+        pairs, words = new_pairs, new_words
+    return merges
+
+
 def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 

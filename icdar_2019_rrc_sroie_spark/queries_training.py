@@ -795,6 +795,28 @@ def q_sft_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mask_ok boolean, tampered_spans_ok boolean")
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE TRAINING (round 6): the first 16 merge rules
+    learned from the documents corpus by the Spark-native trainer
+    (`bpe.train_merges_distributed` — one corpus scan for word counts,
+    then delta-maintained pair counts over the distinct-word table;
+    per-iteration cost independent of corpus size). Rows-only by
+    nature: the training loop is iterative argmax-rewrite —
+    per-iteration aggregates feeding the next iteration's state are
+    outside a single SQL oracle's reach — but determinism is total
+    (tie-break: max count, then lexicographically smallest pair) and
+    the trainer is pinned byte-identical to the in-memory reference
+    trainer AND to the committed model (tests/test_bpe.py;
+    tools/train_bpe.py --distributed). Output: (rank, a, b)."""
+    from .operators.bpe import train_merges_distributed
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_merges_distributed(docs, n_merges=16)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, a string, b string").orderBy("rank")
+
+
 SQL_QUERIES_TRAINING = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
@@ -804,4 +826,5 @@ ROWS_ONLY_TRAINING = {
     "training_set": (q_training_set, None),
     "training_shards": (q_training_shards, None),
     "sft_set": (q_sft_set, None),
+    "bpe_train": (q_bpe_train, None),
 }

@@ -207,3 +207,47 @@ def test_bpe_token_arrays_replay_ids_and_unit_sep(spark):
     assert got[2][0] == [
         tok for w in pat.findall("stripthe unit sep")
         for tok in encode_word(w, ranks)]
+
+
+def test_distributed_trainer_matches_inmemory_reference(spark):
+    """Round 6: the Spark-native trainer (one corpus scan, then
+    delta-maintained pair counts over the distinct-word table) must
+    reproduce the in-memory Sennrich trainer's merge sequence
+    byte-identically — same argmax, same tie-break, same apply
+    semantics — on a corpus with real ties and multi-merge words."""
+    from tools.train_bpe import train_merges, word_counts
+
+    from icdar_2019_rrc_sroie_spark.operators.bpe import (
+        train_merges_distributed,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 50")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want = train_merges(word_counts(texts), 14)
+    got = train_merges_distributed(docs, 14)
+    assert got == want
+
+
+def test_merge_fold_equals_imperative_walk(spark):
+    """The Catalyst fold applies a merge exactly like encode_word's
+    imperative walk: all occurrences, left-to-right, non-overlapping
+    (the aa/aa chain is the classic trap)."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.bpe import _merge_fold
+
+    cases = [
+        (["a", "a", "a"], ("a", "a"), ["aa", "a"]),
+        (["a", "a", "a", "a"], ("a", "a"), ["aa", "aa"]),
+        (["x", "a", "b", "a", "b", "y"], ("a", "b"), ["x", "ab", "ab", "y"]),
+        (["a", "b"], ("b", "a"), ["a", "b"]),
+        (["q"], ("a", "b"), ["q"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _, _) in enumerate(cases)],
+        "i long, syms array<string>")
+    for i, (syms, (a, b), want) in enumerate(cases):
+        got = df.filter(F.col("i") == i).select(
+            _merge_fold(F.col("syms"), a, b).alias("m")).collect()[0]["m"]
+        assert list(got) == want, (syms, a, b)

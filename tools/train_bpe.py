@@ -81,8 +81,31 @@ def train_merges(counts: Counter, n_merges: int) -> list[tuple[str, str]]:
 def main() -> None:
     import duckdb
 
-    out = sys.argv[1] if len(sys.argv) > 1 else default_merges_path()
-    n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else N_MERGES
+    args = [a for a in sys.argv[1:] if a != "--distributed"]
+    distributed = "--distributed" in sys.argv[1:]
+    out = args[0] if args else default_merges_path()
+    n_merges = int(args[1]) if len(args) > 1 else N_MERGES
+    if distributed:
+        # Spark-native training (round 6): must reproduce the committed
+        # model byte-exactly — the cross-trainer determinism check
+        from icdar_2019_rrc_sroie_spark.operators.bpe import (
+            load_merges,
+            train_merges_distributed,
+        )
+        from icdar_2019_rrc_sroie_spark.session import get_spark
+
+        spark = get_spark("bpe-train")
+        spark.sparkContext.setLogLevel("ERROR")
+        merges = train_merges_distributed(
+            spark.read.parquet(CORPUS), n_merges)
+        committed = load_merges()
+        assert merges == committed, (
+            "distributed trainer diverged from the committed model: "
+            f"first diff at rank "
+            f"{next(i for i, (m, c) in enumerate(zip(merges, committed)) if m != c)}")
+        print(f"distributed trainer: {len(merges)} merges — "
+              "byte-identical to the committed model")
+        return
     texts = [r[0] for r in duckdb.sql(
         f"SELECT text FROM '{CORPUS}' ORDER BY doc_id").fetchall()]
     counts = word_counts(texts)
