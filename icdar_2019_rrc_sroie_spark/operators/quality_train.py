@@ -1,0 +1,248 @@
+"""Distributed training for the fastText-style quality classifier
+(round 6) — the corpus-scale face of ``tools/train_quality.py``.
+
+Round 5 trained the CCNet-style gate (Wenzek et al. 2020 §4.3) on the
+driver: collect every text, featurize in NumPy, full-batch gradient
+descent. That is the right harness for a committed 1024-dim model but
+the wrong shape for a 100 TB corpus, where the training set itself is
+distributed. This module trains the SAME model as a Spark job:
+
+* **featurize once, JVM-side** (:func:`featurize_examples`): the only
+  corpus-proportional step. Tokens/grams/buckets use the exact
+  Catalyst expressions the classifier serves
+  (``quality_clf.norm_tokens_expr/grams_expr/gram_bucket_expr``), so
+  trained and served features can never drift. Output is a cached
+  SPARSE feature table — (bucket idx[], normalized count val[]) per
+  example — because a dense 1024-float column per document is 8 KB of
+  mostly zeros at corpus scale.
+* **per-epoch cost = one pass over the cached features**: the weight
+  vector (8 KB) rides into an Arrow-batched ``mapInPandas`` kernel via
+  closure; each batch emits ONE partial-sum row. The driver receives
+  O(n_partitions) rows of 1024 int64s — control-plane, like Lloyd's
+  k centroids — applies the update, and launches the next epoch.
+  Lineage never grows: only ``w`` changes, driver-side.
+* **bit-exact and partitioning-invariant by construction**: every
+  per-example float op (dense dot, stable sigmoid, gradient) is a
+  shared helper both trainers call, and each example's gradient is
+  quantized to integer NANOS (:data:`GRAD_SCALE`) before summation —
+  int64 addition is associative/commutative, so the epoch gradient is
+  identical under ANY partitioning, any Arrow batch size, and equals
+  the in-memory trainer's loop exactly. ``tools/train_quality.py
+  --distributed`` asserts byte-identity against the committed model;
+  tests pin repartition-invariance and the in-memory equivalence.
+
+The per-example pairing follows the trainer's design: each document's
+negative is its token-SORTED corruption (identical unigram multiset —
+only word-ORDER statistics separate the classes). EVEN doc_ids train,
+ODD doc_ids are the held-out gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .quality_clf import gram_bucket_expr, grams_expr, norm_tokens_expr
+
+#: Per-example gradients are rounded to multiples of 1/GRAD_SCALE and
+#: summed in int64 — exact, order-free. 1e-9 granularity is far below
+#: the gradient signal (examples contribute O(1e-3..1) per dim) and
+#: int64 holds ~9.2e18: overflow needs ~1e10 examples per epoch ×
+#: unit-scale gradients; the kernel asserts the margin anyway.
+GRAD_SCALE = 1_000_000_000
+
+
+# ---------------------------------------------------------------- #
+# shared per-example math — the SINGLE definition both the in-memory
+# reference trainer and the distributed kernel call, so their float
+# behavior is identical by construction
+# ---------------------------------------------------------------- #
+
+def stable_sigmoid(m: float) -> float:
+    """Overflow-safe logistic, same branch structure everywhere."""
+    if m >= 0.0:
+        return 1.0 / (1.0 + math.exp(-m))
+    e = math.exp(m)
+    return e / (1.0 + e)
+
+
+def example_margin(x_dense: np.ndarray, w: np.ndarray, b: float) -> float:
+    """One explicit 1024-dim ddot per example (NOT a batched dgemv —
+    BLAS may block/reorder a matrix product differently from a single
+    dot, and bit-identity across trainers matters more than the
+    microseconds)."""
+    return float(np.dot(x_dense, w)) + b
+
+
+def example_grad_q(x_dense: np.ndarray, y: float, w: np.ndarray,
+                   b: float) -> tuple[np.ndarray, int]:
+    """Quantized gradient contribution of one example:
+    ``(floor(g·x·SCALE + 0.5) as int64[d], floor(g·SCALE + 0.5))``
+    with ``g = sigmoid(margin) - y``."""
+    g = stable_sigmoid(example_margin(x_dense, w, b)) - y
+    q = np.floor(g * x_dense * GRAD_SCALE + 0.5).astype(np.int64)
+    qb = int(math.floor(g * GRAD_SCALE + 0.5))
+    return q, qb
+
+
+def apply_update(w: np.ndarray, b: float, s: np.ndarray, sb: int,
+                 n: int, lr: float) -> tuple[np.ndarray, float]:
+    """Full-batch step from the EXACT integer gradient sums — float
+    ops in one fixed order so every trainer lands on the same w."""
+    w = w - lr * ((s.astype(np.float64) / GRAD_SCALE) / n)
+    b = b - lr * ((float(sb) / GRAD_SCALE) / n)
+    return w, b
+
+
+def densify(idx, cnt, n_grams: float, d: int) -> np.ndarray:
+    """Dense normalized feature vector from sparse integer counts —
+    ``float(c)/float(n)`` per bucket, the in-memory featurizer's
+    ``x /= len(grams)`` division bit-for-bit."""
+    x = np.zeros(d, dtype=np.float64)
+    if len(idx):
+        x[np.asarray(idx, dtype=np.int64)] = (
+            np.asarray(cnt, dtype=np.float64) / float(n_grams))
+    return x
+
+
+# ---------------------------------------------------------------- #
+# Spark-side featurization (once per corpus)
+# ---------------------------------------------------------------- #
+
+def featurize_examples(docs: DataFrame, d: int = 1024,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(ex_id, y, is_train, idx[], val[]) sparse hashed-gram features
+    for every (document, sorted-corruption) pair — one explode + two
+    hash aggregates, all JVM-side (the md5 bucketing is the served
+    ``gram_bucket_expr``). ``val`` is ``count/n_grams`` in float64,
+    exactly the in-memory featurizer's ``x /= len(grams)``."""
+    toks = norm_tokens_expr(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("toks"))
+    pos = base.select(
+        (F.col("doc_id") * 2).alias("ex_id"),
+        F.lit(1.0).alias("y"),
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        grams_expr(F.col("toks")).alias("grams"))
+    neg = base.select(
+        (F.col("doc_id") * 2 + 1).alias("ex_id"),
+        F.lit(0.0).alias("y"),
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        grams_expr(F.array_sort(F.col("toks"))).alias("grams"))
+    exploded = pos.unionAll(neg).select(
+        "ex_id", "y", "is_train",
+        F.explode("grams").alias("g"))
+    counts = exploded.groupBy(
+        "ex_id", "y", "is_train",
+        gram_bucket_expr(F.col("g"), d).cast("int").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    feats = counts.groupBy("ex_id", "y", "is_train").agg(
+        F.sort_array(F.collect_list(
+            F.struct("bucket", "cnt"))).alias("sparse"),
+        F.sum("cnt").cast("long").alias("n_grams"))
+    return feats.select(
+        "ex_id", "y", "is_train",
+        F.transform(F.col("sparse"), lambda s: s["bucket"]).alias("idx"),
+        F.transform(
+            F.col("sparse"), lambda s: s["cnt"].cast("long")).alias("cnt"),
+        "n_grams")
+
+
+# ---------------------------------------------------------------- #
+# distributed full-batch GD
+# ---------------------------------------------------------------- #
+
+def _epoch_partials(feats: DataFrame, w: np.ndarray, b: float,
+                    d: int) -> tuple[np.ndarray, int, int]:
+    """One pass: per-Arrow-batch quantized gradient partial sums,
+    exact int64 reduce of the O(n_batches) partials on the driver."""
+    import pandas as pd
+
+    wc, bc = w.copy(), float(b)
+
+    def kernel(batches):
+        for pdf in batches:
+            s = np.zeros(d, dtype=np.int64)
+            sb = 0
+            n = 0
+            for idx, cnt, ng, y in zip(
+                    pdf["idx"], pdf["cnt"], pdf["n_grams"], pdf["y"]):
+                q, qb = example_grad_q(
+                    densify(idx, cnt, ng, d), y, wc, bc)
+                s += q
+                sb += qb
+                n += 1
+            yield pd.DataFrame(
+                {"qsum": [s.tolist()], "qb": [sb], "n": [n]})
+
+    parts = feats.mapInPandas(
+        kernel, "qsum array<long>, qb long, n long").collect()
+    s = np.zeros(d, dtype=np.int64)
+    sb = 0
+    n = 0
+    for r in parts:
+        s += np.asarray(r["qsum"], dtype=np.int64)
+        sb += r["qb"]
+        n += r["n"]
+    return s, sb, n
+
+
+def holdout_accuracy(feats: DataFrame, w_micro: list[int],
+                     b_micro: int, d: int) -> tuple[float, int]:
+    """Held-out accuracy under the SERVED integer-micro scoring rule —
+    the sign of ``b_micro·n_grams + Σ w_micro[bucket]·cnt``, all int64
+    (exact, order-free, identical to the in-memory gate and to what
+    ``quality_classify`` ships) — one Catalyst aggregate, no Python."""
+    wl = F.array(*[F.lit(int(x)) for x in w_micro])
+    pairs = F.zip_with(
+        F.col("idx"), F.col("cnt"),
+        lambda i, c: F.struct(i.alias("i"), c.alias("c")))
+    numer = (
+        F.lit(int(b_micro)) * F.col("n_grams")
+        + F.aggregate(
+            pairs, F.lit(0).cast("long"),
+            lambda acc, s: acc + F.element_at(
+                wl, (s["i"] + 1).cast("int")) * s["c"])
+    )
+    scored = feats.filter(~F.col("is_train")).select(
+        ((numer > 0).cast("int") == F.col("y").cast("int"))
+        .cast("int").alias("ok"))
+    row = scored.agg(
+        F.sum("ok").alias("ok"), F.count(F.lit(1)).alias("n")).collect()[0]
+    return float(row["ok"]) / float(row["n"]), int(row["n"])
+
+
+def train_quality_distributed(docs: DataFrame, d: int = 1024,
+                              epochs: int = 80, lr: float = 2.0,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> dict:
+    """Full training job; returns the same payload shape
+    ``tools/train_quality.py`` commits. One featurization scan, then
+    ``epochs`` passes over the cached sparse features."""
+    from .indexes import track_persist
+
+    feats = track_persist(
+        featurize_examples(docs, d, id_col, text_col))
+    train = feats.filter(F.col("is_train"))
+    w = np.zeros(d, dtype=np.float64)
+    b = 0.0
+    n_train = None
+    for _ in range(epochs):
+        s, sb, n = _epoch_partials(train, w, b, d)
+        n_train = n
+        w, b = apply_update(w, b, s, sb, n, lr)
+    w_micro = [int(v) for v in np.floor(w * 1e6 + 0.5)]
+    b_micro = int(np.floor(b * 1e6 + 0.5))
+    acc, n_holdout = holdout_accuracy(feats, w_micro, b_micro, d)
+    return {
+        "d": d,
+        "b_micro": b_micro,
+        "w_micro": w_micro,
+        "holdout_acc": acc,
+        "n_train": int(n_train or 0),
+        "n_holdout": n_holdout,
+    }

@@ -817,6 +817,30 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank long, a string, b string").orderBy("rank")
 
 
+def q_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier TRAINING (round 6): 8 epochs of
+    full-batch logistic regression on the documents corpus via
+    `quality_train.train_quality_distributed` — one JVM-side
+    featurization scan, then per-epoch Arrow passes whose per-example
+    gradients are quantized to int64 nanos, so the job is bit-exact
+    and partitioning-invariant (pinned against the in-memory trainer
+    in tests/test_quality_train.py; tools/train_quality.py
+    --distributed pins the full 80-epoch run against the committed
+    model). Rows-only by nature (iterative driver-stepped GD — each
+    epoch's aggregate feeds the next epoch's weights). Output: the
+    learned integer-micro weights (idx, w_micro; bias at idx=-1) plus
+    the held-out accuracy in micros at idx=-2."""
+    from .operators.quality_train import train_quality_distributed
+
+    docs = _t(spark, sf_dir, "documents")
+    m = train_quality_distributed(docs, d=1024, epochs=8)
+    rows = (
+        [(-2, int(m["holdout_acc"] * 1e6 + 0.5)), (-1, m["b_micro"])]
+        + list(enumerate(m["w_micro"])))
+    return spark.createDataFrame(
+        rows, "idx long, w_micro long").orderBy("idx")
+
+
 SQL_QUERIES_TRAINING = {
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "dsir_sample": (q_dsir_sample, SQL_DSIR_SAMPLE),
@@ -827,4 +851,5 @@ ROWS_ONLY_TRAINING = {
     "training_shards": (q_training_shards, None),
     "sft_set": (q_sft_set, None),
     "bpe_train": (q_bpe_train, None),
+    "quality_train": (q_quality_train, None),
 }
