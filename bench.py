@@ -248,6 +248,27 @@ def bench_split_entries(spark, sf_dir: str,
     timings["dsir_threshold"] = round(time.perf_counter() - t0, 3)
     release_indexes()
 
+    # distributed trainers (round 6): the learned components' TRAINING
+    # cost, measured — reduced iteration counts (the registry entries
+    # pin full determinism; per-iteration cost is corpus-independent
+    # after the one featurization/word-count scan, so these entries
+    # track the scan + steady per-iteration overhead round-over-round)
+    from icdar_2019_rrc_sroie_spark.operators.bpe import (
+        train_merges_distributed,
+    )
+    from icdar_2019_rrc_sroie_spark.operators.quality_train import (
+        train_quality_distributed,
+    )
+
+    t0 = time.perf_counter()
+    train_merges_distributed(docs, 6)
+    timings["bpe_train_m6"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    train_quality_distributed(docs, epochs=4)
+    timings["quality_train_e4"] = round(time.perf_counter() - t0, 3)
+    release_indexes()
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()

@@ -252,7 +252,9 @@ def _merge_fold(syms: Column, a: str, b: str) -> Column:
 
 def train_merges_distributed(docs: DataFrame, n_merges: int,
                              id_col: str = "doc_id",
-                             text_col: str = "text"
+                             text_col: str = "text",
+                             resume_dir: str | None = None,
+                             fail_after_merge: int | None = None
                              ) -> list[tuple[str, str]]:
     """Sennrich-style BPE TRAINING as a Spark job — the corpus-scale
     face of ``tools/train_bpe.py`` (whose in-memory trainer collects
@@ -280,17 +282,51 @@ def train_merges_distributed(docs: DataFrame, n_merges: int,
     the honest cost of immutable state; at 100 TB the vocab table is
     millions of rows where the corpus is billions, and the expensive
     thing (rescanning text or recounting all pairs) never happens.
+
+    ``resume_dir`` (round 6): a stable directory makes the training
+    RESUMABLE — state tables go to alternating parquet slots under it,
+    and after each merge a ``state.json`` naming the merges so far and
+    the live slot parity is committed atomically (write-tmp → rename).
+    Because iteration i+1 writes the OTHER slot parity, a crash at any
+    point leaves the committed slot intact; a restarted call replays
+    at most one merge and lands on the identical merge sequence
+    (pinned with injected crashes in tests/test_bpe.py).
+    ``fail_after_merge`` injects a crash AFTER merge k's commit.
     """
+    import json
+    import os
     import uuid
 
     from .indexes import track_scratch_dir
 
     spark = docs.sparkSession
     ckpt_dir = spark.sparkContext.getCheckpointDir()
-    if ckpt_dir is not None:
+    state = {"i": 0}
+    merges: list[tuple[str, str]] = []
+    if resume_dir is not None:
+        base = resume_dir
+
+        def _ckpt(df: DataFrame, slot: str) -> DataFrame:
+            p = f"{base}/{slot}-{state['i'] % 2}"
+            df.write.mode("overwrite").parquet(p)
+            return spark.read.parquet(p)
+
+        os.makedirs(base, exist_ok=True)
+        st_path = os.path.join(base, "state.json")
+        if os.path.exists(st_path):
+            with open(st_path) as f:
+                st = json.load(f)
+            merges = [tuple(m) for m in st["merges"]]
+            if len(merges) >= n_merges:
+                return merges[:n_merges]
+            state["i"] = st["i"]
+            words = spark.read.parquet(
+                f"{base}/words-{state['i'] % 2}")
+            pairs = spark.read.parquet(
+                f"{base}/pairs-{state['i'] % 2}")
+    elif ckpt_dir is not None:
         base = f"{ckpt_dir.rstrip('/')}/bpe-{uuid.uuid4().hex}"
         track_scratch_dir(spark, base)
-        state = {"i": 0}
 
         def _ckpt(df: DataFrame, slot: str) -> DataFrame:
             p = f"{base}/{slot}-{state['i'] % 2}"
@@ -301,22 +337,31 @@ def train_merges_distributed(docs: DataFrame, n_merges: int,
         def _ckpt(df: DataFrame, slot: str) -> DataFrame:
             return df.localCheckpoint()
 
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.col("word").substr(i, F.lit(1)))
-    words = _ckpt(
-        distributed_word_counts(docs, id_col, text_col)
-        .select("word", chars.alias("syms"), "cnt"), "words")
+    def _commit_state() -> None:
+        if resume_dir is None:
+            return
+        tmp = os.path.join(base, "_tmp-state.json")
+        with open(tmp, "w") as f:
+            json.dump({"i": state["i"], "merges": merges}, f,
+                      separators=(",", ":"))
+        os.replace(tmp, os.path.join(base, "state.json"))
+
     pair_rows = (lambda w: w.select(
         F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "cnt")
         .select("p.a", "p.b", "cnt"))
-    pairs = _ckpt(
-        pair_rows(words).groupBy("a", "b")
-        .agg(F.sum("cnt").alias("cnt")), "pairs")
+    if "words" not in locals():
+        chars = F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)))
+        words = _ckpt(
+            distributed_word_counts(docs, id_col, text_col)
+            .select("word", chars.alias("syms"), "cnt"), "words")
+        pairs = _ckpt(
+            pair_rows(words).groupBy("a", "b")
+            .agg(F.sum("cnt").alias("cnt")), "pairs")
     n_word_parts = max(1, words.rdd.getNumPartitions())
 
-    merges: list[tuple[str, str]] = []
-    for it in range(n_merges):
+    for it in range(len(merges), n_merges):
         best = pairs.filter(F.col("cnt") > 0) \
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")) \
             .limit(1).collect()
@@ -334,8 +379,7 @@ def train_merges_distributed(docs: DataFrame, n_merges: int,
             pair_rows(changed).select("a", "b", (-F.col("cnt")).alias("cnt"))
             .unionAll(pair_rows(rewritten))
         )
-        if ckpt_dir is not None:
-            state["i"] += 1
+        state["i"] += 1
         new_pairs = _ckpt(
             pairs.unionAll(deltas).groupBy("a", "b")
             .agg(F.sum("cnt").alias("cnt"))
@@ -350,6 +394,9 @@ def train_merges_distributed(docs: DataFrame, n_merges: int,
             words.filter(~has_pair).unionAll(rewritten)
             .coalesce(n_word_parts), "words")
         pairs, words = new_pairs, new_words
+        _commit_state()
+        if fail_after_merge is not None and it >= fail_after_merge:
+            raise RuntimeError(f"injected failure after merge {it}")
     return merges
 
 

@@ -216,25 +216,85 @@ def holdout_accuracy(feats: DataFrame, w_micro: list[int],
     return float(row["ok"]) / float(row["n"]), int(row["n"])
 
 
+def _save_epoch_state(resume_dir: str, epoch: int, w: np.ndarray,
+                      b: float, n: int) -> None:
+    """Atomic (write-tmp → rename) per-epoch checkpoint. Weights are
+    serialized as float64 HEX strings so a resumed run restarts from
+    the exact bits — JSON decimal round-trip would not be enough to
+    keep the byte-identity guarantee."""
+    import json
+    import os
+
+    payload = {
+        "epoch": epoch,
+        "w_hex": [float(v).hex() for v in w],
+        "b_hex": float(b).hex(),
+        "n_train": n,
+    }
+    tmp = os.path.join(resume_dir, f"_tmp-epoch-{epoch:05d}.json")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, separators=(",", ":"))
+    os.replace(tmp, os.path.join(
+        resume_dir, f"epoch-{epoch:05d}.json"))
+
+
+def _load_epoch_state(resume_dir: str, d: int
+                      ) -> tuple[int, np.ndarray, float, int | None]:
+    """Latest committed epoch state (or the zero-init start). A crash
+    mid-write leaves only a ``_tmp-`` file, which is ignored — the
+    rename is the commit point."""
+    import glob
+    import json
+    import os
+
+    done = sorted(glob.glob(os.path.join(resume_dir, "epoch-*.json")))
+    if not done:
+        return 0, np.zeros(d, dtype=np.float64), 0.0, None
+    with open(done[-1]) as f:
+        st = json.load(f)
+    w = np.array([float.fromhex(h) for h in st["w_hex"]],
+                 dtype=np.float64)
+    return st["epoch"] + 1, w, float.fromhex(st["b_hex"]), st["n_train"]
+
+
 def train_quality_distributed(docs: DataFrame, d: int = 1024,
                               epochs: int = 80, lr: float = 2.0,
                               id_col: str = "doc_id",
-                              text_col: str = "text") -> dict:
+                              text_col: str = "text",
+                              resume_dir: str | None = None,
+                              fail_after_epoch: int | None = None
+                              ) -> dict:
     """Full training job; returns the same payload shape
     ``tools/train_quality.py`` commits. One featurization scan, then
-    ``epochs`` passes over the cached sparse features."""
+    ``epochs`` passes over the cached sparse features.
+
+    ``resume_dir``: driver-side checkpoint directory for long
+    trainings — each epoch's exact weights (float64 hex) are committed
+    atomically after the update; a restarted job resumes from the last
+    committed epoch and lands on byte-identical final weights (a crash
+    mid-epoch redoes only that epoch; the gradient pass is read-only,
+    so replaying it is side-effect-free). ``fail_after_epoch`` is the
+    test hook that injects a crash AFTER epoch k's commit."""
+    import os
+
     from .indexes import track_persist
 
     feats = track_persist(
         featurize_examples(docs, d, id_col, text_col))
     train = feats.filter(F.col("is_train"))
-    w = np.zeros(d, dtype=np.float64)
-    b = 0.0
-    n_train = None
-    for _ in range(epochs):
+    start, w, b, n_train = 0, np.zeros(d, dtype=np.float64), 0.0, None
+    if resume_dir is not None:
+        os.makedirs(resume_dir, exist_ok=True)
+        start, w, b, n_train = _load_epoch_state(resume_dir, d)
+    for epoch in range(start, epochs):
         s, sb, n = _epoch_partials(train, w, b, d)
         n_train = n
         w, b = apply_update(w, b, s, sb, n, lr)
+        if resume_dir is not None:
+            _save_epoch_state(resume_dir, epoch, w, b, n)
+        if fail_after_epoch is not None and epoch >= fail_after_epoch:
+            raise RuntimeError(
+                f"injected failure after epoch {epoch}")
     w_micro = [int(v) for v in np.floor(w * 1e6 + 0.5)]
     b_micro = int(np.floor(b * 1e6 + 0.5))
     acc, n_holdout = holdout_accuracy(feats, w_micro, b_micro, d)

@@ -251,3 +251,37 @@ def test_merge_fold_equals_imperative_walk(spark):
         got = df.filter(F.col("i") == i).select(
             _merge_fold(F.col("syms"), a, b).alias("m")).collect()[0]["m"]
         assert list(got) == want, (syms, a, b)
+
+
+def test_distributed_trainer_resume_after_crash(spark, tmp_path):
+    """Round 6: resumable training. Inject a crash after merge 3's
+    commit, corrupt the NON-committed slot (simulating a crash
+    mid-write of the next iteration), resume — the final merge
+    sequence is identical to an uninterrupted run, and a second
+    resume call is a no-op returning the same result."""
+    import glob as g
+    import json
+
+    import pytest
+
+    from icdar_2019_rrc_sroie_spark.operators.bpe import (
+        train_merges_distributed,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 50")
+    want = train_merges_distributed(docs, 10)
+    rd = str(tmp_path / "bpe-resume")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        train_merges_distributed(
+            docs, 10, resume_dir=rd, fail_after_merge=3)
+    with open(rd + "/state.json") as f:
+        st = json.load(f)
+    assert len(st["merges"]) == 4
+    dead = 1 - st["i"] % 2
+    for p in g.glob(f"{rd}/words-{dead}/*"):
+        with open(p, "w") as f:
+            f.write("junk: simulated torn write")
+    got = train_merges_distributed(docs, 10, resume_dir=rd)
+    assert got == want
+    assert train_merges_distributed(docs, 10, resume_dir=rd) == want

@@ -100,3 +100,21 @@ def test_featurization_is_single_scan_jvm_side(spark, docs):
     plan = featurize_examples(docs, D)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Python" not in plan, plan[:2000]
+
+
+def test_resume_after_crash_is_byte_identical(spark, docs, tmp_path):
+    """Round 6: per-epoch atomic weight checkpoints. Crash after
+    epoch 2, drop a torn _tmp- file into the dir, resume — the final
+    payload equals the uninterrupted run's, and a completed dir makes
+    the rerun a no-op with the same result."""
+    want = train_quality_distributed(docs, d=D, epochs=6)
+    rd = str(tmp_path / "q-resume")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        train_quality_distributed(
+            docs, d=D, epochs=6, resume_dir=rd, fail_after_epoch=2)
+    with open(rd + "/_tmp-epoch-00005.json", "w") as f:
+        f.write("{torn")
+    got = train_quality_distributed(docs, d=D, epochs=6, resume_dir=rd)
+    assert got == want
+    assert train_quality_distributed(
+        docs, d=D, epochs=6, resume_dir=rd) == want
