@@ -78,14 +78,31 @@ def example_margin(x_dense: np.ndarray, w: np.ndarray, b: float) -> float:
 
 
 def example_grad_q(x_dense: np.ndarray, y: float, w: np.ndarray,
-                   b: float) -> tuple[np.ndarray, int]:
+                   b: float) -> tuple[np.ndarray, int, int]:
     """Quantized gradient contribution of one example:
-    ``(floor(g·x·SCALE + 0.5) as int64[d], floor(g·SCALE + 0.5))``
-    with ``g = sigmoid(margin) - y``."""
-    g = stable_sigmoid(example_margin(x_dense, w, b)) - y
+    ``(floor(g·x·SCALE + 0.5) as int64[d], floor(g·SCALE + 0.5),
+    floor(logloss·SCALE + 0.5))`` with ``g = sigmoid(margin) - y``.
+    The log-loss term rides the same pass for free and sums exactly,
+    so the per-epoch training-loss curve is as deterministic as the
+    weights (it reports convergence; it never feeds the update)."""
+    m = example_margin(x_dense, w, b)
+    p = stable_sigmoid(m)
+    g = p - y
+    # -ln P(y | x) via the numerically stable softplus identities:
+    # y=1 → softplus(-m), y=0 → softplus(m); clamp avoids log(0)
+    loss = math.log1p(math.exp(-abs(m))) + (abs(m) if (
+        (y >= 0.5) != (m >= 0.0)) else 0.0)
     q = np.floor(g * x_dense * GRAD_SCALE + 0.5).astype(np.int64)
     qb = int(math.floor(g * GRAD_SCALE + 0.5))
-    return q, qb
+    ql = int(math.floor(loss * GRAD_SCALE + 0.5))
+    return q, qb, ql
+
+
+def mean_loss_micro(sl: int, n: int) -> int:
+    """Per-example mean log-loss in integer MICROS from the exact
+    nano-sum — pure integer floor division, so the recorded loss
+    curve is as order-free and engine-identical as the weights."""
+    return sl // (n * 1000)
 
 
 def apply_update(w: np.ndarray, b: float, s: np.ndarray, sb: int,
@@ -157,9 +174,10 @@ def featurize_examples(docs: DataFrame, d: int = 1024,
 # ---------------------------------------------------------------- #
 
 def _epoch_partials(feats: DataFrame, w: np.ndarray, b: float,
-                    d: int) -> tuple[np.ndarray, int, int]:
-    """One pass: per-Arrow-batch quantized gradient partial sums,
-    exact int64 reduce of the O(n_batches) partials on the driver."""
+                    d: int) -> tuple[np.ndarray, int, int, int]:
+    """One pass: per-Arrow-batch quantized gradient (+ log-loss)
+    partial sums, exact int64 reduce of the O(n_batches) partials on
+    the driver."""
     import pandas as pd
 
     wc, bc = w.copy(), float(b)
@@ -168,27 +186,32 @@ def _epoch_partials(feats: DataFrame, w: np.ndarray, b: float,
         for pdf in batches:
             s = np.zeros(d, dtype=np.int64)
             sb = 0
+            sl = 0
             n = 0
             for idx, cnt, ng, y in zip(
                     pdf["idx"], pdf["cnt"], pdf["n_grams"], pdf["y"]):
-                q, qb = example_grad_q(
+                q, qb, ql = example_grad_q(
                     densify(idx, cnt, ng, d), y, wc, bc)
                 s += q
                 sb += qb
+                sl += ql
                 n += 1
             yield pd.DataFrame(
-                {"qsum": [s.tolist()], "qb": [sb], "n": [n]})
+                {"qsum": [s.tolist()], "qb": [sb], "qloss": [sl],
+                 "n": [n]})
 
     parts = feats.mapInPandas(
-        kernel, "qsum array<long>, qb long, n long").collect()
+        kernel, "qsum array<long>, qb long, qloss long, n long").collect()
     s = np.zeros(d, dtype=np.int64)
     sb = 0
+    sl = 0
     n = 0
     for r in parts:
         s += np.asarray(r["qsum"], dtype=np.int64)
         sb += r["qb"]
+        sl += r["qloss"]
         n += r["n"]
-    return s, sb, n
+    return s, sb, sl, n
 
 
 def holdout_accuracy(feats: DataFrame, w_micro: list[int],
@@ -217,7 +240,7 @@ def holdout_accuracy(feats: DataFrame, w_micro: list[int],
 
 
 def _save_epoch_state(resume_dir: str, epoch: int, w: np.ndarray,
-                      b: float, n: int) -> None:
+                      b: float, n: int, losses: list[int]) -> None:
     """Atomic (write-tmp → rename) per-epoch checkpoint. Weights are
     serialized as float64 HEX strings so a resumed run restarts from
     the exact bits — JSON decimal round-trip would not be enough to
@@ -230,6 +253,7 @@ def _save_epoch_state(resume_dir: str, epoch: int, w: np.ndarray,
         "w_hex": [float(v).hex() for v in w],
         "b_hex": float(b).hex(),
         "n_train": n,
+        "loss_curve_micro": losses,
     }
     tmp = os.path.join(resume_dir, f"_tmp-epoch-{epoch:05d}.json")
     with open(tmp, "w") as f:
@@ -238,8 +262,9 @@ def _save_epoch_state(resume_dir: str, epoch: int, w: np.ndarray,
         resume_dir, f"epoch-{epoch:05d}.json"))
 
 
-def _load_epoch_state(resume_dir: str, d: int
-                      ) -> tuple[int, np.ndarray, float, int | None]:
+def _load_epoch_state(
+        resume_dir: str, d: int
+) -> tuple[int, np.ndarray, float, int | None, list[int]]:
     """Latest committed epoch state (or the zero-init start). A crash
     mid-write leaves only a ``_tmp-`` file, which is ignored — the
     rename is the commit point."""
@@ -249,12 +274,13 @@ def _load_epoch_state(resume_dir: str, d: int
 
     done = sorted(glob.glob(os.path.join(resume_dir, "epoch-*.json")))
     if not done:
-        return 0, np.zeros(d, dtype=np.float64), 0.0, None
+        return 0, np.zeros(d, dtype=np.float64), 0.0, None, []
     with open(done[-1]) as f:
         st = json.load(f)
     w = np.array([float.fromhex(h) for h in st["w_hex"]],
                  dtype=np.float64)
-    return st["epoch"] + 1, w, float.fromhex(st["b_hex"]), st["n_train"]
+    return (st["epoch"] + 1, w, float.fromhex(st["b_hex"]),
+            st["n_train"], list(st["loss_curve_micro"]))
 
 
 def train_quality_distributed(docs: DataFrame, d: int = 1024,
@@ -282,16 +308,19 @@ def train_quality_distributed(docs: DataFrame, d: int = 1024,
     feats = track_persist(
         featurize_examples(docs, d, id_col, text_col))
     train = feats.filter(F.col("is_train"))
-    start, w, b, n_train = 0, np.zeros(d, dtype=np.float64), 0.0, None
+    start, w, b = 0, np.zeros(d, dtype=np.float64), 0.0
+    n_train: int | None = None
+    losses: list[int] = []
     if resume_dir is not None:
         os.makedirs(resume_dir, exist_ok=True)
-        start, w, b, n_train = _load_epoch_state(resume_dir, d)
+        start, w, b, n_train, losses = _load_epoch_state(resume_dir, d)
     for epoch in range(start, epochs):
-        s, sb, n = _epoch_partials(train, w, b, d)
+        s, sb, sl, n = _epoch_partials(train, w, b, d)
         n_train = n
+        losses.append(mean_loss_micro(sl, n))
         w, b = apply_update(w, b, s, sb, n, lr)
         if resume_dir is not None:
-            _save_epoch_state(resume_dir, epoch, w, b, n)
+            _save_epoch_state(resume_dir, epoch, w, b, n, losses)
         if fail_after_epoch is not None and epoch >= fail_after_epoch:
             raise RuntimeError(
                 f"injected failure after epoch {epoch}")
@@ -305,4 +334,5 @@ def train_quality_distributed(docs: DataFrame, d: int = 1024,
         "holdout_acc": acc,
         "n_train": int(n_train or 0),
         "n_holdout": n_holdout,
+        "loss_curve_micro": losses,
     }

@@ -41,7 +41,7 @@ def _inmemory_payload(rows, epochs, lr):
             ys += [1.0, 0.0]
         else:
             held += [(int_counts(toks), 1), (int_counts(sorted(toks)), 0)]
-    w, b = train_weights(xs, ys, epochs=epochs, lr=lr)
+    w, b, losses = train_weights(xs, ys, epochs=epochs, lr=lr)
     w_micro = [int(v) for v in np.floor(w * 1e6 + 0.5)]
     b_micro = int(np.floor(b * 1e6 + 0.5))
     ok = sum(
@@ -52,6 +52,7 @@ def _inmemory_payload(rows, epochs, lr):
         "d": D, "b_micro": b_micro, "w_micro": w_micro,
         "holdout_acc": float(ok) / float(len(held)),
         "n_train": len(ys), "n_holdout": len(held),
+        "loss_curve_micro": losses,
     }
 
 

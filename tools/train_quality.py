@@ -45,6 +45,7 @@ from icdar_2019_rrc_sroie_spark.operators.quality_train import (  # noqa: E402
     GRAD_SCALE,
     apply_update,
     example_grad_q,
+    mean_loss_micro,
 )
 
 CORPUS = "/root/testdata/sf0.01/documents.parquet"
@@ -88,22 +89,28 @@ def int_counts(tokens: list[str]) -> tuple[dict[int, int], int]:
 
 def train_weights(xs: list[np.ndarray], ys: list[float],
                   epochs: int = EPOCHS, lr: float = LR
-                  ) -> tuple[np.ndarray, float]:
+                  ) -> tuple[np.ndarray, float, list[int]]:
     """Full-batch GD with per-example int64-quantized gradients —
     byte-identical to ``train_quality_distributed`` by shared
-    per-example helpers + exact integer summation."""
+    per-example helpers + exact integer summation. Also returns the
+    per-epoch mean log-loss curve (integer micros, same exact-sum
+    discipline)."""
     w = np.zeros(D)
     b = 0.0
     n = len(ys)
+    losses: list[int] = []
     for _ in range(epochs):
         s = np.zeros(D, dtype=np.int64)
         sb = 0
+        sl = 0
         for x, y in zip(xs, ys):
-            q, qb = example_grad_q(x, y, w, b)
+            q, qb, ql = example_grad_q(x, y, w, b)
             s += q
             sb += qb
+            sl += ql
+        losses.append(mean_loss_micro(sl, n))
         w, b = apply_update(w, b, s, sb, n, lr)
-    return w, b
+    return w, b, losses
 
 
 def main() -> None:
@@ -147,7 +154,7 @@ def main() -> None:
         else:
             held += [(int_counts(toks), 1),
                      (int_counts(sorted(toks)), 0)]
-    w, b = train_weights(xs, ys)
+    w, b, losses = train_weights(xs, ys)
     w_micro = [int(v) for v in np.floor(w * 1e6 + 0.5)]
     b_micro = int(np.floor(b * 1e6 + 0.5))
     ok = 0
@@ -163,6 +170,7 @@ def main() -> None:
         "holdout_acc": acc,
         "n_train": len(ys),
         "n_holdout": len(held),
+        "loss_curve_micro": losses,
     }
     with open(out, "w") as f:
         json.dump(payload, f, separators=(",", ":"))
