@@ -38,7 +38,10 @@ from .similarity import (
 
 
 def kmeans_lloyd(df: DataFrame, init: list[list[float]], iters: int = 5,
-                 vec_col: str = "embedding") -> list[list[float]]:
+                 vec_col: str = "embedding",
+                 resume_dir: str | None = None,
+                 fail_after_iter: int | None = None
+                 ) -> list[list[float]]:
     """Distributed Lloyd refinement: each iteration assigns every row to
     its nearest centroid with a vectorized Arrow-batched argmin (the
     k×dim centroid matrix rides the closure — one numpy matmul per
@@ -58,17 +61,58 @@ def kmeans_lloyd(df: DataFrame, init: list[list[float]], iters: int = 5,
     centroids change, while serving plans it once. Inside Lloyd any
     deterministic nearest-assignment yields a valid step, so the numpy
     kernel (same first-min tie rule) is the right tool; the FINAL
-    assignment consumers see still comes from the Catalyst expr."""
+    assignment consumers see still comes from the Catalyst expr.
+
+    Round 6 — the per-cluster mean uses the same order-free exact
+    accumulation as the BPE/quality trainers: each coordinate is
+    quantized to integer NANOS and summed as decimal(38,0) (no
+    overflow at any corpus size, no float merge-order sensitivity from
+    shuffle fetch), then divided once on the driver — so the refined
+    centroids are bit-identical under ANY partitioning. That makes the
+    resume contract meaningful: with ``resume_dir`` each iteration's
+    centroids are committed atomically (float64 hex, write-tmp →
+    rename) and a restarted job replays at most one read-only
+    assignment pass to land on identical centroids.
+    ``fail_after_iter`` injects a crash AFTER iteration i's commit
+    (test hook)."""
+    import glob
+    import json
+    import os
+
     centroids = [list(map(float, c)) for c in init]
-    for _ in range(iters):
+    start = 0
+    if resume_dir is not None:
+        os.makedirs(resume_dir, exist_ok=True)
+        done = sorted(glob.glob(os.path.join(resume_dir, "iter-*.json")))
+        if done:
+            with open(done[-1]) as f:
+                st = json.load(f)
+            centroids = [[float.fromhex(h) for h in row]
+                         for row in st["c_hex"]]
+            start = st["iter"] + 1
+    for it in range(start, iters):
         rows = (_lloyd_assigned(df, centroids, vec_col)
                 .groupBy("_c", "_d")
-                .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+                .agg(F.sum(
+                    F.floor(F.col("_x").cast("double") * 1e9 + F.lit(0.5))
+                    .cast("decimal(38,0)")).alias("_s"),
+                     F.count(F.lit(1)).alias("_n"))
                 .collect())
         nxt = [list(c) for c in centroids]
         for r in rows:
-            nxt[int(r["_c"])][int(r["_d"])] = float(r["_m"])
+            nxt[int(r["_c"])][int(r["_d"])] = (
+                float(int(r["_s"])) / 1e9) / float(r["_n"])
         centroids = nxt
+        if resume_dir is not None:
+            tmp = os.path.join(resume_dir, f"_tmp-iter-{it:05d}.json")
+            with open(tmp, "w") as f:
+                json.dump({"iter": it, "c_hex": [
+                    [float(v).hex() for v in row] for row in centroids],
+                }, f, separators=(",", ":"))
+            os.replace(tmp, os.path.join(
+                resume_dir, f"iter-{it:05d}.json"))
+        if fail_after_iter is not None and it >= fail_after_iter:
+            raise RuntimeError(f"injected failure after iter {it}")
     return centroids
 
 

@@ -958,3 +958,41 @@ def test_pack_loss_spans_chunked_index_pack_streams(spark):
                                    if r["conv_id"] == cid]}) > 1
                for cid in got)
     rendered.unpersist()
+
+
+class TestLloydExactAccumulation:
+    """Round 6: the per-cluster mean is an order-free integer-nanos
+    sum (decimal(38,0)) — refined centroids are bit-identical under
+    any partitioning, which is what makes the resume contract exact."""
+
+    def _df(self, spark):
+        rng = np.random.RandomState(7)
+        rows = [(i, [float(x) for x in rng.standard_normal(8)])
+                for i in range(300)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def _init(self):
+        rng = np.random.RandomState(3)
+        return [[float(x) for x in rng.standard_normal(8)]
+                for _ in range(3)]
+
+    def test_partitioning_invariance(self, spark):
+        df = self._df(spark)
+        init = self._init()
+        a = kmeans_lloyd(df.repartition(2), init, iters=3)
+        b = kmeans_lloyd(df.repartition(17), init, iters=3)
+        assert a == b
+
+    def test_resume_after_crash_identical(self, spark, tmp_path):
+        df = self._df(spark)
+        init = self._init()
+        want = kmeans_lloyd(df, init, iters=4)
+        rd = str(tmp_path / "lloyd")
+        with pytest.raises(RuntimeError, match="injected failure"):
+            kmeans_lloyd(df, init, iters=4, resume_dir=rd,
+                         fail_after_iter=1)
+        got = kmeans_lloyd(df, init, iters=4, resume_dir=rd)
+        assert got == want
+        # completed dir: rerun is a pure state read, same result
+        assert kmeans_lloyd(df, init, iters=4, resume_dir=rd) == want
