@@ -263,16 +263,22 @@ def _save_epoch_state(resume_dir: str, epoch: int, w: np.ndarray,
 
 
 def _load_epoch_state(
-        resume_dir: str, d: int
+        resume_dir: str, d: int, max_epochs: int
 ) -> tuple[int, np.ndarray, float, int | None, list[int]]:
-    """Latest committed epoch state (or the zero-init start). A crash
+    """Latest committed epoch state NOT PAST the requested budget (a
+    dir trained further than ``max_epochs`` resumes from epoch
+    ``max_epochs - 1``, so a smaller request returns that run's exact
+    result, not a later state), or the zero-init start. A crash
     mid-write leaves only a ``_tmp-`` file, which is ignored — the
     rename is the commit point."""
     import glob
     import json
     import os
 
-    done = sorted(glob.glob(os.path.join(resume_dir, "epoch-*.json")))
+    done = sorted(
+        p for p in glob.glob(os.path.join(resume_dir, "epoch-*.json"))
+        if int(os.path.basename(p)[len("epoch-"):-len(".json")])
+        < max_epochs)
     if not done:
         return 0, np.zeros(d, dtype=np.float64), 0.0, None, []
     with open(done[-1]) as f:
@@ -280,7 +286,7 @@ def _load_epoch_state(
     w = np.array([float.fromhex(h) for h in st["w_hex"]],
                  dtype=np.float64)
     return (st["epoch"] + 1, w, float.fromhex(st["b_hex"]),
-            st["n_train"], list(st["loss_curve_micro"]))
+            st["n_train"], list(st["loss_curve_micro"])[:max_epochs])
 
 
 def train_quality_distributed(docs: DataFrame, d: int = 1024,
@@ -313,7 +319,8 @@ def train_quality_distributed(docs: DataFrame, d: int = 1024,
     losses: list[int] = []
     if resume_dir is not None:
         os.makedirs(resume_dir, exist_ok=True)
-        start, w, b, n_train, losses = _load_epoch_state(resume_dir, d)
+        start, w, b, n_train, losses = _load_epoch_state(
+            resume_dir, d, epochs)
     for epoch in range(start, epochs):
         s, sb, sl, n = _epoch_partials(train, w, b, d)
         n_train = n

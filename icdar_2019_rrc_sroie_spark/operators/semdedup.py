@@ -83,7 +83,13 @@ def kmeans_lloyd(df: DataFrame, init: list[list[float]], iters: int = 5,
     start = 0
     if resume_dir is not None:
         os.makedirs(resume_dir, exist_ok=True)
-        done = sorted(glob.glob(os.path.join(resume_dir, "iter-*.json")))
+        # never load state PAST the requested budget: a dir trained
+        # further than ``iters`` resumes from iteration iters-1, so a
+        # smaller request returns that run's exact result
+        done = sorted(
+            p for p in glob.glob(os.path.join(resume_dir, "iter-*.json"))
+            if int(os.path.basename(p)[len("iter-"):-len(".json")])
+            < iters)
         if done:
             with open(done[-1]) as f:
                 st = json.load(f)

@@ -285,3 +285,17 @@ def test_distributed_trainer_resume_after_crash(spark, tmp_path):
     got = train_merges_distributed(docs, 10, resume_dir=rd)
     assert got == want
     assert train_merges_distributed(docs, 10, resume_dir=rd) == want
+
+
+def test_resume_with_smaller_budget_returns_prefix(spark, tmp_path):
+    """A state dir trained to 10 merges answers an 8-merge request
+    with the exact 8-merge prefix — never a later state."""
+    from icdar_2019_rrc_sroie_spark.operators.bpe import (
+        train_merges_distributed,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 50")
+    rd = str(tmp_path / "bpe-prefix")
+    full = train_merges_distributed(docs, 10, resume_dir=rd)
+    assert train_merges_distributed(docs, 8, resume_dir=rd) == full[:8]

@@ -119,3 +119,8 @@ def test_resume_after_crash_is_byte_identical(spark, docs, tmp_path):
     assert got == want
     assert train_quality_distributed(
         docs, d=D, epochs=6, resume_dir=rd) == want
+    # a SMALLER budget against the further-trained dir must return
+    # that budget's exact result, not a later state
+    want4 = train_quality_distributed(docs, d=D, epochs=4)
+    assert train_quality_distributed(
+        docs, d=D, epochs=4, resume_dir=rd) == want4

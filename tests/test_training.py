@@ -996,3 +996,6 @@ class TestLloydExactAccumulation:
         assert got == want
         # completed dir: rerun is a pure state read, same result
         assert kmeans_lloyd(df, init, iters=4, resume_dir=rd) == want
+        # a smaller budget must return ITS exact result, not iter 3's
+        assert kmeans_lloyd(df, init, iters=2, resume_dir=rd) == \
+            kmeans_lloyd(df, init, iters=2)
