@@ -89,6 +89,27 @@ def main(corpus_path: str, scratch: str) -> None:
     # every eval doc shares its own 8-grams -> ≥ the eval-set size
     assert out["decontaminate_hits"] >= 1030, out["decontaminate_hits"]
 
+    # 4. distributed quality training under REAL executor JVMs
+    # (round 6): per-example int64-nano gradient quantization must
+    # make the job bit-identical across partitionings when the Arrow
+    # kernel runs in separate executor python workers — the
+    # serialization seam the local[n] tests can't see
+    from icdar_2019_rrc_sroie_spark.operators.quality_train import (
+        train_quality_distributed,
+    )
+
+    tdocs = docs.filter(F.col("doc_id") < 2_000)
+    t0 = time.perf_counter()
+    pay_a = train_quality_distributed(tdocs.repartition(3), epochs=3)
+    pay_b = train_quality_distributed(tdocs.repartition(11), epochs=3)
+    release_indexes()
+    out["trainer_sec"] = round(time.perf_counter() - t0, 3)
+    assert pay_a == pay_b, "trainer not partitioning-invariant on cluster"
+    curve = pay_a["loss_curve_micro"]
+    assert curve == sorted(curve, reverse=True), curve
+    out["trainer_loss_curve_micro"] = curve
+    out["trainer_invariant"] = True
+
     print("CLUSTER_EVIDENCE " + json.dumps(out))
     spark.stop()
 
