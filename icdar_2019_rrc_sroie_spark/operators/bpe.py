@@ -290,8 +290,11 @@ def train_merges_distributed(docs: DataFrame, n_merges: int,
     Because iteration i+1 writes the OTHER slot parity, a crash at any
     point leaves the committed slot intact; a restarted call replays
     at most one merge and lands on the identical merge sequence
-    (pinned with injected crashes in tests/test_bpe.py).
-    ``fail_after_merge`` injects a crash AFTER merge k's commit.
+    (pinned with injected crashes in tests/test_bpe.py). The dir is
+    per-JOB: state carries the word/pair tables, not the corpus
+    identity — resuming against a different corpus is the caller's
+    error. ``fail_after_merge`` injects a crash AFTER merge k's
+    commit.
     """
     import json
     import os

@@ -305,8 +305,13 @@ def train_quality_distributed(docs: DataFrame, d: int = 1024,
     atomically after the update; a restarted job resumes from the last
     committed epoch and lands on byte-identical final weights (a crash
     mid-epoch redoes only that epoch; the gradient pass is read-only,
-    so replaying it is side-effect-free). ``fail_after_epoch`` is the
-    test hook that injects a crash AFTER epoch k's commit."""
+    so replaying it is side-effect-free). The dir is per-JOB: state
+    carries the weights, not the config — resuming with a different
+    corpus, ``lr`` or ``d`` than the run that wrote it is the
+    caller's error (a ``d`` mismatch fails fast on the weight shape;
+    the others cannot be detected from state alone).
+    ``fail_after_epoch`` is the test hook that injects a crash AFTER
+    epoch k's commit."""
     import os
 
     from .indexes import track_persist
