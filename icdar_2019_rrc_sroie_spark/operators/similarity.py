@@ -40,14 +40,44 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def norm_lit(vec: list[float]) -> float:
+    """Driver-side norm of a CONSTANT vector, bit-identical to
+    :func:`norm_expr` over the same literals: the identical left fold
+    ``(0.0 + x0*x0) + x1*x1 + ...`` in IEEE doubles, then sqrt — both
+    engines round each op to the same double, so substituting
+    ``F.lit(norm_lit(q))`` for ``norm_expr(lit_array(q))`` changes no
+    output bit while removing an interpreted 64-element fold per ROW
+    (guide §1.2 "per-task work": the HOF norm of a constant query was
+    re-evaluated for every scored row — measured 3 folds/pair in the
+    near-dup verifiers, cut to 1 by precomputing both row norms)."""
+    acc = 0.0
+    for x in vec:
+        x = float(x)
+        acc += x * x
+    import math
+
+    return math.sqrt(acc)
+
+
+def cosine_with_norms(a: Column, b: Column,
+                      na: Column, nb: Column) -> Column:
+    """``dot(a,b)/(na*nb)`` — cosine with PRECOMPUTED norms. Bit-equal
+    to :func:`cosine_expr` when ``na``/``nb`` hold ``norm_expr(a)`` /
+    ``norm_expr(b)`` values (same fold, same division), but each row's
+    norm is evaluated once per ROW instead of once per PAIR."""
+    return dot_expr(a, b) / (na * nb)
+
+
 def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
                 id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
     """Exact brute-force top-k by cosine to a constant query vector."""
     q = F.array(*[F.lit(float(v)) for v in query])
+    # query norm precomputed driver-side (bit-identical, see norm_lit)
     scored = df.select(
         F.col(id_col),
-        cosine_expr(F.col(vec_col), q).alias("cosine"),
+        cosine_with_norms(F.col(vec_col), q, norm_expr(F.col(vec_col)),
+                          F.lit(norm_lit(query))).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
@@ -141,7 +171,9 @@ def ivf_topk(df: DataFrame, centroids: list[list[float]],
     return (
         bucketed.filter(F.col("ivf_bucket").isin(probes))
         .select(F.col(id_col), "ivf_bucket",
-                cosine_expr(F.col(vec_col), q_col).alias("cosine"))
+                cosine_with_norms(F.col(vec_col), q_col,
+                                  norm_expr(F.col(vec_col)),
+                                  F.lit(norm_lit(query))).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -207,7 +239,9 @@ def ivf_topk_indexed(spark, index_path: str,
         spark.read.parquet(index_path)
         .filter(F.col("ivf_bucket").isin(probes))
         .select(F.col(id_col), F.col("ivf_bucket").cast("int"),
-                cosine_expr(F.col(vec_col), q_col).alias("cosine"))
+                cosine_with_norms(F.col(vec_col), q_col,
+                                  norm_expr(F.col(vec_col)),
+                                  F.lit(norm_lit(query))).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
@@ -284,6 +318,7 @@ def ivf_knn_indexed(spark, index_path: str,
     """
     probes = track_persist(queries.select(
         F.col(query_id_col), F.col(query_vec_col).alias("_qvec"),
+        norm_expr(F.col(query_vec_col)).alias("_qn"),
         F.explode(
             nprobe_buckets_expr(F.col(query_vec_col), centroids, nprobe)
         ).alias("ivf_bucket"),
@@ -297,6 +332,7 @@ def ivf_knn_indexed(spark, index_path: str,
         spark.read.parquet(index_path)
         .filter(F.col("ivf_bucket").isin(buckets))
         .select(F.col(id_col), F.col(vec_col).alias("_ivec"),
+                norm_expr(F.col(vec_col)).alias("_in"),
                 F.col("ivf_bucket").cast("int").alias("ivf_bucket"))
     )
     from pyspark.sql import Window
@@ -309,7 +345,9 @@ def ivf_knn_indexed(spark, index_path: str,
     return (
         index.join(probe_side, "ivf_bucket")
         .select(query_id_col, id_col, "ivf_bucket",
-                cosine_expr(F.col("_ivec"), F.col("_qvec")).alias("cosine"))
+                cosine_with_norms(F.col("_ivec"), F.col("_qvec"),
+                                  F.col("_in"), F.col("_qn"))
+                .alias("cosine"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
@@ -397,7 +435,9 @@ def ann_topk_bucketed(df: DataFrame, query: list[float], k: int = 10,
         df.withColumn("bucket", sign_bucket_expr(F.col(vec_col), hyperplanes))
         .filter(F.col("bucket").isin(sorted(probes)))
         .select(F.col(id_col), F.col("bucket"),
-                cosine_expr(F.col(vec_col), q).alias("cosine"))
+                cosine_with_norms(F.col(vec_col), q,
+                                  norm_expr(F.col(vec_col)),
+                                  F.lit(norm_lit(query))).alias("cosine"))
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
@@ -452,13 +492,17 @@ def _probe_candidates(bucketed: DataFrame, id_col: str, n_bits: int,
 
 
 def _rejoin_vectors(pairs: DataFrame, bucketed: DataFrame, id_col: str,
-                    vec_col: str) -> DataFrame:
+                    vec_col: str, norm_col: str | None = None) -> DataFrame:
     """Attach both vectors to an id-only candidate pair list (one join
-    per side against the persisted bucketed index)."""
+    per side against the persisted bucketed index). With ``norm_col``
+    the index's precomputed row norm rides along as ``na``/``nb`` so
+    the verifier scores each pair with ONE fold instead of three."""
+    extra_a = [F.col(norm_col).alias("na")] if norm_col else []
+    extra_b = [F.col(norm_col).alias("nb")] if norm_col else []
     va = bucketed.select(F.col(id_col).alias("id_a"),
-                         F.col(vec_col).alias("va"))
+                         F.col(vec_col).alias("va"), *extra_a)
     vb = bucketed.select(F.col(id_col).alias("id_b"),
-                         F.col(vec_col).alias("vb"))
+                         F.col(vec_col).alias("vb"), *extra_b)
     return pairs.join(va, "id_a").join(vb, "id_b")
 
 
@@ -507,9 +551,12 @@ def ann_knn_join(df: DataFrame, k: int = 5, n_bits: int | None = None,
     if n_bits is None:
         n_bits = scaled_n_bits(df.count())
     planes = random_hyperplanes(dim, n_bits, seed)
+    # row norm computed once per row on the persisted index (not per
+    # candidate pair in the verifier — guide §1.2 per-task work)
     bucketed = df.select(
         F.col(id_col), F.col(vec_col),
         sign_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        norm_expr(F.col(vec_col)).alias("_nrm"),
     )
     from .dedup import cap_buckets
 
@@ -519,9 +566,10 @@ def ann_knn_join(df: DataFrame, k: int = 5, n_bits: int | None = None,
                               symmetric=True)
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
-        _rejoin_vectors(cands, bucketed, id_col, vec_col)
+        _rejoin_vectors(cands, bucketed, id_col, vec_col, norm_col="_nrm")
         .select("id_a", "id_b",
-                cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+                cosine_with_norms(F.col("va"), F.col("vb"),
+                                  F.col("na"), F.col("nb")).alias("cosine"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
@@ -629,9 +677,11 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
     if n_bits is None:
         n_bits = scaled_n_bits(df.count())
     planes = random_hyperplanes(dim, n_bits, seed)
+    # row norm once per row on the persisted index (see ann_knn_join)
     bucketed = df.select(
         F.col(id_col), F.col(vec_col),
         sign_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        norm_expr(F.col(vec_col)).alias("_nrm"),
     )
     from .dedup import cap_buckets
 
@@ -648,9 +698,10 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
         n_cands = cands.count()
         logging.getLogger(__name__).info(
             "embedding_near_dups: n_bits=%d candidates=%d", n_bits, n_cands)
-    cos = cosine_expr(F.col("va"), F.col("vb"))
+    cos = cosine_with_norms(F.col("va"), F.col("vb"),
+                            F.col("na"), F.col("nb"))
     return (
-        _rejoin_vectors(cands, bucketed, id_col, vec_col)
+        _rejoin_vectors(cands, bucketed, id_col, vec_col, norm_col="_nrm")
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -95,8 +95,11 @@ def receipt_prefilter(transcripts: DataFrame) -> DataFrame:
     from ..constants import TOTAL_CONTEXT_PATTERN
 
     t = F.col("text")
+    # r7: the bare \d conjunct was redundant (any match of \d\.\d
+    # contains a digit) — one less full-text regex pass per turn,
+    # identical filter semantics
     return transcripts.filter(
-        t.rlike(r"\d\.\d") & t.rlike(TOTAL_CONTEXT_PATTERN) & t.rlike(r"\d")
+        t.rlike(r"\d\.\d") & t.rlike(TOTAL_CONTEXT_PATTERN)
     )
 
 
