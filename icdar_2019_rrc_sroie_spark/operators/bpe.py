@@ -338,7 +338,14 @@ def train_merges_distributed(docs: DataFrame, n_merges: int,
     else:
 
         def _ckpt(df: DataFrame, slot: str) -> DataFrame:
-            return df.localCheckpoint()
+            # lazy: materializes (and truncates lineage) inside the
+            # next action that reads it — the per-merge argmax collect
+            # — instead of one eager job per state table (r7: the
+            # 6-merge bench entry ran ~28 driver jobs whose stage work
+            # summed to <0.2 s; fusing the two per-merge checkpoint
+            # jobs into the collect cuts the scheduling overhead
+            # without changing any state table's contents)
+            return df.localCheckpoint(eager=False)
 
     def _commit_state() -> None:
         if resume_dir is None:

@@ -194,30 +194,57 @@ def label_lines(lines: DataFrame, entities: DataFrame,
     layout (receipts/turns are tens of lines), so no key can straggle.
     """
 
-    def kernel(key: tuple, lines_pdf: pd.DataFrame,
-               ents_pdf: pd.DataFrame) -> pd.DataFrame:
-        doc_id = key[0]
-        lp = lines_pdf.sort_values("line_idx")
-        texts = lp["text"].fillna("").tolist()
-        items = list(zip(ents_pdf["entity"], ents_pdf["entity_text"]))
-        labeled = assign_labels_py(texts, items, n_errors=n_errors)
-        return pd.DataFrame(
-            {
-                "doc_id": doc_id,
-                "line_idx": lp["line_idx"].astype("int32").values,
-                "text": texts,
-                "label": [lab for lab, _ in labeled],
-                "class": pd.array([c for _, c in labeled], dtype="int32"),
-            }
-        )
+    from pyspark.sql import functions as F
 
-    # Explicit doc-keyed repartition at full core count: the kernel is
-    # CPU-bound Python, and AQE's size-based coalescing would otherwise
-    # shrink the (tiny-byte, expensive-row) cogroup shuffle to a few
-    # tasks.
+    # r7 (guide §4.1/§4.2): the former per-doc ``cogroup.applyInPandas``
+    # kernel paid ~0.5 ms of pandas-DataFrame construction PER DOCUMENT
+    # (one kernel invocation per group — 5k invocations ≈ 2.5 s at
+    # sf0.1 against ~0.3 s of actual labeling work). The per-doc arrays
+    # are now assembled JVM-side (sort_array(collect_list) per doc, one
+    # hash aggregate each side + one equi-join) and the Python kernel
+    # is ONE batched mapInPandas whose per-doc cost is a plain function
+    # call. Semantics are unchanged: line order is (line_idx) exactly
+    # as the kernel's sort_values; entity order never mattered —
+    # ``compute_entity_classes`` fully sorts its items by
+    # (class, name, text) — and docs with entities but no lines emit
+    # nothing (left join from the lines side), as the cogroup did.
+    lines_agg = lines.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("line_idx", "text")))
+        .alias("_lines"))
+    ents_agg = entities.groupBy("doc_id").agg(
+        F.collect_list(F.struct("entity", "entity_text")).alias("_ents"))
+    joined = lines_agg.join(ents_agg, "doc_id", "left")
+
+    def kernel(batches):
+        for pdf in batches:
+            doc_out: list = []
+            idx_out: list = []
+            txt_out: list = []
+            lab_out: list = []
+            cls_out: list = []
+            for doc_id, lrows, erows in zip(
+                    pdf["doc_id"], pdf["_lines"], pdf["_ents"]):
+                texts = [(r["text"] if r["text"] is not None else "")
+                         for r in lrows]
+                items = ([(r["entity"], r["entity_text"]) for r in erows]
+                         if erows is not None else [])
+                labeled = assign_labels_py(texts, items, n_errors=n_errors)
+                doc_out.extend([doc_id] * len(texts))
+                idx_out.extend(int(r["line_idx"]) for r in lrows)
+                txt_out.extend(texts)
+                lab_out.extend(lab for lab, _ in labeled)
+                cls_out.extend(c for _, c in labeled)
+            yield pd.DataFrame({
+                "doc_id": doc_out,
+                "line_idx": pd.array(idx_out, dtype="int32"),
+                "text": txt_out,
+                "label": lab_out,
+                "class": pd.array(cls_out, dtype="int32"),
+            })
+
+    # Explicit round-robin repartition at full core count: the doc-row
+    # table is tiny in bytes but CPU-expensive per row (fuzzy regex),
+    # and AQE's size-based coalescing would otherwise run the kernel on
+    # one or two tasks.
     n = lines.sparkSession.sparkContext.defaultParallelism
-    return (
-        lines.repartition(n, "doc_id").groupBy("doc_id")
-        .cogroup(entities.repartition(n, "doc_id").groupBy("doc_id"))
-        .applyInPandas(kernel, LABELED_SCHEMA)
-    )
+    return joined.repartition(n).mapInPandas(kernel, LABELED_SCHEMA)

@@ -98,6 +98,27 @@ def example_grad_q(x_dense: np.ndarray, y: float, w: np.ndarray,
     return q, qb, ql
 
 
+def example_grad_sparse_q(idx: np.ndarray, xv: np.ndarray, y: float,
+                          margin: float) -> tuple[np.ndarray, int, int]:
+    """Sparse form of :func:`example_grad_q` — bit-identical by
+    construction: a zero feature quantizes to ``floor(0.5) = 0``, so
+    only the nonzero buckets (``idx``, values ``xv``) contribute; each
+    nonzero's ``floor(g*x*SCALE + 0.5)`` is the same scalar op the
+    dense path applies at that position. ``margin`` must come from the
+    DENSE ``np.dot`` (``example_margin``) — a sparse sum would change
+    the float addition order and with it the bits (r7: the dense
+    1024-wide multiply+floor per example was ~60% of the epoch kernel;
+    nnz is ~2% of d here). Returns (q_at_idx int64[nnz], qb, ql)."""
+    p = stable_sigmoid(margin)
+    g = p - y
+    loss = math.log1p(math.exp(-abs(margin))) + (abs(margin) if (
+        (y >= 0.5) != (margin >= 0.0)) else 0.0)
+    q = np.floor(g * xv * GRAD_SCALE + 0.5).astype(np.int64)
+    qb = int(math.floor(g * GRAD_SCALE + 0.5))
+    ql = int(math.floor(loss * GRAD_SCALE + 0.5))
+    return q, qb, ql
+
+
 def mean_loss_micro(sl: int, n: int) -> int:
     """Per-example mean log-loss in integer MICROS from the exact
     nano-sum — pure integer floor division, so the recorded loss
@@ -137,8 +158,14 @@ def featurize_examples(docs: DataFrame, d: int = 1024,
     hash aggregates, all JVM-side (the md5 bucketing is the served
     ``gram_bucket_expr``). ``val`` is ``count/n_grams`` in float64,
     exactly the in-memory featurizer's ``x /= len(grams)``."""
+    from .dedup import ensure_parallelism
+
     toks = norm_tokens_expr(F.col(text_col))
-    base = docs.select(
+    # spread the narrow parquet scan before the CPU-heavy gram/md5
+    # projection (r7: the explode+partial-agg map side ran on the
+    # 2-task scan — 4.0 s wall / 7.5 s cpu at sf0.1; row placement is
+    # irrelevant to the order-free aggregates downstream)
+    base = ensure_parallelism(docs).select(
         F.col(id_col).cast("long").alias("doc_id"), toks.alias("toks"))
     pos = base.select(
         (F.col("doc_id") * 2).alias("ex_id"),
@@ -190,9 +217,11 @@ def _epoch_partials(feats: DataFrame, w: np.ndarray, b: float,
             n = 0
             for idx, cnt, ng, y in zip(
                     pdf["idx"], pdf["cnt"], pdf["n_grams"], pdf["y"]):
-                q, qb, ql = example_grad_q(
-                    densify(idx, cnt, ng, d), y, wc, bc)
-                s += q
+                x = densify(idx, cnt, ng, d)
+                ia = np.asarray(idx, dtype=np.int64)
+                q, qb, ql = example_grad_sparse_q(
+                    ia, x[ia], y, example_margin(x, wc, bc))
+                np.add.at(s, ia, q)
                 sb += qb
                 sl += ql
                 n += 1

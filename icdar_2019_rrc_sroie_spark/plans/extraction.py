@@ -96,10 +96,14 @@ def receipt_prefilter(transcripts: DataFrame) -> DataFrame:
 
     t = F.col("text")
     # r7: the bare \d conjunct was redundant (any match of \d\.\d
-    # contains a digit) — one less full-text regex pass per turn,
-    # identical filter semantics
+    # contains a digit), and the conjuncts are ordered best-rejector
+    # first — the boilerplate footer ("transcript-ui v1.3") makes
+    # \d\.\d match EVERY turn after a near-full scan, while the
+    # context-word alternation rejects chat turns outright, so it goes
+    # first and short-circuits the second scan away (conjunction
+    # commutes: identical filter semantics).
     return transcripts.filter(
-        t.rlike(r"\d\.\d") & t.rlike(TOTAL_CONTEXT_PATTERN)
+        t.rlike(TOTAL_CONTEXT_PATTERN) & t.rlike(r"\d\.\d")
     )
 
 
