@@ -859,7 +859,11 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     else:
 
         def _ckpt(df):
-            return df.localCheckpoint()
+            # lazy: materializes inside the round's convergence-sum
+            # collect instead of one eager job per round — halves the
+            # driver jobs of the fixpoint loop (r7; same fusion as the
+            # BPE trainer's state checkpoints)
+            return df.localCheckpoint(eager=False)
 
     labels = _ckpt(
         sym.select(F.col("u").alias("node"))

@@ -76,7 +76,9 @@ def score_numer_expr(grams: Column, weights: dict) -> Column:
     positive (n_grams > 0). The weight literal is constant-folded;
     ``grams`` should be a materialized column (argument position —
     evaluated once)."""
-    w = F.array(*[F.lit(int(x)) for x in weights["w_micro"]])
+    from .litarrays import lit_long_array
+
+    w = lit_long_array(weights["w_micro"])  # one py4j call for 1024 lits
     d = int(weights["d"])
     return (
         F.lit(int(weights["b_micro"])) * F.size(grams)

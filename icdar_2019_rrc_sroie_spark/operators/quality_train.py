@@ -249,7 +249,9 @@ def holdout_accuracy(feats: DataFrame, w_micro: list[int],
     the sign of ``b_micro·n_grams + Σ w_micro[bucket]·cnt``, all int64
     (exact, order-free, identical to the in-memory gate and to what
     ``quality_classify`` ships) — one Catalyst aggregate, no Python."""
-    wl = F.array(*[F.lit(int(x)) for x in w_micro])
+    from .litarrays import lit_long_array
+
+    wl = lit_long_array(w_micro)
     pairs = F.zip_with(
         F.col("idx"), F.col("cnt"),
         lambda i, c: F.struct(i.alias("i"), c.alias("c")))

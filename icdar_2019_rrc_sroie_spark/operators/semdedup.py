@@ -180,7 +180,9 @@ def semdedup(df: DataFrame, k: int = 8, eps: float = 0.95,
     # computed ONCE per row here and reused by the pair verifier below,
     # cutting the per-PAIR work from 3 interpreted folds to 1 (guide
     # §1.2 — measured 29 s → ~10 s of stage CPU at sf0.1).
-    cnorms = F.array(*[F.lit(norm_lit(c)) for c in centroids])
+    from .litarrays import lit_double_array
+
+    cnorms = lit_double_array([norm_lit(c) for c in centroids])
     assigned = track_persist(ensure_parallelism(df).select(
         F.col(id_col), F.col(vec_col),
         nearest_centroid_expr(F.col(vec_col), centroids).alias("cluster"),

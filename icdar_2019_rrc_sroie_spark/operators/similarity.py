@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .indexes import track_persist
+from .litarrays import lit_double_array, lit_double_matrix
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -72,7 +73,7 @@ def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
                 id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
     """Exact brute-force top-k by cosine to a constant query vector."""
-    q = F.array(*[F.lit(float(v)) for v in query])
+    q = lit_double_array(query)
     # query norm precomputed driver-side (bit-identical, see norm_lit)
     scored = df.select(
         F.col(id_col),
@@ -125,9 +126,9 @@ def train_centroids(df: DataFrame, k: int = 8, iters: int = 10,
 
 
 def _centroid_array(centroids: list[list[float]]) -> Column:
-    return F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ])
+    # one py4j call for the whole k x dim literal matrix (bit-equal to
+    # the per-element form - see litarrays)
+    return lit_double_matrix(centroids)
 
 
 def nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
@@ -164,7 +165,7 @@ def ivf_topk(df: DataFrame, centroids: list[list[float]],
     order = ((cents - q[None, :]) ** 2).sum(axis=1).argsort()
     probes = [int(i) for i in order[:nprobe]]
 
-    q_col = F.array(*[F.lit(float(v)) for v in query])
+    q_col = lit_double_array(query)
     bucketed = df.withColumn(
         "ivf_bucket", nearest_centroid_expr(F.col(vec_col), centroids)
     )
@@ -234,7 +235,7 @@ def ivf_topk_indexed(spark, index_path: str,
     cents = np.array(centroids, dtype=np.float64)
     order = ((cents - q[None, :]) ** 2).sum(axis=1).argsort()
     probes = [int(i) for i in order[:nprobe]]
-    q_col = F.array(*[F.lit(float(v)) for v in query])
+    q_col = lit_double_array(query)
     return (
         spark.read.parquet(index_path)
         .filter(F.col("ivf_bucket").isin(probes))
@@ -395,7 +396,7 @@ def sign_bucket_expr(vec: Column,
     constants)."""
     out = F.lit(0)
     for i, h in enumerate(hyperplanes):
-        h_col = F.array(*[F.lit(float(x)) for x in h])
+        h_col = lit_double_array(h)
         out = out + F.when(
             dot_expr(vec, h_col) > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return out.cast("int")
@@ -430,7 +431,7 @@ def ann_topk_bucketed(df: DataFrame, query: list[float], k: int = 10,
             for i in range(len(hyperplanes))
             for j in range(i + 1, len(hyperplanes))
         }
-    q = F.array(*[F.lit(float(v)) for v in query])
+    q = lit_double_array(query)
     scored = (
         df.withColumn("bucket", sign_bucket_expr(F.col(vec_col), hyperplanes))
         .filter(F.col("bucket").isin(sorted(probes)))
