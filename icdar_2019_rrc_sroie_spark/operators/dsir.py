@@ -47,6 +47,12 @@ def hashed_ngram_counts(df: DataFrame, n_buckets: int = DSIR_N_BUCKETS_DEFAULT,
     the DSIR feature map. Unigrams fall back to the plain token split
     (word_shingles needs ≥ n tokens); occurrences are counted, not
     deduped (the models are unigram-over-features)."""
+    from .dedup import ensure_parallelism
+
+    # spread the narrow scan before the CPU-heavy shingle+md5 explode
+    # (r7: same 2-task-scan bottleneck as the quality featurizer; the
+    # downstream aggregates are order-free)
+    df = ensure_parallelism(df)
     if n == 1:
         grams = df.select(
             F.col(id_col),

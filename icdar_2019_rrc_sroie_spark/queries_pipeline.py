@@ -1135,9 +1135,12 @@ def q_detection_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # explicit repartition: the 60-row scan otherwise collapses to ONE
     # partition (AQE byte-based coalescing) and the CPU-bound raster
-    # kernel runs serially — same fix as entity_line_labels
+    # kernel runs serially — same fix as entity_line_labels. r7: full
+    # core width (was 16 — page kernels are ~uniform, so more, smaller
+    # hash buckets shorten the tail)
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60) \
-        .select("doc_id").repartition(16, "doc_id")
+        .select("doc_id").repartition(
+            spark.sparkContext.defaultParallelism, "doc_id")
     media = docs.mapInPandas(gen, MEDIA_SCHEMA)
     lines = detect_lines_learned(media)
     return lines.select(
