@@ -594,22 +594,91 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
 
 
-def _gram_hashes_from_norm(norm: Column, k: int) -> Column:
-    """Array of char k-gram hashes (md5-slice → long, engine-portable)
-    of an ALREADY-MATERIALIZED canonical-text column; empty for docs
-    shorter than ``k``. ``norm`` must be a plain column reference, not
-    the normalization expression itself — inlined, the whole
-    regexp_replace would re-run per gram element (O(m·n) regex chars
-    per doc — measured 20+ s for 5k docs vs ~2 s fixed)."""
-    n = F.length(norm)
-    m = n - (k - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-        lambda i: F.conv(
-            F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 8), 16, 10
-        ).cast("long"),
-    )
-    return F.when(n >= k, grams).otherwise(F.array().cast("array<bigint>"))
+def _winnow_kernel(id_col: str, k: int, window: int,
+                   with_positions: bool):
+    """Arrow-batch winnow kernel (guide §4.2: hand whole batches to
+    native code). Per doc: md5 every char k-gram of the canonical
+    text (``hashlib`` — C md5, identical digests to the engines'
+    ``md5``), slide a ``window``-wide view, keep each window's
+    minimum with its FIRST in-window position (``np.argmin`` returns
+    the first minimum — the same tie-break as ``array_position``),
+    dedup. Fingerprint value = first 8 md5 hex chars as an int =
+    ``int.from_bytes(digest[:4], 'big')`` — bit-identical to the
+    previous Catalyst ``conv(substring(md5(..), 1, 8), 16, 10)``
+    (parity pinned by tests/test_dedup_similarity.py).
+
+    Replaced the interpreted-HOF Catalyst form in round 7: the HOF
+    transform evaluated md5→hex→conv→cast per element through the
+    interpreted expression path, ~0.9 s/corpus-pass wall in a fresh
+    JVM at sf0.1 but up to 13-17 s REPRODUCIBLY once other HOF-heavy
+    queries had run in the same JVM (JIT profile pollution of the
+    shared interpreted-eval call sites — exactly the state a long
+    battery session is in). The hashlib kernel measures 0.52 s in
+    either state.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+        for pdf in batches:
+            ids_out: list = []
+            fps_out: list = []
+            pos_out: list = []
+            for did, nt in zip(pdf[id_col].values, pdf["_nt"].values):
+                if nt is None:
+                    continue
+                n = len(nt)
+                m = n - (k - 1)
+                if m < 1:
+                    continue
+                fps = np.empty(m, dtype=np.int64)
+                enc = nt.encode("utf-8")
+                if len(enc) == n:  # pure-ASCII: hash byte slices, no
+                    mv = memoryview(enc)  # per-gram str slice + encode
+                    for i in range(m):
+                        fps[i] = from_bytes(
+                            md5(mv[i:i + k]).digest()[:4], "big")
+                else:  # chars ≠ bytes: slice by chars, encode per gram
+                    for i in range(m):
+                        fps[i] = from_bytes(
+                            md5(nt[i:i + k].encode("utf-8")).digest()[:4],
+                            "big")
+                w_eff = window if m >= window else m
+                sl = np.lib.stride_tricks.sliding_window_view(fps, w_eff)
+                rel = np.argmin(sl, axis=1)
+                mins = sl[np.arange(sl.shape[0]), rel]
+                if with_positions:
+                    pos = rel + np.arange(sl.shape[0]) + 1  # 1-based
+                    pairs = np.unique(np.stack([mins, pos], axis=1),
+                                      axis=0)
+                    ids_out.extend([did] * pairs.shape[0])
+                    fps_out.append(pairs[:, 0])
+                    pos_out.append(pairs[:, 1])
+                else:
+                    uniq = np.unique(mins)
+                    ids_out.extend([did] * uniq.shape[0])
+                    fps_out.append(uniq)
+            cols = {id_col: ids_out,
+                    "fp": np.concatenate(fps_out) if fps_out else []}
+            if with_positions:
+                cols["pos"] = (np.concatenate(pos_out)
+                               if pos_out else [])
+            yield pd.DataFrame(cols)
+
+    return kernel
+
+
+def _winnow_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shared winnow input: spread the (usually narrow) scan, run the
+    normalization regex ONCE per doc JVM-side, and ship only (id,
+    canonical text) into the Python kernel (guide §4.1: pass only the
+    columns the function needs)."""
+    return ensure_parallelism(df).select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_nt"))
 
 
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
@@ -622,33 +691,17 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     ≥ k + window - 1 yields a shared fingerprint — the containment
     detector exact dedup and shingle Jaccard can't provide.
 
-    Pure Catalyst array algebra (hash per k-gram via md5 slice; a true
-    rolling polynomial is a constant-factor kernel optimization, same
-    fingerprints). Output: (id, fp) rows.
-
-    The canonical text AND the gram-hash array are materialized as
-    COLUMNS between projections: inlined into the downstream lambdas,
-    the normalization regex would re-run per gram element and the md5
-    pass per window — O(m·n) regex chars + O(m²) digests per doc
-    (measured as a 20 s → ~2 s difference at 5k docs; Catalyst's
-    CollapseProject leaves the splits alone because the aliases are
-    expensive and multiply-referenced). No filter on short docs:
-    explode of the empty gram array drops them for free.
+    Output: (id, fp) rows; docs shorter than ``k`` contribute nothing.
+    Fingerprints are md5-slice ints — engine-portable, identical in
+    the DuckDB oracle — computed in an Arrow batch kernel
+    (:func:`_winnow_kernel` documents the round-7 move off the
+    interpreted Catalyst HOF form and the bit-identity argument).
     """
-    base = ensure_parallelism(df).select(
-        F.col(id_col), normalized_text(F.col(text_col)).alias("_nt"))
-    base = base.select(
-        F.col(id_col), _gram_hashes_from_norm(F.col("_nt"), k).alias("_g"))
-    n_windows = F.greatest(F.size("_g") - (window - 1), F.lit(1))
-    minima = F.when(
-        F.size("_g") > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice(F.col("_g"), j, window)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return base.select(
-        F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp"))
+    base = _winnow_base(df, id_col, text_col)
+    schema = "{} {}, fp long".format(
+        id_col, base.schema[id_col].dataType.simpleString())
+    return base.mapInPandas(
+        _winnow_kernel(id_col, k, window, with_positions=False), schema)
 
 
 def winnow_fingerprint_positions(df: DataFrame, id_col: str = "doc_id",
@@ -661,43 +714,16 @@ def winnow_fingerprint_positions(df: DataFrame, id_col: str = "doc_id",
     fingerprinting doesn't.
 
     Per window the minimum gram hash is selected together with its
-    FIRST position in the window (``array_position`` — both engines
-    return the 1-based first match, so ties break identically).
-    Output: distinct (id, fp, pos) rows; docs shorter than ``k``
-    contribute nothing. Linear per document — the canonical text, the
-    gram array AND the per-window slices are materialized as columns
-    between projections (inlined into the lambdas they would be
-    re-evaluated per window/element: O(m·n) regex chars + O(m²) md5
-    digests per doc, a measured multi-minute stall at 5k docs; same
-    fix as winnow_fingerprints).
+    FIRST position in the window (``np.argmin`` — first minimum, the
+    same tie-break both engines' ``array_position`` used). Output:
+    distinct (id, fp, pos) rows. Same Arrow kernel as
+    :func:`winnow_fingerprints` (see :func:`_winnow_kernel`).
     """
-    base = ensure_parallelism(df).select(
-        F.col(id_col), normalized_text(F.col(text_col)).alias("_nt"))
-    base = base.select(
-        F.col(id_col), _gram_hashes_from_norm(F.col("_nt"), k).alias("_g"))
-    n_windows = F.greatest(F.size("_g") - (window - 1), F.lit(1))
-    sliced = base.select(
-        F.col(id_col),
-        F.when(
-            F.size("_g") > 0,
-            F.transform(F.sequence(F.lit(1), n_windows),
-                        lambda j: F.slice(F.col("_g"), j, window)),
-        ).otherwise(F.array().cast("array<array<bigint>>")).alias("_sl"),
-    )
-    # (element, index) lambda: index is 0-based window start offset
-    wins = F.transform(
-        F.col("_sl"),
-        lambda s, i: F.struct(
-            F.array_min(s).alias("fp"),
-            (i + F.array_position(s, F.array_min(s))).alias("pos"),
-        ),
-    )
-    return (
-        sliced.select(F.col(id_col),
-                      F.explode(F.array_distinct(wins)).alias("w"))
-        .select(id_col, F.col("w.fp").alias("fp"),
-                F.col("w.pos").alias("pos"))
-    )
+    base = _winnow_base(df, id_col, text_col)
+    schema = "{} {}, fp long, pos long".format(
+        id_col, base.schema[id_col].dataType.simpleString())
+    return base.mapInPandas(
+        _winnow_kernel(id_col, k, window, with_positions=True), schema)
 
 
 def dedup_spans(df: DataFrame, id_col: str = "doc_id",

@@ -362,6 +362,80 @@ def test_winnow_fingerprints_shared_substring_guarantee(spark):
     assert not (fps[0] & fps[2] & fps[1])
 
 
+def test_winnow_arrow_kernel_matches_catalyst_reference(spark):
+    """Round-7 kernel-swap parity: the Arrow winnow kernel must emit
+    the IDENTICAL (id, fp[, pos]) row multiset as the retired Catalyst
+    HOF form (rebuilt inline here as the reference) — md5-slice
+    fingerprint values, first-position window-min tie-break, short-doc
+    and non-ASCII handling all pinned. Runs real corpus docs plus
+    adversarial edges: doc shorter than k, doc between k and k+window,
+    repeated text (fp ties), multi-byte chars, empty and null text."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        ensure_parallelism,
+        normalized_text,
+        winnow_fingerprint_positions,
+        winnow_fingerprints,
+    )
+
+    def catalyst_positions(df, id_col, k, window):
+        norm = F.col("_nt")
+        n = F.length(norm)
+        m = n - (k - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.conv(
+                F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 8),
+                16, 10).cast("long"))
+        base = df.select(
+            F.col(id_col), normalized_text(F.col("text")).alias("_nt"))
+        base = base.select(
+            F.col(id_col),
+            F.when(n >= k, grams)
+            .otherwise(F.array().cast("array<bigint>")).alias("_g"))
+        n_windows = F.greatest(F.size("_g") - (window - 1), F.lit(1))
+        sliced = base.select(
+            F.col(id_col),
+            F.when(
+                F.size("_g") > 0,
+                F.transform(F.sequence(F.lit(1), n_windows),
+                            lambda j: F.slice(F.col("_g"), j, window)),
+            ).otherwise(F.array().cast("array<array<bigint>>"))
+            .alias("_sl"))
+        wins = F.transform(
+            F.col("_sl"),
+            lambda s, i: F.struct(
+                F.array_min(s).alias("fp"),
+                (i + F.array_position(s, F.array_min(s))).alias("pos")))
+        return (
+            sliced.select(F.col(id_col),
+                          F.explode(F.array_distinct(wins)).alias("w"))
+            .select(id_col, F.col("w.fp").alias("fp"),
+                    F.col("w.pos").alias("pos")))
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(40)
+    edges = spark.createDataFrame(
+        [(1000, "ab"),                          # shorter than k
+         (1001, "abcdef"),                      # k <= m < window
+         (1002, "aaaaaaaaaaaaaaaaaaaaaa"),      # all grams tie
+         (1003, "naïve café — über 文字列 test padding here"),  # multibyte
+         (1004, ""), (1005, None),
+         (1006, "xy " * 30)],                   # periodic ties
+        "doc_id long, text string")
+    docs = corpus.select("doc_id", "text").unionByName(edges)
+    for k, w in ((5, 4), (30, 8), (3, 1)):
+        ref = catalyst_positions(docs, "doc_id", k, w)
+        got = winnow_fingerprint_positions(docs, k=k, window=w)
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
+        ref_fp = ref.select("doc_id", "fp").distinct()
+        got_fp = winnow_fingerprints(docs, k=k, window=w)
+        assert got_fp.exceptAll(ref_fp).count() == 0
+        assert ref_fp.exceptAll(got_fp).count() == 0
+
+
 def test_bpe_token_count(spark):
     from icdar_2019_rrc_sroie_spark.operators.dedup import bpe_token_count
 

@@ -221,15 +221,14 @@ def test_decontaminate_broadcast_semi_join(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_winnow_generate_reads_materialized_grams(spark):
-    """Regression guard for the HOF re-evaluation class (round 4): the
-    gram-hash array and the canonical text must be materialized as
-    columns BEFORE the windowed transform/explode consume them. If
-    either expression gets inlined into the generator, every window
-    re-runs the md5 pass (O(m²) digests) and every gram re-runs the
-    normalization regex (O(m·n) chars) — measured 20-25 s vs 1-4 s at
-    5k docs. The Generate node of the optimized plan must therefore
-    reference plain columns: no md5/regexp_replace inside it."""
+def test_winnow_arrow_kernel_gets_narrow_normalized_input(spark):
+    """Round-7 shape guard: winnowing runs as ONE Arrow batch kernel
+    (MapInPandas) whose input is exactly (id, canonical text) — the
+    normalization regex runs once per doc JVM-side, no text column is
+    shipped twice, and no interpreted-HOF md5 pass remains (the round-4
+    Generate-based form re-ran md5 per window when inlined, and the HOF
+    eval path itself degraded 15× in JIT-polluted sessions — see
+    operators/dedup.py::_winnow_kernel)."""
     from icdar_2019_rrc_sroie_spark.operators.dedup import (
         dedup_spans,
         winnow_fingerprint_positions,
@@ -241,10 +240,11 @@ def test_winnow_generate_reads_materialized_grams(spark):
               winnow_fingerprint_positions(docs, k=30, window=8),
               dedup_spans(docs, k=30, window=8)):
         plan = q._jdf.queryExecution().optimizedPlan().toString()
-        gen_lines = [ln for ln in plan.splitlines() if "Generate" in ln]
-        assert gen_lines, "expected an explode in the plan"
-        for ln in gen_lines:
-            assert "md5" not in ln and "regexp_replace" not in ln, ln
+        assert "mapInPandas" in plan or "MapInPandas" in plan, plan
+        kernel_lines = [ln for ln in plan.splitlines()
+                        if "apInPandas" in ln]
+        for ln in kernel_lines:  # narrow input: id + _nt only
+            assert "text#" not in ln.split("[")[-1] or "_nt" in ln, ln
 
 
 def test_probe_candidates_single_join_any_n_bits(spark):
