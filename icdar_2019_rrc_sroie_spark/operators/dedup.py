@@ -507,22 +507,87 @@ def pack_simhash(bit_sums: Column, num_bits: int = 64) -> Column:
     return F.shiftleft(_half_sig(32), 32).bitwiseOR(_half_sig(0))
 
 
+def _simhash_kernel(id_col: str, num_bits: int):
+    """Arrow-batch SimHash kernel (round 7 — same move as
+    :func:`_winnow_kernel`, same motivation: the Catalyst HOF fold
+    evaluated md5→hex→conv per token through the interpreted
+    expression path, which degrades ~2-4× in JIT-polluted sessions).
+
+    Bit-identity argument, matching ``simhash_bit_sums`` +
+    ``pack_simhash`` exactly:
+
+    * tokens: the canonical text is trim+lower+``\\s+``-collapsed
+      JVM-side, so Java ``split('\\s+')`` reduces to splitting on
+      single spaces — ``str.split(' ')`` reproduces it including the
+      leading/trailing-empty-token edges (a ``\\t``-leading doc
+      normalizes to a leading space; both engines then emit an empty
+      first token). ``array_distinct`` → ``set``.
+    * per token: ``lo``/``hi`` = md5 digest bytes [0,4) / [4,8) as
+      uint32 — identical to hex-slice → ``conv`` → double (exact for
+      32-bit values).
+    * bit j of each half via integer shifts — identical to the exact
+      power-of-two floor division; per-bit ±1 sums are integers, and
+      the packed signature Σ 2^j over positive bits (distinct powers
+      of two < 2^32, exact in double there, exact ints here), hi half
+      shifted into the sign bit exactly as ``shiftleft``.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+        half_bits = min(num_bits, 32)
+        weights_lo = (np.uint64(1) << np.arange(half_bits,
+                                                dtype=np.uint64))
+        shifts = np.arange(half_bits, dtype=np.uint32)
+        for pdf in batches:
+            sigs: list = []
+            for nt in pdf["_nt"].values:
+                if nt is None:
+                    sigs.append(None)
+                    continue
+                toks = set(nt.split(" "))
+                n = len(toks)
+                los = np.empty(n, dtype=np.uint32)
+                his = np.empty(n, dtype=np.uint32)
+                for i, t in enumerate(toks):
+                    d = md5(t.encode("utf-8")).digest()
+                    los[i] = from_bytes(d[0:4], "big")
+                    his[i] = from_bytes(d[4:8], "big")
+                pos_lo = ((los[:, None] >> shifts) & 1).sum(axis=0)
+                sig = int(weights_lo[2 * pos_lo > n].sum())
+                if num_bits == 64:
+                    pos_hi = ((his[:, None] >> shifts) & 1).sum(axis=0)
+                    hi_sig = int(weights_lo[2 * pos_hi > n].sum())
+                    sig |= hi_sig << 32
+                    if sig >= 1 << 63:
+                        sig -= 1 << 64
+                sigs.append(sig)
+            out = pdf[[id_col]].copy()
+            out["simhash"] = pd.array(sigs, dtype="Int64")
+            yield out
+
+    return kernel
+
+
 def simhash_dedup(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
                   num_bits: int = 64) -> DataFrame:
     """(id, simhash) — near-dup buckets collide on identical simhash.
 
-    The per-bit sums aggregate (the expensive per-token pass) is
-    materialized as a column before packing: the expression form
-    ``simhash64`` inlines it into both 32-bit halves, running the
-    token pass twice (the HOF re-evaluation class, constant-factor
-    here)."""
+    Normalization runs once per doc JVM-side; the per-token md5 /
+    bit-sum / packing pass runs in one Arrow batch kernel
+    (:func:`_simhash_kernel` documents the bit-identity argument vs
+    the retired Catalyst HOF fold, which remains available as the
+    expression form ``simhash64``)."""
     base = ensure_parallelism(df).select(
-        F.col(id_col),
-        simhash_bit_sums(F.col(text_col), num_bits).alias("_bs"))
-    return base.select(
-        F.col(id_col),
-        pack_simhash(F.col("_bs"), num_bits).alias("simhash"))
+        F.col(id_col), normalized_text(F.col(text_col)).alias("_nt"))
+    schema = "{} {}, simhash long".format(
+        id_col, base.schema[id_col].dataType.simpleString())
+    return base.mapInPandas(_simhash_kernel(id_col, num_bits), schema)
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",

@@ -362,6 +362,36 @@ def test_winnow_fingerprints_shared_substring_guarantee(spark):
     assert not (fps[0] & fps[2] & fps[1])
 
 
+def test_simhash_arrow_kernel_matches_catalyst_reference(spark):
+    """Round-7 kernel-swap parity: the Arrow SimHash kernel must emit
+    the identical (id, simhash) rows as the retained Catalyst
+    expression form ``simhash64`` — md5 halves, ±1 bit sums, sign-bit
+    packing, token-split edges (leading whitespace ⇒ empty token,
+    empty and null text) all pinned, at 64 and 32 bits."""
+    from pyspark.sql import functions as F
+
+    from icdar_2019_rrc_sroie_spark.operators.dedup import (
+        simhash64,
+        simhash_dedup,
+    )
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(40)
+    edges = spark.createDataFrame(
+        [(1000, "\tleading tab"), (1001, "trailing space "),
+         (1002, ""), (1003, None), (1004, "  double  spaces  inside "),
+         (1005, "naïve café 文字列 unicode"), (1006, "one"),
+         (1007, "a a a repeated a a")],
+        "doc_id long, text string")
+    docs = corpus.select("doc_id", "text").unionByName(edges)
+    for nb in (64, 32):
+        ref = docs.select(
+            "doc_id", simhash64(F.col("text"), nb).alias("simhash"))
+        got = simhash_dedup(docs, num_bits=nb)
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
+
+
 def test_winnow_arrow_kernel_matches_catalyst_reference(spark):
     """Round-7 kernel-swap parity: the Arrow winnow kernel must emit
     the IDENTICAL (id, fp[, pos]) row multiset as the retired Catalyst
