@@ -824,7 +824,15 @@ def dedup_spans(df: DataFrame, id_col: str = "doc_id",
     """
     if gap is None:
         gap = k + window
-    occ = winnow_fingerprint_positions(df, id_col, text_col, k, window)
+    # The positioned-fingerprint table feeds TWO consumers (the
+    # per-fp owner aggregate and the occurrence join below); Spark
+    # does no cross-operator CSE, so without a persist the whole
+    # normalize+md5 winnow kernel executes once per consumer — the
+    # event log showed 2-4 MapInPandas stages per dedup_spans run
+    # inside the curation pipeline (r7). The table is a few narrow
+    # (id, fp, pos) rows per winnow window — tiny next to the corpus.
+    occ = track_persist(
+        winnow_fingerprint_positions(df, id_col, text_col, k, window))
     owners = occ.groupBy("fp").agg(F.min(id_col).alias("_owner"))
     # occurrences in non-owner docs (doc > owner ⟹ the fp is shared
     # with at least one other doc, or repeated inside this one with a

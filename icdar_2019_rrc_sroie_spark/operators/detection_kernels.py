@@ -160,6 +160,26 @@ def text_lines_from_proposals(boxes: np.ndarray, scores: np.ndarray,
 # applyInPandas wrappers (distributed per-doc execution)
 # ---------------------------------------------------------------------------
 
+
+def _spread_groups(df: DataFrame, key: str) -> DataFrame:
+    """Pin the keyed exchange feeding a per-doc kernel at the
+    configured shuffle width. The detection kernels are CPU-dense but
+    byte-light (a few hundred proposal rows per doc), so AQE's
+    byte-based coalescing collapses their shuffle to ONE partition
+    (below ``coalescePartitions.minPartitionSize``) and the per-doc
+    NMS/connector loops run serially — three ~0.5 s single-task
+    stages in the r7 detection_learned profile. An EXPLICIT
+    ``repartition(n, key)`` is exempt from AQE coalescing; ``n`` is
+    ``spark.sql.shuffle.partitions`` — the width the exchange would
+    have had without AQE, cluster-configured in production (not a
+    local constant). The group→kernel mapping is unchanged, so
+    results are identical."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on some builds
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
 PROPOSAL_COLS = ["doc_id", "xmin", "ymin", "xmax", "ymax", "score"]
 
 NMS_SCHEMA = T.StructType(
@@ -200,7 +220,8 @@ def nms_per_doc(proposals: DataFrame,
         out["pick_order"] = np.arange(len(keep), dtype=np.int32)
         return out
 
-    return proposals.groupBy("doc_id").applyInPandas(kernel, NMS_SCHEMA)
+    return _spread_groups(proposals, "doc_id") \
+        .groupBy("doc_id").applyInPandas(kernel, NMS_SCHEMA)
 
 
 def connect_lines_per_doc(proposals: DataFrame, im_w: int,
@@ -224,4 +245,5 @@ def connect_lines_per_doc(proposals: DataFrame, im_w: int,
             }
         )
 
-    return proposals.groupBy("doc_id").applyInPandas(kernel, LINES_SCHEMA)
+    return _spread_groups(proposals, "doc_id") \
+        .groupBy("doc_id").applyInPandas(kernel, LINES_SCHEMA)

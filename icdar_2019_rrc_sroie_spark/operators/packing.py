@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import normalized_text
+from .dedup import ensure_parallelism, normalized_text
 
 PACKING_N_SHARDS_DEFAULT = 1024
 
@@ -46,7 +46,12 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
     0). Token counting is the packing currency; callers with a trained
     tokenizer substitute bpe.bpe_token_count here."""
     norm = normalized_text(F.col(text_col))
-    return df.select(
+    # Spread the (usually single-file) scan before the normalize+split
+    # pass: computed in the scan stage it runs on 1-3 tasks (~2 s
+    # single-task stages in the pack_sequences cold profile, r7); the
+    # downstream layout machinery re-shuffles by shard anyway, so
+    # placement is free to change. No-op at real scale (wide scans).
+    return ensure_parallelism(df).select(
         F.col(id_col),
         F.when(F.length(norm) == 0, F.lit(0))
         .otherwise(F.size(F.split(norm, r"\s+")))
@@ -291,7 +296,9 @@ def doc_token_arrays(df: DataFrame, id_col: str = "doc_id",
     exclude them). ``size(toks)`` here == ``token_counts.n_tokens`` by
     construction — the layouts' offsets index into exactly this array."""
     norm = normalized_text(F.col(text_col))
-    return (df.select(F.col(id_col), norm.alias("_n"))
+    # Spread before the normalization/split pass (see token_counts).
+    return (ensure_parallelism(df)
+            .select(F.col(id_col), norm.alias("_n"))
             .filter(F.length("_n") > 0)
             .select(id_col, F.split(F.col("_n"), " ").alias("toks")))
 
