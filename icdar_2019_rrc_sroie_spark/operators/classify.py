@@ -74,12 +74,18 @@ def class_expr(t: Column, line_idx: Column,
     postcode = t.rlike(r"\d{5}")
     state = t.rlike(r"SELANGOR|JOHOR|MELAKA|PULAU|PERAK|KEDAH|KUALA")
     venue = t.rlike(r"FLR|FLOOR|MALL|PLAZA|LEVEL")
+    # r7: same truth table as the original
+    #   (marker & (comma|postcode)) | (comma & postcode) | (comma & venue)
+    #   | rlike(LOT.*JALAN) | (postcode & state)
+    # re-grouped so the two cheap tests (a contains and the \d{5} scan)
+    # short-circuit the marker/state/venue regexes away on the chat
+    # majority: expanding both forms gives the identical minterm set
+    # {marker·comma, marker·postcode, comma·postcode, comma·venue,
+    #  postcode·state, LOT.*JALAN}.
     is_address = (
-        (marker & (comma | postcode))
-        | (comma & postcode)
-        | (comma & venue)
+        (comma & (marker | postcode | venue))
+        | (postcode & (marker | state))
         | t.rlike(r"(LOT |NO ?\.? ?\d).*(JALAN|JLN)")
-        | (postcode & state)
     )
     is_company = (
         (line_idx == 0)

@@ -136,14 +136,18 @@ def turns_with_lines(classified: DataFrame) -> DataFrame:
     arrays — no pattern matching after the shuffle except the per-turn
     RND note scan and the winner-line cleanups."""
     from .classify import prob_expr
+    from .entities import total_context_expr
 
     grouped = classified.groupBy(*_TURN_KEYS).agg(
         F.array_sort(
             F.collect_list(
-                # prob is a pure function of cls — recomputed after the
-                # shuffle instead of shipping 8 bytes/line through it
+                # prob is a pure function of cls, and ctx_ok of text —
+                # both recomputed after the shuffle (on the ~1% of turns
+                # surviving the receipt gate below) instead of being
+                # computed for every line on the map side and shipped
+                # through the exchange
                 F.struct("line_idx", "text", "cls",
-                         "date_ex", "total_ex", "ctx_ok")
+                         "date_ex", "total_ex")
             )
         ).alias("L")
     )
@@ -153,11 +157,23 @@ def turns_with_lines(classified: DataFrame) -> DataFrame:
         F.transform("L", lambda x: x["cls"]).alias("classes0"),
         F.transform("L", lambda x: x["date_ex"]).alias("dates"),
         F.transform("L", lambda x: x["total_ex"]).alias("totals"),
-        F.transform("L", lambda x: x["ctx_ok"]).alias("ctxs"),
     )
+    # Receipt pre-gate BEFORE the absorption fold (r7): absorption only
+    # ever rewrites none→address, never creates or destroys a DATE or
+    # TOTAL class, so array_contains(classes, DATE/TOTAL) is invariant
+    # under it — gating on classes0 here is exactly the gate
+    # spans_from_turns applies on the absorbed classes, moved below the
+    # expensive interpreted fold so only receipt turns (~1%) pay for
+    # absorption, probs and the ctx recompute.
+    base = base.filter(
+        F.array_contains(F.col("classes0"), _DATE)
+        & F.array_contains(F.col("classes0"), _TOTAL))
     classes = absorb_continuations(
         F.col("classes0"), F.col("texts"), F.col("dates"), F.col("totals"))
-    return base.withColumn("classes", classes).drop("classes0") \
+    return base.withColumn(
+        "ctxs",
+        F.transform(F.col("texts"), lambda t: total_context_expr(t))) \
+        .withColumn("classes", classes).drop("classes0") \
         .withColumn("probs",
                     F.transform(F.col("classes"), lambda c: prob_expr(c)))
 
