@@ -23,7 +23,8 @@ from .operators.packing import (
     materialize_greedy_packs,
     materialize_packs,
     pack_chunks,
-    token_counts,
+    token_counts,  # noqa: F401 — re-exported for callers/tests
+    token_counts_from_arrays,
 )
 
 
@@ -94,12 +95,25 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     with real vocab ids — see the inline comment at the bmat block for
     the exact encodings."""
     from .operators.indexes import track_persist
+    from .operators.packing import doc_token_arrays
     from .operators.sft import assistant_mask, render_conversations
 
     docs = _t(spark, sf_dir, "documents")
-    counts = token_counts(docs)
-    chunk_layout = pack_chunks(counts, _SEQ_LEN, _N_SHARDS)
-    greedy_layout = greedy_packs(counts, _SEQ_LEN, _N_SHARDS)
+    # r7: ONE whitespace tokenize pass. token_counts(docs) plus the two
+    # materializers each re-split the corpus (three normalize+split
+    # scans); the persisted array table now feeds the layout counts AND
+    # both materializations — the same one-stream discipline the BPE
+    # arms below already use. Counts are identical by construction
+    # (size(toks) == token_counts.n_tokens; 0-token docs are filtered
+    # by every layout either way), and materialize_* with a tokens_df
+    # lacking an `ids` column slices exactly as the whitespace path.
+    warr = track_persist(doc_token_arrays(docs))
+    counts = token_counts_from_arrays(warr)
+    # The layouts each feed TWO union arms (chunk+mat / greedy+matg);
+    # Spark does no cross-operator CSE, so without a persist the whole
+    # shard-window prefix-sum machinery executes once per arm.
+    chunk_layout = track_persist(pack_chunks(counts, _SEQ_LEN, _N_SHARDS))
+    greedy_layout = track_persist(greedy_packs(counts, _SEQ_LEN, _N_SHARDS))
     chunk = chunk_layout.select(
         F.lit("chunk").alias("kind"), "pack_id", "doc_id",
         F.col("tok_start").alias("a"), F.col("tok_len").alias("b"),
@@ -108,14 +122,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("greedy").alias("kind"), "pack_id", "doc_id",
         F.col("pack_off").alias("a"), F.col("n_tokens").alias("b"),
         F.col("overflow").cast("long").alias("c"))
-    mat = materialize_packs(docs, chunk_layout).select(
+    mat = materialize_packs(None, chunk_layout, tokens_df=warr).select(
         F.lit("mat").alias("kind"), "pack_id",
         F.lit(-1).cast("long").alias("doc_id"),
         F.col("n_tokens").alias("a"),
         _stream_hash(F.col("tokens")).alias("b"),
         F.lit(0).cast("long").alias("c"))
     matg = materialize_greedy_packs(
-        docs, greedy_layout, _SEQ_LEN).select(
+        None, greedy_layout, _SEQ_LEN, tokens_df=warr).select(
         F.lit("matg").alias("kind"), "pack_id",
         F.lit(-1).cast("long").alias("doc_id"),
         F.col("n_tokens").alias("a"),
@@ -211,7 +225,6 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pack_id, doc_id=conv_id, a=tok_start (pack coords), b=tok_len,
     # c=conv_tok_start (conversation coords — pins the interval algebra
     # from both ends).
-    from .operators.packing import token_counts_from_arrays
     from .operators.sft import pack_loss_spans_chunked
 
     _CSPAN_LEN = 64
