@@ -972,10 +972,16 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
             # BPE trainer's state checkpoints)
             return df.localCheckpoint(eager=False)
 
+    # r7: start from the ROUND-1 state directly — the identity labeling
+    # propagated once is min(self, min(neighbors)), which is one
+    # aggregate over the symmetric edge table with no join (the old
+    # identity init spent a full join+checkpoint round computing
+    # exactly this). Every node of sym appears as `u` (sym is
+    # symmetric), so the node set is identical.
     labels = _ckpt(
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
+        sym.groupBy("u").agg(F.min("v").alias("_mv"))
+        .select(F.col("u").alias("node"),
+                F.least(F.col("u"), F.col("_mv")).alias("lbl"))
     )
     dec = F.sum(F.col("lbl").cast("decimal(38,0)"))
     prev_sum = labels.agg(dec).collect()[0][0]
