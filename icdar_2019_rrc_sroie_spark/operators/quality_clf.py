@@ -103,12 +103,20 @@ def quality_classify(df: DataFrame, weights: dict | None = None,
     base = df.select(
         F.col(id_col),
         grams_expr(norm_tokens_expr(F.col(text_col))).alias("_g"))
-    numer = score_numer_expr(F.col("_g"), weights)
-    return base.select(
+    # r7: the numer fold is materialized in its own projection — as a
+    # single select it appeared in TWO output columns (numer and the
+    # >0 verdict) and the 1024-weight aggregate evaluated twice per
+    # row. Multi-referenced non-cheap expressions block projection
+    # collapse, so each fold now runs exactly once.
+    scored = base.select(
         F.col(id_col),
         F.size("_g").cast("long").alias("clf_n_grams"),
-        numer.alias("clf_numer_micro"),
-        (numer > 0).cast("int").alias("clf_is_quality"),
+        score_numer_expr(F.col("_g"), weights).alias("clf_numer_micro"))
+    return scored.select(
+        F.col(id_col),
+        "clf_n_grams",
+        "clf_numer_micro",
+        (F.col("clf_numer_micro") > 0).cast("int").alias("clf_is_quality"),
     )
 
 

@@ -159,24 +159,39 @@ def featurize_examples(docs: DataFrame, d: int = 1024,
     ``gram_bucket_expr``). ``val`` is ``count/n_grams`` in float64,
     exactly the in-memory featurizer's ``x /= len(grams)``."""
     from .dedup import ensure_parallelism
+    from .indexes import track_persist
 
     toks = norm_tokens_expr(F.col(text_col))
     # spread the narrow parquet scan before the CPU-heavy gram/md5
     # projection (r7: the explode+partial-agg map side ran on the
     # 2-task scan — 4.0 s wall / 7.5 s cpu at sf0.1; row placement is
-    # irrelevant to the order-free aggregates downstream)
-    base = ensure_parallelism(docs).select(
+    # irrelevant to the order-free aggregates downstream).
+    #
+    # The gram arrays are PERSISTED (r7, second pass): without the
+    # cache boundary, the explode's inferred ``size(grams) > 0`` filter
+    # is pushed below the round-robin exchange into the parquet scan,
+    # re-evaluating the whole normalize+split+gram chain per row inside
+    # the 1-task scan stage — once per union branch (two 2.3 s
+    # single-task stages at sf0.1, the §4.4 filter-duplication pattern
+    # with Catalyst expressions instead of a UDF). With the cache, the
+    # chain runs exactly once per document at ensure_parallelism width
+    # and the inferred filter lands on a materialized column.
+    base = track_persist(ensure_parallelism(docs).select(
         F.col(id_col).cast("long").alias("doc_id"), toks.alias("toks"))
+        .select(
+            "doc_id",
+            grams_expr(F.col("toks")).alias("_gpos"),
+            grams_expr(F.array_sort(F.col("toks"))).alias("_gneg")))
     pos = base.select(
         (F.col("doc_id") * 2).alias("ex_id"),
         F.lit(1.0).alias("y"),
         (F.col("doc_id") % 2 == 0).alias("is_train"),
-        grams_expr(F.col("toks")).alias("grams"))
+        F.col("_gpos").alias("grams"))
     neg = base.select(
         (F.col("doc_id") * 2 + 1).alias("ex_id"),
         F.lit(0.0).alias("y"),
         (F.col("doc_id") % 2 == 0).alias("is_train"),
-        grams_expr(F.array_sort(F.col("toks"))).alias("grams"))
+        F.col("_gneg").alias("grams"))
     exploded = pos.unionAll(neg).select(
         "ex_id", "y", "is_train",
         F.explode("grams").alias("g"))
