@@ -237,6 +237,14 @@ def cap_buckets(df: DataFrame, keys: list[str],
 
     from pyspark.sql import Observation
 
+    # r7 note: a groupBy+broadcast-join variant (map-side partials, no
+    # per-key window shuffle) was measured and REJECTED — the extra
+    # count pass + cache materialization cost more than the window at
+    # every bench entry (semdedup 2.4→4.2 s, embedding_near_dups
+    # 1.9→3.7 s, +20-30 driver jobs). The window's per-key skew only
+    # bites when the key cardinality is tiny, which at corpus scale it
+    # never is (bands/buckets grow with the corpus; semdedup's k grows
+    # as n/target_cluster_size).
     bucket_sz = F.count(F.lit(1)).over(Window.partitionBy(*keys))
     obs = Observation(f"cap_buckets:{label}:{uuid.uuid4().hex[:8]}")
     base = track_persist(

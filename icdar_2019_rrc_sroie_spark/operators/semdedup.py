@@ -195,22 +195,40 @@ def semdedup(df: DataFrame, k: int = 8, eps: float = 0.95,
                           F.element_at(cnorms, F.col("cluster") + 1))))
     judged = cap_buckets(assigned, ["cluster"], max_cluster_size,
                          label="semdedup")
+    # r7: the pair join keyed by cluster alone has only k distinct
+    # values, so with small k every cluster's m² pair evaluations land
+    # in ONE task (profiled 12× max/median task skew — guide §2.5, and
+    # AQE's skew join cannot split a single key). Salt: the a side
+    # gets a deterministic salt from its member id, the b side is
+    # replicated across all salts, and the join key becomes
+    # (cluster, salt) — identical pair set, spread over k×S tasks.
+    # S is scale-adaptive: ceil(parallelism / k) — at corpus scale k
+    # grows with n (k ≈ n/target_cluster_size, module doc), the
+    # cluster key alone spreads fine, and S degenerates to 1 (no
+    # replication, no extra shuffle bytes). Deterministic salt
+    # (id-derived, no rand()) so task retries reproduce the rows.
+    par = judged.sparkSession.sparkContext.defaultParallelism
+    n_salts = max(1, -(-par // max(1, len(centroids))))
     a = judged.select(F.col("cluster"),
                       F.col(id_col).alias("_ida"),
                       F.col(vec_col).alias("_va"),
                       F.col("_nrm").alias("_na"),
-                      F.col("cent_sim").alias("_sa"))
+                      F.col("cent_sim").alias("_sa"),
+                      F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+                      .cast("int").alias("_salt"))
     b = judged.select(F.col("cluster"),
                       F.col(id_col).alias("_idb"),
                       F.col(vec_col).alias("_vb"),
                       F.col("_nrm").alias("_nb"),
-                      F.col("cent_sim").alias("_sb"))
+                      F.col("cent_sim").alias("_sb"),
+                      F.explode(F.sequence(
+                          F.lit(0), F.lit(n_salts - 1))).alias("_salt"))
     # rank(a) < rank(b) in (cent_sim asc, id asc) order — a is the
     # earlier (less central) member whose eps-closeness kills b
     earlier = (F.col("_sa") < F.col("_sb")) | (
         (F.col("_sa") == F.col("_sb")) & (F.col("_ida") < F.col("_idb")))
     dropped = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "_salt"])
         .filter(earlier)
         .filter(cosine_with_norms(F.col("_va"), F.col("_vb"),
                                   F.col("_na"), F.col("_nb")) >= eps)
