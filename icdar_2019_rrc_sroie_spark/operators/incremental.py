@@ -656,12 +656,19 @@ def merge_labels_store(spark: SparkSession, labels_path: str,
     are kept consistent by an intent-marker protocol: the merge
     artifact (relabel + new_rows) is persisted to ``<path>/_pending``
     BEFORE any store write and deleted only after both stores are
-    rewritten — a crash at ANY point (mid labels overwrite, before the
-    emptied-bucket sweep, mid mirror overwrite) leaves ``_pending`` in
-    place, and the next merge replays it first (``_apply_merge`` is
-    idempotent: applied renames no-op, the node-min dedup collapses
-    duplicates). Recovery contract: re-run the same snapshot's merge —
-    or any later merge; healing is unconditional on entry. Pinned by
+    rewritten — a crash between store writes (mid labels overwrite,
+    before the emptied-bucket sweep, mid mirror overwrite) leaves
+    ``_pending`` in place, and the next merge replays it first
+    (``_apply_merge`` is idempotent: applied renames no-op, the
+    node-min dedup collapses duplicates). Known torn-commit window
+    (ADVICE r6): a crash INSIDE a dynamic-partition-overwrite job
+    commit — partition dir deleted, staged files not yet renamed —
+    can lose that bucket's unaffected rows, and ``_pending`` (which
+    carries only relabel + new_rows, not bucket slices) cannot restore
+    them; a real table format's atomic MERGE closes this
+    (docs/CATALOG.md). Recovery contract for every other failure
+    point: re-run the same snapshot's merge — or any later merge;
+    healing is unconditional on entry. Pinned by
     tests/test_incremental.py::test_merge_labels_store_heals_injected_crashes.
     """
     from .indexes import _delete_path

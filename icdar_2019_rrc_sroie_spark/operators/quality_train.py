@@ -51,7 +51,9 @@ from .quality_clf import gram_bucket_expr, grams_expr, norm_tokens_expr
 #: summed in int64 — exact, order-free. 1e-9 granularity is far below
 #: the gradient signal (examples contribute O(1e-3..1) per dim) and
 #: int64 holds ~9.2e18: overflow needs ~1e10 examples per epoch ×
-#: unit-scale gradients; the kernel asserts the margin anyway.
+#: unit-scale gradients (per-example g·x ∈ [-1, 1], so each example
+#: adds at most GRAD_SCALE to a bucket's partial sum — the margin is
+#: guarded numerically by stable_sigmoid, not by a kernel assert).
 GRAD_SCALE = 1_000_000_000
 
 
@@ -282,6 +284,12 @@ def holdout_accuracy(feats: DataFrame, w_micro: list[int],
         .cast("int").alias("ok"))
     row = scored.agg(
         F.sum("ok").alias("ok"), F.count(F.lit(1)).alias("n")).collect()[0]
+    if not row["n"]:
+        # Degenerate holdout (no odd doc_ids survived the caller's
+        # filters): report 0.0/0 instead of raising at the end of an
+        # otherwise-successful run (ADVICE r6) — the trained weights
+        # are returned either way; n_holdout=0 flags the gate as void.
+        return 0.0, 0
     return float(row["ok"]) / float(row["n"]), int(row["n"])
 
 

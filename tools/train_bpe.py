@@ -42,11 +42,14 @@ N_MERGES = 64
 
 def word_counts(texts: list[str]) -> Counter:
     # re.ASCII: same \s semantics as the Java/RE2 consumers (see
-    # operators/bpe.py) so training pretokenizes like apply does
+    # operators/bpe.py) so training pretokenizes like apply does.
+    # U+001F is stripped exactly as distributed_word_counts and the
+    # apply/profile kernels do (ADVICE r6): without it the two
+    # trainers would diverge on a corpus containing the separator.
     pat = re.compile(BPE_TOKEN_PATTERN, re.ASCII)
     counts: Counter = Counter()
     for t in texts:
-        counts.update(pat.findall(t))
+        counts.update(pat.findall(t.replace("\x1f", "")))
     return counts
 
 
